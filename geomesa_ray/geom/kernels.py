@@ -1,0 +1,162 @@
+"""Vectorized geometry kernels (pure NumPy — no GEOS/Shapely dependency).
+
+These replace the reference's JTS geometry operations (exact
+point-in-polygon refinement inside iterators, e.g.
+``geomesa-accumulo/.../iterators/SpatioTemporalIntersectingIterator.scala:23-55``)
+with batch-vectorized NumPy: one call tests a whole Arrow batch of points
+against one polygon, looping only over the polygon's (few) edges.
+
+International-date-line handling mirrors
+``geomesa-utils/.../geohash/GeohashUtils.scala:721-773``
+(``getInternationalDateLineSafeGeometry``): out-of-range longitudes are
+translated into [-180, 180] and IDL-crossing polygons are split into an
+east part and a west part.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+EARTH_RADIUS_M = 6371000.0
+
+
+@dataclass(frozen=True)
+class Polygon:
+    """Simple polygon ring (closed or open vertex list, no holes)."""
+
+    xs: np.ndarray  # float64 [n]
+    ys: np.ndarray  # float64 [n]
+    bbox: tuple = field(default=None)
+
+    def __post_init__(self):
+        xs = np.asarray(self.xs, dtype=np.float64)
+        ys = np.asarray(self.ys, dtype=np.float64)
+        # drop an explicit closing vertex; the PIP kernel wraps implicitly
+        if len(xs) > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+            xs, ys = xs[:-1], ys[:-1]
+        object.__setattr__(self, "xs", xs)
+        object.__setattr__(self, "ys", ys)
+        object.__setattr__(
+            self, "bbox",
+            (float(xs.min()), float(xs.max()), float(ys.min()), float(ys.max())),
+        )
+
+
+def points_in_bbox(lon, lat, lon0, lon1, lat0, lat1):
+    """Inclusive-edge bbox containment, vectorized."""
+    lon = np.asarray(lon)
+    lat = np.asarray(lat)
+    return (lon >= lon0) & (lon <= lon1) & (lat >= lat0) & (lat <= lat1)
+
+
+def points_in_polygon(lon, lat, poly: Polygon) -> np.ndarray:
+    """Even-odd-rule point-in-polygon test, vectorized over points.
+
+    Loops over polygon edges (small), vectorized over the point batch
+    (large). Points exactly on a horizontal edge may be classified either
+    way (standard ray-cast caveat); fixture polygons avoid degenerate
+    vertex alignment with data points.
+    """
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    x0, x1, y0, y1 = poly.bbox
+    inside = np.zeros(lon.shape, dtype=bool)
+    candidate = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
+    if not candidate.any():
+        return inside
+    px = lon[candidate]
+    py = lat[candidate]
+    xs, ys = poly.xs, poly.ys
+    n = len(xs)
+    acc = np.zeros(px.shape, dtype=bool)
+    for i in range(n):
+        xa, ya = xs[i], ys[i]
+        xb, yb = xs[(i + 1) % n], ys[(i + 1) % n]
+        crosses = (ya > py) != (yb > py)
+        if not crosses.any():
+            continue
+        # x coordinate where the edge crosses the horizontal through py
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = xa + (py - ya) * (xb - xa) / (yb - ya)
+        acc ^= crosses & (px < xint)
+    inside[candidate] = acc
+    return inside
+
+
+def haversine_m(lon1, lat1, lon2, lat2):
+    """Great-circle distance in meters, vectorized (broadcasting)."""
+    lon1, lat1, lon2, lat2 = (np.radians(np.asarray(a, dtype=np.float64))
+                              for a in (lon1, lat1, lon2, lat2))
+    dlon = lon2 - lon1
+    dlat = lat2 - lat1
+    a = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(a))
+
+
+def planar_sq_deg(lon1, lat1, lon2, lat2):
+    """Squared planar distance in degrees² — written as (dx*dx)+(dy*dy)
+    with this exact operation order so the DuckDB oracle reproduces the
+    identical IEEE double (used for deterministic kNN tie-breaking)."""
+    dx = np.asarray(lon1, dtype=np.float64) - np.asarray(lon2, dtype=np.float64)
+    dy = np.asarray(lat1, dtype=np.float64) - np.asarray(lat2, dtype=np.float64)
+    return (dx * dx) + (dy * dy)
+
+
+def normalize_lon(lon):
+    """Translate longitudes into [-180, 180) (GeohashUtils.scala:721-744)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    return ((lon + 180.0) % 360.0) - 180.0
+
+
+def split_idl_polygon(xs, ys) -> list[Polygon]:
+    """Split a polygon whose vertices use lon > 180 (or < -180) encodings
+    of an IDL crossing into separate east/west polygons in [-180, 180]
+    (GeohashUtils.scala:745-773 semantics).
+
+    Input convention: the caller supplies vertices in a continuous
+    (unwrapped) longitude frame, e.g. 179 -> 181 for a crossing.
+    """
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if xs.max() <= 180.0 and xs.min() >= -180.0:
+        return [Polygon(xs, ys)]
+    out = []
+    if (xs > 180.0).any():
+        # east part clipped at 180, west part translated by -360
+        out.append(_clip_lon(xs, ys, hi=180.0))
+        out.append(_clip_lon(xs - 360.0, ys, lo=-180.0))
+    else:
+        out.append(_clip_lon(xs, ys, lo=-180.0))
+        out.append(_clip_lon(xs + 360.0, ys, hi=180.0))
+    return [p for p in out if p is not None]
+
+
+def _clip_lon(xs, ys, lo=None, hi=None):
+    """Sutherland-Hodgman clip of a polygon against a vertical line."""
+    pts = list(zip(xs.tolist(), ys.tolist()))
+    if pts[0] == pts[-1]:
+        pts = pts[:-1]
+
+    def inside(p):
+        if lo is not None:
+            return p[0] >= lo
+        return p[0] <= hi
+
+    bound = lo if lo is not None else hi
+    out = []
+    n = len(pts)
+    for i in range(n):
+        a, b = pts[i], pts[(i + 1) % n]
+        ia, ib = inside(a), inside(b)
+        if ia:
+            out.append(a)
+        if ia != ib:
+            t = (bound - a[0]) / (b[0] - a[0])
+            out.append((bound, a[1] + t * (b[1] - a[1])))
+    if len(out) < 3:
+        return None
+    ox = np.array([p[0] for p in out])
+    oy = np.array([p[1] for p in out])
+    return Polygon(ox, oy)

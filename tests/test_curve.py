@@ -1,0 +1,182 @@
+"""Curve-kernel conformance tests (FIXTURES.md F5; mirrors the reference's
+geomesa-z3 Z3Test / Z3RangeTest / MergeQueueTest coverage)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geomesa_ray.curve import (
+    SECONDS_PER_WEEK,
+    Z2Grid,
+    Z3SFC,
+    merge_ranges,
+    lonlat_to_xy,
+    time_to_week_t,
+    z2_decode,
+    z2_encode,
+    z3_decode,
+    z3_encode,
+    zranges_2d,
+    zranges_3d,
+)
+from geomesa_ray.curve.zorder import combine21, split21
+
+U = np.uint64
+
+
+class TestBitKernels:
+    def test_split_combine_identity(self):
+        xs = np.arange(0, 1 << 21, 997, dtype=U)
+        assert (combine21(split21(xs)) == xs).all()
+
+    def test_split_masks_high_bits(self):
+        assert int(split21(np.uint64((1 << 21) | 5))) == int(split21(np.uint64(5)))
+
+    def test_roundtrip_extremes(self):
+        for x, y, t in [(0, 0, 0), ((1 << 21) - 1, (1 << 21) - 1, (1 << 20) - 1),
+                        (1, 0, 0), (0, 1, 0), (0, 0, 1)]:
+            z = z3_encode(np.uint64(x), np.uint64(y), np.uint64(t))
+            xx, yy, tt = z3_decode(z)
+            assert (int(xx), int(yy), int(tt)) == (x, y, t)
+
+    def test_max_z3_fits_63_bits(self):
+        z = z3_encode(np.uint64((1 << 21) - 1), np.uint64((1 << 21) - 1),
+                      np.uint64((1 << 20) - 1))
+        assert int(z) < (1 << 63)
+
+    @given(st.integers(0, (1 << 21) - 1), st.integers(0, (1 << 21) - 1),
+           st.integers(0, (1 << 20) - 1))
+    @settings(max_examples=200, deadline=None)
+    def test_roundtrip_property(self, x, y, t):
+        z = z3_encode(np.uint64(x), np.uint64(y), np.uint64(t))
+        xx, yy, tt = z3_decode(z)
+        assert (int(xx), int(yy), int(tt)) == (x, y, t)
+
+    def test_z2_roundtrip(self):
+        rng = np.random.default_rng(7)
+        x = rng.integers(0, 1 << 21, 5000).astype(U)
+        y = rng.integers(0, 1 << 21, 5000).astype(U)
+        a, b = z2_decode(z2_encode(x, y))
+        assert (a == x).all() and (b == y).all()
+
+    def test_ordering_locality(self):
+        # adjacent x at same y/t differ only in low z bits
+        z1 = z3_encode(np.uint64(100), np.uint64(200), np.uint64(300))
+        z2 = z3_encode(np.uint64(101), np.uint64(200), np.uint64(300))
+        assert int(z2) > int(z1)
+
+
+class TestNormalization:
+    def test_lonlat_bounds(self):
+        ix, iy = lonlat_to_xy(np.array([-180.0, 0.0, 180.0]),
+                              np.array([-90.0, 0.0, 90.0]))
+        assert ix.tolist() == [0, 1 << 20, (1 << 21) - 1]
+        assert iy.tolist() == [0, 1 << 20, (1 << 21) - 1]
+
+    def test_week_math(self):
+        # instants exactly at week boundaries (Z3Table.scala:48-51 parity)
+        secs = np.array([0, SECONDS_PER_WEEK - 1, SECONDS_PER_WEEK,
+                         SECONDS_PER_WEEK + 1], dtype=np.int64)
+        week, it = time_to_week_t(secs)
+        assert week.tolist() == [0, 0, 1, 1]
+        assert it[0] == 0 and it[2] == 0
+        assert int(it[1]) == ((SECONDS_PER_WEEK - 1) * (1 << 20)) // SECONDS_PER_WEEK
+
+    def test_t_coord_fits_20_bits(self):
+        secs = np.arange(0, SECONDS_PER_WEEK, 3571, dtype=np.int64)
+        _, it = time_to_week_t(secs)
+        assert int(it.max()) < (1 << 20)
+
+
+class TestMergeRanges:
+    def test_merge_overlap_and_adjacent(self):
+        assert merge_ranges([(5, 10), (0, 3), (4, 6), (20, 30)]) == [(0, 10), (20, 30)]
+
+    def test_merge_empty(self):
+        assert merge_ranges([]) == []
+
+    def test_merge_contained(self):
+        assert merge_ranges([(0, 100), (10, 20)]) == [(0, 100)]
+
+
+def _ranges_cover(ranges, zs):
+    los = np.array([a for a, _ in ranges])
+    his = np.array([b for _, b in ranges])
+    idx = np.searchsorted(los, zs, "right") - 1
+    return (idx >= 0) & (zs <= his[np.clip(idx, 0, len(his) - 1)])
+
+
+class TestZRanges:
+    def test_cover_random_boxes(self):
+        rng = np.random.default_rng(3)
+        for _ in range(10):
+            ix0, iy0 = rng.integers(0, 1 << 20, 2)
+            it0 = rng.integers(0, 1 << 19)
+            ix1 = int(ix0) + int(rng.integers(1, 1 << 14))
+            iy1 = int(iy0) + int(rng.integers(1, 1 << 14))
+            it1 = min(int(it0) + int(rng.integers(1, 1 << 10)), (1 << 20) - 1)
+            r = zranges_3d(int(ix0), ix1, int(iy0), iy1, int(it0), it1)
+            assert r == merge_ranges(r)  # sorted + disjoint
+            px = rng.integers(ix0, ix1 + 1, 3000).astype(U)
+            py = rng.integers(iy0, iy1 + 1, 3000).astype(U)
+            pt = rng.integers(it0, it1 + 1, 3000).astype(U)
+            pz = z3_encode(px, py, pt).astype(np.int64)
+            assert _ranges_cover(r, pz).all()
+
+    def test_selectivity_not_degenerate(self):
+        # a small box's covering ranges should not span the whole curve
+        r = zranges_3d(1000, 1100, 2000, 2100, 5000, 5100)
+        total = sum(hi - lo + 1 for lo, hi in r)
+        assert total < (1 << 40)
+
+    def test_2d_cover(self):
+        rng = np.random.default_rng(4)
+        level = 12
+        ix0, iy0 = 100, 200
+        ix1, iy1 = 400, 260
+        r = zranges_2d(ix0, ix1, iy0, iy1, level)
+        px = rng.integers(ix0, ix1 + 1, 2000).astype(U)
+        py = rng.integers(iy0, iy1 + 1, 2000).astype(U)
+        pz = z2_encode(px, py).astype(np.int64)
+        assert _ranges_cover(r, pz).all()
+
+
+class TestZ2Grid:
+    def test_hierarchy_prefix_property(self):
+        g12 = Z2Grid(12)
+        g8 = Z2Grid(8)
+        lon = np.array([12.34, -77.1, 179.99])
+        lat = np.array([45.6, -12.0, -89.9])
+        c12 = g12.encode(lon, lat)
+        c8 = g8.encode(lon, lat)
+        assert (np.asarray(c12) >> 8 == np.asarray(c8)).all()
+
+    def test_cell_bounds_contain_point(self):
+        g = Z2Grid(12)
+        lon = np.array([12.34, -77.1])
+        lat = np.array([45.6, -12.0])
+        c = g.encode(lon, lat)
+        lon0, lon1, lat0, lat1 = g.cell_bounds(c)
+        assert ((lon >= lon0) & (lon < lon1) & (lat >= lat0) & (lat < lat1)).all()
+
+    def test_bbox_cells_cover(self):
+        g = Z2Grid(10)
+        cells = g.bbox_cells(10.0, 12.0, 40.0, 41.0)
+        pts_lon = np.linspace(10.0, 12.0, 50)
+        pts_lat = np.linspace(40.0, 41.0, 50)
+        pc = g.encode(pts_lon, pts_lat)
+        assert np.isin(np.asarray(pc), np.asarray(cells)).all()
+
+
+class TestZ3SFC:
+    def test_index_deterministic(self):
+        sfc = Z3SFC()
+        lon = np.array([0.0, 10.0])
+        lat = np.array([0.0, 20.0])
+        secs = np.array([1704067200, 1704067200 + 86400], dtype=np.int64)
+        w1, z1 = sfc.index(lon, lat, secs)
+        w2, z2 = sfc.index(lon, lat, secs)
+        assert (np.asarray(w1) == np.asarray(w2)).all()
+        assert (np.asarray(z1) == np.asarray(z2)).all()
+        assert (np.asarray(z1) >= 0).all()

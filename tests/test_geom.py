@@ -1,0 +1,117 @@
+"""Geometry kernel tests: vectorized PIP vs an independent scalar oracle
+(winding-number algorithm), IDL splitting, distances."""
+
+import numpy as np
+
+from geomesa_ray.geom import (
+    Polygon,
+    haversine_m,
+    normalize_lon,
+    parse_wkt_polygon,
+    planar_sq_deg,
+    points_in_bbox,
+    points_in_polygon,
+    polygon_to_wkt,
+    split_idl_polygon,
+)
+
+
+def winding_number_contains(px, py, xs, ys):
+    """Independent scalar PIP oracle (winding number, different algorithm
+    from the production even-odd ray cast)."""
+    wn = 0
+    n = len(xs)
+    for i in range(n):
+        x0, y0 = xs[i], ys[i]
+        x1, y1 = xs[(i + 1) % n], ys[(i + 1) % n]
+        if y0 <= py:
+            if y1 > py and ((x1 - x0) * (py - y0) - (px - x0) * (y1 - y0)) > 0:
+                wn += 1
+        else:
+            if y1 <= py and ((x1 - x0) * (py - y0) - (px - x0) * (y1 - y0)) < 0:
+                wn -= 1
+    return wn != 0
+
+
+class TestPIP:
+    def test_square(self):
+        poly = Polygon(np.array([0.0, 10.0, 10.0, 0.0]), np.array([0.0, 0.0, 10.0, 10.0]))
+        lon = np.array([5.0, 15.0, -1.0, 9.99])
+        lat = np.array([5.0, 5.0, 5.0, 0.01])
+        assert points_in_polygon(lon, lat, poly).tolist() == [True, False, False, True]
+
+    def test_vs_winding_oracle_random(self):
+        rng = np.random.default_rng(11)
+        for trial in range(8):
+            nv = int(rng.integers(5, 24))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+            r = rng.uniform(1.0, 4.0, nv)
+            xs = 10.0 + r * np.cos(ang)
+            ys = -5.0 + r * np.sin(ang)
+            poly = Polygon(xs, ys)
+            px = rng.uniform(4.0, 16.0, 500)
+            py = rng.uniform(-11.0, 1.0, 500)
+            got = points_in_polygon(px, py, poly)
+            want = np.array([winding_number_contains(px[i], py[i], xs, ys)
+                             for i in range(len(px))])
+            assert (got == want).all()
+
+    def test_concave(self):
+        # U-shape: the notch must be excluded
+        xs = np.array([0.0, 10.0, 10.0, 6.0, 6.0, 4.0, 4.0, 0.0])
+        ys = np.array([0.0, 0.0, 10.0, 10.0, 2.0, 2.0, 10.0, 10.0])
+        poly = Polygon(xs, ys)
+        assert points_in_polygon(np.array([5.0]), np.array([5.0]), poly)[0] == False  # noqa: E712
+        assert points_in_polygon(np.array([5.0]), np.array([1.0]), poly)[0] == True  # noqa: E712
+
+
+class TestBBoxAndDistance:
+    def test_bbox(self):
+        m = points_in_bbox(np.array([1.0, 5.0]), np.array([1.0, 5.0]), 0, 2, 0, 2)
+        assert m.tolist() == [True, False]
+
+    def test_haversine_known(self):
+        # London -> Paris ~ 343.5 km
+        d = float(haversine_m(-0.1278, 51.5074, 2.3522, 48.8566))
+        assert 330_000 < d < 360_000
+
+    def test_haversine_zero(self):
+        assert float(haversine_m(10.0, 20.0, 10.0, 20.0)) == 0.0
+
+    def test_planar_sq(self):
+        assert float(planar_sq_deg(3.0, 4.0, 0.0, 0.0)) == 25.0
+
+
+class TestIDL:
+    def test_normalize(self):
+        assert normalize_lon(np.array([181.0, -181.0, 0.0])).tolist() == [-179.0, 179.0, 0.0]
+
+    def test_split_crossing(self):
+        polys = split_idl_polygon(
+            np.array([179.0, 181.5, 181.5, 179.0]),
+            np.array([-12.0, -12.0, -4.0, -4.0]),
+        )
+        assert len(polys) == 2
+        east = [p for p in polys if p.bbox[0] >= 170.0][0]
+        west = [p for p in polys if p.bbox[1] <= -170.0][0]
+        assert east.bbox[:2] == (179.0, 180.0)
+        assert west.bbox[:2] == (-180.0, -178.5)
+        # a point at lon=-179 must fall in the west part
+        assert points_in_polygon(np.array([-179.0]), np.array([-8.0]), west)[0]
+
+    def test_no_split_needed(self):
+        polys = split_idl_polygon(np.array([0.0, 1.0, 1.0]), np.array([0.0, 0.0, 1.0]))
+        assert len(polys) == 1
+
+
+class TestWKT:
+    def test_roundtrip(self):
+        poly = Polygon(np.array([45.0, 48.0, 48.0, 45.0]), np.array([23.0, 23.0, 27.0, 27.0]))
+        back = parse_wkt_polygon(polygon_to_wkt(poly))
+        assert np.allclose(back.xs, poly.xs) and np.allclose(back.ys, poly.ys)
+
+    def test_parse_reference_fixture_polygon(self):
+        # the reference test polygon (iterators/TestData.scala:40)
+        p = parse_wkt_polygon("POLYGON((45 23, 48 23, 48 27, 45 27, 45 23))")
+        assert p.bbox == (45.0, 48.0, 23.0, 27.0)
+        assert points_in_polygon(np.array([46.0]), np.array([25.0]), p)[0]
