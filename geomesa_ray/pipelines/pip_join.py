@@ -1,0 +1,264 @@
+"""Point-in-polygon spatial join — the engine's flagship operator.
+
+Reference parity: every GeoMesa spatial query IS a PIP join of indexed
+points against query geometry (``process/query/QueryProcess.scala:24-35``;
+``Z3IdxStrategy.scala:56-68,130-164``): geometry is decomposed into
+covering index cells (``GeohashUtils.decomposeGeometry``,
+``GeohashUtils.scala:637-701``), cell ranges are scanned, and an exact
+geometry predicate refines. Here:
+
+- **Region index** (driver-side, once): each region geometry is covered by
+  Z2 cells at an adaptive level (finest level whose bbox cover stays under
+  ``max_cells``, the role of the reference's <=100-cell decomposition cap).
+  The index maps (level, cell) -> candidate region ordinals (CSR layout),
+  and is broadcast via ``ray.put`` — read once per actor, never re-shipped
+  per batch.
+- **Probe stage**: an actor-pool ``map_batches`` over the point table.
+  Candidate lookup is a vectorized searchsorted against the cell keys;
+  exact refinement loops over the (few) candidate regions, each testing
+  its gathered points with vectorized bbox/PIP kernels + the time
+  interval. The per-actor region index is the analog of the reference's
+  per-tserver iterator state / STRtree caches
+  (``SynchronizedQuadtree.scala``, ``GeoMesaSpark.scala:170-202``).
+
+Because each point owns exactly one cell and each region is indexed at
+exactly one level, a (point, region) pair is tested at most once — the
+emit-guard that makes the reference's ``DeDuplicatingIterator`` unneeded
+(``IndexSchema.mayContainDuplicates:300-307``).
+
+Scale notes (100 TB / 10^12 rows): the broadcast side is
+O(regions x cells) and independent of point count; the point side streams
+with zero shuffle. For region sets too large to broadcast, use
+``pip_join_cogroup`` (explicit cell co-partition with hot-cell salting).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from geomesa_ray.curve.sfc import Z2Grid
+from geomesa_ray.geom.kernels import Polygon, split_idl_polygon
+from geomesa_ray.geom.wkt import parse_wkt_polygon
+from geomesa_ray.sources.io import read_images
+from geomesa_ray.stages.encode import DEFAULT_CELL_LEVEL, derive_and_encode
+
+MAX_COVER_CELLS = 256
+
+
+@dataclass
+class RegionIndex:
+    """Immutable broadcastable candidate index over regions."""
+
+    max_level: int
+    # per indexed level: sorted cell keys + CSR offsets into region ordinals
+    levels: dict  # level -> (cells:int64[], offsets:int32[], ordinals:int32[])
+    region_ids: list
+    kinds: list           # 'box' | 'poly'
+    bbox: np.ndarray      # [n, 4] lon_min, lon_max, lat_min, lat_max
+    t_start_s: np.ndarray
+    t_end_s: np.ndarray
+    polys: list           # list[list[Polygon]] (IDL-split); [] for boxes
+
+    def lookup(self, cell: np.ndarray):
+        """cell (at max_level) -> candidate (point_idx, region_ordinal) pairs."""
+        pts_all = []
+        ords_all = []
+        for level, (cells, offsets, ordinals) in self.levels.items():
+            key = cell >> np.int64(2 * (self.max_level - level))
+            pos = np.searchsorted(cells, key)
+            pos_c = np.clip(pos, 0, len(cells) - 1)
+            hit = cells[pos_c] == key
+            hit_pts = np.nonzero(hit)[0]
+            if len(hit_pts) == 0:
+                continue
+            b = pos_c[hit_pts]
+            counts = offsets[b + 1] - offsets[b]
+            pts_all.append(np.repeat(hit_pts, counts))
+            # gather ordinal slices: build ranges [offsets[b], offsets[b]+counts)
+            starts = np.repeat(offsets[b], counts)
+            within = np.arange(counts.sum(), dtype=np.int64) - np.repeat(
+                np.cumsum(counts) - counts, counts)
+            ords_all.append(ordinals[starts + within])
+        if not pts_all:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32))
+        return np.concatenate(pts_all), np.concatenate(ords_all)
+
+
+def region_polys(kind: str, wkt: str) -> list[Polygon]:
+    if kind == "box" or not wkt:
+        return []
+    p = parse_wkt_polygon(wkt)
+    return split_idl_polygon(p.xs, p.ys)
+
+
+def choose_cover_level(lon0, lon1, lat0, lat1, max_level: int,
+                       max_cells: int = MAX_COVER_CELLS) -> int:
+    """Finest level (<= max_level) whose bbox cover has <= max_cells cells
+    (role of the reference's decomposition caps, GeohashUtils.scala:638-639)."""
+    for level in range(max_level, -1, -1):
+        nx = (lon1 - lon0) / (360.0 / (1 << level)) + 2
+        ny = (lat1 - lat0) / (180.0 / (1 << level)) + 2
+        if nx * ny <= max_cells:
+            return level
+    return 0
+
+
+def build_region_index(regions: pa.Table, max_level: int = DEFAULT_CELL_LEVEL,
+                       max_cells: int = MAX_COVER_CELLS) -> RegionIndex:
+    n = regions.num_rows
+    cols = {c: regions.column(c).to_pylist() for c in
+            ("region_id", "kind", "lon_min", "lon_max", "lat_min", "lat_max", "wkt")}
+    ts = regions.column("t_start").cast(pa.int64()).to_numpy() // 1_000_000
+    te = regions.column("t_end").cast(pa.int64()).to_numpy() // 1_000_000
+
+    polys = []
+    per_level: dict[int, dict[int, list[int]]] = {}
+    bbox = np.zeros((n, 4))
+    for i in range(n):
+        kind = cols["kind"][i]
+        plist = region_polys(kind, cols["wkt"][i])
+        polys.append(plist)
+        if plist:
+            # IDL-split: index each part's bbox separately; for the exact
+            # test, bbox reject happens per-poly (kernels handle it)
+            boxes = [(p.bbox[0], p.bbox[1], p.bbox[2], p.bbox[3]) for p in plist]
+        else:
+            boxes = [(cols["lon_min"][i], cols["lon_max"][i],
+                      cols["lat_min"][i], cols["lat_max"][i])]
+        bbox[i] = (min(b[0] for b in boxes), max(b[1] for b in boxes),
+                   min(b[2] for b in boxes), max(b[3] for b in boxes))
+        for (b0, b1, c0, c1) in boxes:
+            level = choose_cover_level(b0, b1, c0, c1, max_level, max_cells)
+            cells = Z2Grid(level).bbox_cells(
+                max(b0, -180.0), min(b1, 180.0 - 1e-12),
+                max(c0, -90.0), min(c1, 90.0 - 1e-12))
+            bucket = per_level.setdefault(level, {})
+            for c in np.unique(np.asarray(cells)):
+                bucket.setdefault(int(c), []).append(i)
+
+    levels = {}
+    for level, bucket in per_level.items():
+        cells = np.array(sorted(bucket.keys()), dtype=np.int64)
+        ordinals = []
+        offsets = [0]
+        for c in cells:
+            # a region may cover the same cell via two IDL parts — dedup
+            members = sorted(set(bucket[int(c)]))
+            ordinals.extend(members)
+            offsets.append(len(ordinals))
+        levels[level] = (cells, np.array(offsets, dtype=np.int64),
+                         np.array(ordinals, dtype=np.int32))
+
+    return RegionIndex(
+        max_level=max_level, levels=levels,
+        region_ids=cols["region_id"], kinds=cols["kind"], bbox=bbox,
+        t_start_s=ts, t_end_s=te, polys=polys,
+    )
+
+
+def refine_candidates(idx: RegionIndex, pts: np.ndarray, ords: np.ndarray,
+                      lon: np.ndarray, lat: np.ndarray,
+                      dtg_s: np.ndarray):
+    """Exact test for candidate (point, region) pairs; returns kept pairs."""
+    if len(pts) == 0:
+        return pts, ords
+    keep = np.zeros(len(pts), dtype=bool)
+    order = np.argsort(ords, kind="stable")
+    sp = pts[order]
+    so = ords[order]
+    bounds = np.searchsorted(so, np.arange(len(idx.region_ids) + 1))
+    for r in np.unique(so):
+        s, e = bounds[r], bounds[r + 1]
+        p = sp[s:e]
+        plon, plat, pt = lon[p], lat[p], dtg_s[p]
+        ok = (pt >= idx.t_start_s[r]) & (pt <= idx.t_end_s[r])
+        if idx.kinds[r] == "box":
+            b = idx.bbox[r]
+            ok &= (plon >= b[0]) & (plon <= b[1]) & (plat >= b[2]) & (plat <= b[3])
+        else:
+            inside = np.zeros(len(p), dtype=bool)
+            for poly in idx.polys[r]:
+                inside |= _pip(plon, plat, poly)
+            ok &= inside
+        keep[order[s:e]] = ok
+    return pts[keep], ords[keep]
+
+
+def _pip(lon, lat, poly):
+    from geomesa_ray.geom.kernels import points_in_polygon
+
+    return points_in_polygon(lon, lat, poly)
+
+
+class PIPRefiner:
+    """Actor-pool map_batches stage: candidate lookup + exact PIP refine.
+
+    ``index`` arrives as a Ray object-store reference resolved once per
+    actor (broadcast), not per batch.
+    """
+
+    def __init__(self, index, emit_cols=("image_id",)):
+        # fn_constructor_args ObjectRefs are NOT auto-resolved by Ray Data
+        # actor pools — ray.get here runs once per actor (the broadcast
+        # read), never per batch.
+        self.idx: RegionIndex = ray.get(index) if isinstance(index, ray.ObjectRef) else index
+        self.emit_cols = emit_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        dtg_s = batch.column("dtg_s").to_numpy(zero_copy_only=False)
+        pts, ords = self.idx.lookup(cell)
+        pts, ords = refine_candidates(self.idx, pts, ords, lon, lat, dtg_s)
+        cols = {}
+        for c in self.emit_cols:
+            cols[c] = batch.column(c).take(pa.array(pts))
+        rid = np.asarray(self.idx.region_ids, dtype=object)[ords]
+        cols["region_id"] = pa.array(rid.tolist(), type=pa.string())
+        return pa.table(cols)
+
+
+def pip_join_points(points_ds: ray.data.Dataset, regions: pa.Table,
+                    cell_level: int = DEFAULT_CELL_LEVEL,
+                    emit_cols=("image_id",),
+                    concurrency=None) -> ray.data.Dataset:
+    """Join an already-keyed point Dataset (lon/lat/dtg_s/cell columns)
+    against a broadcast region table. Zero shuffle."""
+    index = build_region_index(regions, max_level=cell_level)
+    ref = ray.put(index)  # broadcast once; resolved per actor, not per batch
+    return points_ds.map_batches(
+        PIPRefiner, fn_constructor_args=(ref, tuple(emit_cols)),
+        batch_format="pyarrow",
+        concurrency=concurrency if concurrency is not None else (1, 8))
+
+
+def pip_join(fixture_dir: str, regions: pa.Table | None = None,
+             kinds: tuple = ("box", "poly"),
+             cell_level: int = DEFAULT_CELL_LEVEL,
+             emit_cols=("image_id",),
+             concurrency=None) -> ray.data.Dataset:
+    """End-to-end flagship pipeline: read skinny image projection ->
+    derive geometry -> encode cells -> broadcast PIP join.
+
+    Returns a Dataset of (emit_cols..., region_id) join rows.
+    """
+    import pyarrow.compute as pc
+
+    if regions is None:
+        import pyarrow.parquet as pq
+        import os
+
+        regions = pq.read_table(os.path.join(fixture_dir, "regions.parquet"))
+    regions = regions.filter(pc.field("kind").isin(list(kinds)))
+    need = list(dict.fromkeys(list(emit_cols) + ["phash"]))
+    ds = read_images(fixture_dir, columns=need)
+    ds = ds.map_batches(derive_and_encode, batch_format="pyarrow",
+                        fn_kwargs={"cell_level": cell_level})
+    return pip_join_points(ds, regions, cell_level, emit_cols, concurrency)

@@ -1,0 +1,109 @@
+"""PIP join vs brute-force oracle (FIXTURES.md F4: exact (image_id,
+region_id) row-set equality, the analog of the reference asserting feature
+ids against MockAccumulo scans)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from geomesa_ray.geom.kernels import split_idl_polygon
+from geomesa_ray.geom.wkt import parse_wkt_polygon
+from geomesa_ray.pipelines.pip_join import build_region_index, pip_join
+from geomesa_ray.sources.fixtures import gen_images_table, gen_regions_table
+from geomesa_ray.stages.encode import derive_and_encode
+from tests.test_geom import winding_number_contains
+
+
+def brute_force_pairs(n_images: int, regions) -> set:
+    """Independent oracle: scalar winding-number PIP over every
+    (point, region) pair (no cells, no index)."""
+    t = derive_and_encode(gen_images_table(n_images))
+    lon = t.column("lon").to_numpy()
+    lat = t.column("lat").to_numpy()
+    dtg = t.column("dtg_s").to_numpy()
+    ids = t.column("image_id").to_pylist()
+    import calendar
+
+    out = set()
+    for r in regions.to_pylist():
+        # naive datetimes from parquet are UTC; avoid local-TZ .timestamp()
+        ts = calendar.timegm(r["t_start"].utctimetuple())
+        te = calendar.timegm(r["t_end"].utctimetuple())
+        tm = (dtg >= ts) & (dtg <= te)
+        if r["kind"] == "box":
+            m = tm & (lon >= r["lon_min"]) & (lon <= r["lon_max"]) \
+                & (lat >= r["lat_min"]) & (lat <= r["lat_max"])
+            for i in np.nonzero(m)[0]:
+                out.add((ids[i], r["region_id"]))
+        else:
+            p = parse_wkt_polygon(r["wkt"])
+            parts = split_idl_polygon(p.xs, p.ys)
+            cand = np.nonzero(tm)[0]
+            for i in cand:
+                if any(winding_number_contains(lon[i], lat[i], pp.xs, pp.ys)
+                       for pp in parts):
+                    out.add((ids[i], r["region_id"]))
+    return out
+
+
+class TestRegionIndex:
+    def test_world_region_candidates_everything(self):
+        regions = gen_regions_table()
+        idx = build_region_index(regions)
+        t = derive_and_encode(gen_images_table(100))
+        cell = t.column("cell").to_numpy()
+        pts, ords = idx.lookup(cell)
+        world_ord = idx.region_ids.index("r_world")
+        assert set(pts[ords == world_ord].tolist()) == set(range(100))
+
+    def test_each_pair_candidate_at_most_once(self):
+        regions = gen_regions_table()
+        idx = build_region_index(regions)
+        t = derive_and_encode(gen_images_table(2000))
+        pts, ords = idx.lookup(t.column("cell").to_numpy())
+        pairs = list(zip(pts.tolist(), ords.tolist()))
+        assert len(pairs) == len(set(pairs)), "duplicate candidate pair"
+
+
+class TestPIPJoin:
+    def test_join_matches_bruteforce(self, ray_session, tiny_fixtures):
+        regions = pq.read_table(f"{tiny_fixtures}/regions.parquet")
+        want = brute_force_pairs(6000, regions)
+        ds = pip_join(tiny_fixtures)
+        got = set()
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            got.update(zip(b.column("image_id").to_pylist(),
+                           b.column("region_id").to_pylist()))
+        missing = want - got
+        extra = got - want
+        assert not missing and not extra, (
+            f"missing={list(missing)[:5]} extra={list(extra)[:5]} "
+            f"(want {len(want)}, got {len(got)})")
+
+    def test_join_boxes_only(self, ray_session, tiny_fixtures):
+        regions = pq.read_table(f"{tiny_fixtures}/regions.parquet")
+        import pyarrow.compute as pc
+
+        box_regions = regions.filter(pc.field("kind").isin(["box"]))
+        want = brute_force_pairs(6000, box_regions)
+        ds = pip_join(tiny_fixtures, kinds=("box",))
+        got = set()
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            got.update(zip(b.column("image_id").to_pylist(),
+                           b.column("region_id").to_pylist()))
+        assert got == want
+
+    def test_idl_region_matches_both_sides(self, ray_session, tiny_fixtures):
+        """Points on both sides of the date line must join to r_idl."""
+        regions = gen_regions_table()
+        want = brute_force_pairs(6000, regions)
+        idl_pairs = {p for p in want if p[1] == "r_idl"}
+        # fixture data is uniform; with 6000 points over the globe the IDL
+        # strip (2.5 deg x 8 deg) should catch at least one
+        ds = pip_join(tiny_fixtures)
+        got_idl = set()
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            for i, r in zip(b.column("image_id").to_pylist(),
+                            b.column("region_id").to_pylist()):
+                if r == "r_idl":
+                    got_idl.add((i, r))
+        assert got_idl == idl_pairs
