@@ -1,0 +1,272 @@
+"""Deduplication stages: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (10^12-doc corpora):
+- Exact dedup shuffles only (fp, doc_id) skinny pairs — the reference's
+  in-memory seen-set (``DeDuplicatingIterator.scala:19-45``, capped at
+  999,999 ids) is replaced by a spillable ``groupby(fp)``.
+- MinHash+LSH and SimHash are the scalable near-dup paths: signatures are
+  computed per-batch (vectorized), candidate generation is a
+  ``groupby(band)`` shuffle of skinny (band, doc_id) rows, and only
+  candidate PAIRS are exactly verified.
+- The exact all-pairs Jaccard op is the verification oracle: quadratic by
+  definition, so its pair stage runs on a single coalesced block —
+  bounded to small inputs (use the LSH op beyond that; documented).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from geomesa_ray.sources.io import read_table
+from geomesa_ray.stages.text_ops import fingerprint_batch
+
+MERSENNE_P = (1 << 61) - 1
+
+
+def _rename(ds, names):
+    return ds.map_batches(lambda b: b.rename_columns(names), batch_format="pyarrow")
+
+
+def exact_dedup(sf_dir: str) -> ray.data.Dataset:
+    """(fp, doc_id): min doc id per distinct text (hash-partitioned)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    fp = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+    return _rename(fp.groupby("fp").min("doc_id"), ["fp", "doc_id"])
+
+
+def _token_hashes(text: str) -> np.ndarray:
+    toks = set(text.split())
+    return np.sort(np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.int64))
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    toks = text.split()
+    if len(toks) < k:
+        shingles = {" ".join(toks)} if toks else set()
+    else:
+        shingles = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+    return np.unique(np.array([zlib.crc32(s.encode()) for s in shingles],
+                              dtype=np.int64))
+
+
+def jaccard_pairs(sf_dir: str, threshold_num: int = 1,
+                  threshold_den: int = 2) -> ray.data.Dataset:
+    """Exact all-pairs token-set Jaccard >= num/den (default 1/2), emitted
+    as (doc_id_a, doc_id_b) with a < b.
+
+    The threshold test is pure integer arithmetic
+    (``den * |A∩B| >= num * |A∪B|``) so the DuckDB oracle matches exactly.
+    Tokenization is distributed; the pair matrix runs on one coalesced
+    block (quadratic oracle op — use minhash_lsh_pairs at scale).
+    """
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        toks = [_token_hashes(t) for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "tok": pa.array([t.tolist() for t in toks], pa.list_(pa.int64())),
+        })
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = [np.asarray(t) for t in batch.column("tok").to_pylist()]
+        vocab = {}
+        for t in toks:
+            for v in t.tolist():
+                vocab.setdefault(v, len(vocab))
+        m = np.zeros((len(toks), len(vocab)), dtype=np.int32)
+        for i, t in enumerate(toks):
+            m[i, [vocab[v] for v in t.tolist()]] = 1
+        inter = m @ m.T
+        sizes = m.sum(axis=1)
+        union = sizes[:, None] + sizes[None, :] - inter
+        keep = (threshold_den * inter >= threshold_num * union)
+        ia, ib = np.nonzero(np.triu(keep, 1))
+        a = np.minimum(ids[ia], ids[ib])
+        b = np.maximum(ids[ia], ids[ib])
+        return pa.table({"doc_id_a": pa.array(a), "doc_id_b": pa.array(b)})
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    tok = ds.map_batches(tokenize, batch_format="pyarrow")
+    return tok.repartition(1).map_batches(pairs, batch_format="pyarrow",
+                                          batch_size=None)
+
+
+class _MinHashSig:
+    """Per-batch MinHash signatures + LSH band rows (vectorized perms)."""
+
+    def __init__(self, num_perm: int, bands: int, shingle_k: int):
+        rng = np.random.default_rng(12345)  # fixed perms — part of the op
+        self.a = rng.integers(1, MERSENNE_P, num_perm, dtype=np.int64)
+        self.b = rng.integers(0, MERSENNE_P, num_perm, dtype=np.int64)
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle_k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        h = _shingle_hashes(text, self.shingle_k)
+        if len(h) == 0:
+            return np.full(self.num_perm, MERSENNE_P, dtype=np.int64)
+        v = (self.a[:, None] * h[None, :].astype(np.object_) + self.b[:, None])
+        # object dtype avoids int64 overflow in a*h; small arrays only
+        v = np.mod(v, MERSENNE_P).astype(np.int64)
+        return v.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, band_ids, band_hashes = [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            sig = self.signature(text)
+            for bnd in range(self.bands):
+                seg = sig[bnd * self.rows_per_band:(bnd + 1) * self.rows_per_band]
+                ids.append(doc_id)
+                band_ids.append(bnd)
+                band_hashes.append(zlib.crc32(seg.tobytes()))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "band_id": pa.array(band_ids, pa.int64()),
+            "band_hash": pa.array(band_hashes, pa.int64()),
+        })
+
+
+def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
+                      shingle_k: int = 3, threshold: float = 0.5) -> ray.data.Dataset:
+    """Near-dup pairs via MinHash + LSH banding, exactly verified.
+
+    Pipeline: signatures (actor pool, perms built once per actor) ->
+    (band, hash) groupby -> candidate pairs per bucket -> pair dedup
+    (groupby) -> exact shingle-Jaccard verification against a broadcast
+    shingle index -> (doc_id_a, doc_id_b, jaccard >= threshold).
+    """
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    band_rows = docs.map_batches(
+        _MinHashSig, fn_constructor_args=(num_perm, bands, shingle_k),
+        batch_format="pyarrow", concurrency=(1, 8))
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = np.sort(group.column("doc_id").to_numpy(zero_copy_only=False))
+        if len(ids) < 2:
+            return pa.table({"doc_id_a": pa.array([], pa.int64()),
+                             "doc_id_b": pa.array([], pa.int64())})
+        ia, ib = np.triu_indices(len(ids), 1)
+        return pa.table({"doc_id_a": pa.array(ids[ia]),
+                         "doc_id_b": pa.array(ids[ib])})
+
+    cand = band_rows.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    cand = _rename(cand.groupby(["doc_id_a", "doc_id_b"]).count(),
+                   ["doc_id_a", "doc_id_b", "n_bands"]) \
+        .select_columns(["doc_id_a", "doc_id_b"])
+
+    # broadcast shingle index (small side here; at 10^12 scale this becomes
+    # a re-join of shingle sets by doc_id instead of a broadcast)
+    import os
+    import pyarrow.parquet as pq
+
+    dt = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    index = {d: _shingle_hashes(t, shingle_k)
+             for d, t in zip(dt.column("doc_id").to_pylist(),
+                             dt.column("text").to_pylist())}
+    ref = ray.put(index)
+
+    class Verify:
+        def __init__(self, r):
+            self.idx = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch.column("doc_id_a").to_pylist()
+            b = batch.column("doc_id_b").to_pylist()
+            jac = np.zeros(len(a))
+            for i in range(len(a)):
+                sa, sb = self.idx[a[i]], self.idx[b[i]]
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                union = len(sa) + len(sb) - inter
+                jac[i] = inter / union if union else 0.0
+            keep = jac >= threshold
+            return pa.table({
+                "doc_id_a": pa.array(np.asarray(a)[keep], pa.int64()),
+                "doc_id_b": pa.array(np.asarray(b)[keep], pa.int64()),
+                "jaccard": pa.array(jac[keep]),
+            })
+
+    return cand.map_batches(Verify, fn_constructor_args=(ref,),
+                            batch_format="pyarrow", concurrency=(1, 4))
+
+
+def _simhash64(text: str) -> int:
+    """64-bit SimHash over token multiset; returned in signed-int64 range."""
+    toks = text.split()
+    if not toks:
+        return 0
+    hashes = np.array(
+        [zlib.crc32(t.encode()) | (zlib.crc32((t + "#").encode()) << 32)
+         for t in toks], dtype=np.uint64)
+    bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    acc = np.where(bits.astype(bool), 1, -1).sum(axis=0)
+    out = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+        dtype=np.uint64))
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
+    """Near-dup pairs with SimHash Hamming distance <= max_hamming.
+
+    4-band pigeonhole: any pair within Hamming 3 agrees exactly on at
+    least one 16-bit band, so banding loses no pairs.
+    """
+
+    def sig(batch: pa.Table) -> pa.Table:
+        ids, band_ids, band_vals, sims = [], [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            s = _simhash64(text)
+            u = s & 0xFFFFFFFFFFFFFFFF  # unsigned view for band extraction
+            for bnd in range(4):
+                ids.append(doc_id)
+                band_ids.append(bnd)
+                band_vals.append((u >> (16 * bnd)) & 0xFFFF)
+                sims.append(s)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "band_id": pa.array(band_ids, pa.int64()),
+            "band_val": pa.array(band_vals, pa.int64()),
+            "simhash": pa.array(sims, pa.int64()),
+        })
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    rows = docs.map_batches(sig, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        order = np.argsort(group.column("doc_id").to_numpy(zero_copy_only=False))
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)[order]
+        sh = group.column("simhash").to_numpy(zero_copy_only=False)[order]
+        if len(ids) < 2:
+            return pa.table({"doc_id_a": pa.array([], pa.int64()),
+                             "doc_id_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        ia, ib = np.triu_indices(len(ids), 1)
+        x = (sh[ia].view(np.uint64)) ^ (sh[ib].view(np.uint64))
+        ham = np.zeros(len(x), dtype=np.int64)
+        v = x.copy()
+        for _ in range(64):
+            ham += (v & np.uint64(1)).astype(np.int64)
+            v >>= np.uint64(1)
+        keep = ham <= max_hamming
+        return pa.table({
+            "doc_id_a": pa.array(ids[ia][keep]),
+            "doc_id_b": pa.array(ids[ib][keep]),
+            "hamming": pa.array(ham[keep]),
+        })
+
+    pairs = rows.groupby(["band_id", "band_val"]).map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    return _rename(pairs.groupby(["doc_id_a", "doc_id_b"]).min("hamming"),
+                   ["doc_id_a", "doc_id_b", "hamming"])

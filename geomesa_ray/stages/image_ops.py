@@ -1,0 +1,119 @@
+"""Multimodal (image) stages: decode, feature-extract, resize.
+
+The corpus stores images as opaque ``binary`` with typed metadata
+(w/h/fmt). Stages are actor-pool ``map_batches`` classes — decoder state
+initialised once per actor (``__init__``), batches streamed through
+``__call__`` — mirroring the reference's raster chunk handling
+(``geomesa-raster/.../data/Raster.scala:21-60``,
+``RasterIngest.scala``) re-expressed for Ray Data.
+
+This sandbox has no PIL/libjpeg, so:
+- ``fmt == "raw"`` (the fixture format) decodes for real via NumPy —
+  every pipeline below is fully exercised.
+- compressed formats are STUBBED behind NotImplementedError with the
+  Ray-side plumbing (schema, batch shape, actor signature) real and
+  tested; swap ``_decode_compressed`` for a PIL/turbojpeg call in a
+  full environment.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from geomesa_ray.sources.io import read_images
+
+
+def _decode_compressed(buf: bytes, fmt: str) -> np.ndarray:  # pragma: no cover
+    raise NotImplementedError(
+        f"decode of fmt={fmt!r} requires an image codec (PIL/libjpeg) not "
+        "present in this environment; raw passthrough is the tested path")
+
+
+def decode_batch(batch: pa.Table) -> list[np.ndarray]:
+    """binary column -> list of (h, w, 3) uint8 arrays."""
+    w = batch.column("w").to_numpy(zero_copy_only=False)
+    h = batch.column("h").to_numpy(zero_copy_only=False)
+    fmts = batch.column("fmt").to_pylist()
+    bufs = batch.column("bytes").to_pylist()
+    out = []
+    for i, buf in enumerate(bufs):
+        if fmts[i] == "raw":
+            out.append(np.frombuffer(buf, dtype=np.uint8).reshape(h[i], w[i], 3))
+        else:
+            out.append(_decode_compressed(buf, fmts[i]))
+    return out
+
+
+class ImageStats:
+    """Feature extraction: per-channel means + a recomputed average-hash
+    (the verifiable stand-in for model-based feature extraction)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        imgs = decode_batch(batch)
+        means = np.array([im.reshape(-1, 3).mean(axis=0) for im in imgs])
+        ahash = []
+        for im in imgs:
+            g = im.mean(axis=2)
+            bits = (g > g.mean()).astype(np.uint64).ravel()[:64]
+            v = int((bits << np.arange(len(bits), dtype=np.uint64)).sum(dtype=np.uint64))
+            ahash.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "mean_r": pa.array(means[:, 0]),
+            "mean_g": pa.array(means[:, 1]),
+            "mean_b": pa.array(means[:, 2]),
+            "ahash": pa.array(ahash, pa.int64()),
+        })
+
+
+class ImageResize:
+    """Nearest-neighbor resize to (out_w, out_h), re-encoded as raw bytes.
+
+    Stateless math, but kept as an actor stage so a real codec/resampler
+    (which has setup cost) slots in without pipeline changes.
+    """
+
+    def __init__(self, out_w: int = 4, out_h: int = 4):
+        self.out_w = out_w
+        self.out_h = out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        imgs = decode_batch(batch)
+        out = []
+        for im in imgs:
+            h, w, _ = im.shape
+            yi = (np.arange(self.out_h) * h) // self.out_h
+            xi = (np.arange(self.out_w) * w) // self.out_w
+            out.append(im[yi][:, xi].tobytes())
+        n = len(out)
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "bytes": pa.array(out, pa.binary()),
+            "w": pa.array(np.full(n, self.out_w, dtype=np.int32)),
+            "h": pa.array(np.full(n, self.out_h, dtype=np.int32)),
+            "fmt": pa.array(["raw"] * n, pa.string()),
+        })
+
+
+def image_stats(fixture_dir: str) -> ray.data.Dataset:
+    ds = read_images(fixture_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
+    return ds.map_batches(ImageStats, batch_format="pyarrow",
+                          concurrency=(1, 8), batch_size=1024)
+
+
+def image_resize(fixture_dir: str, out_w: int = 4, out_h: int = 4) -> ray.data.Dataset:
+    ds = read_images(fixture_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
+    return ds.map_batches(ImageResize, fn_constructor_args=(out_w, out_h),
+                          batch_format="pyarrow", concurrency=(1, 8),
+                          batch_size=1024)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB (the >=40 dB payload invariant)."""
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 ** 2 / mse)

@@ -66,10 +66,8 @@ def compare(name, qmap, oracles, con, ray_session):
                 f"{name}.{c}: values differ"
 
 
-ORACLE_QUERIES = ["z3_encode", "cell_encode", "scan_bbox", "scan_bbox_interval",
-                  "pip_join_boxes", "tile_assign", "knn_planar", "density_grid",
-                  "temporal_density", "unique_returnflag", "histogram_events",
-                  "count_by_day", "minmax_time", "attr_record_join"]
+ORACLE_QUERIES = sorted(entrymod.oracle_sql(SF))
+ROWS_ONLY = sorted(set(entrymod.queries()) - set(ORACLE_QUERIES))
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
@@ -83,10 +81,10 @@ def test_every_oracle_has_query(qmap, oracles):
     assert set(oracles).issubset(set(qmap))
 
 
-def test_rows_only_queries_run(qmap, ray_session):
-    for name in ["pip_join_all", "knn_haversine", "mosaic"]:
-        df = to_pandas(qmap[name](SF))
-        assert len(df) > 0, f"{name} returned no rows"
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name, qmap, ray_session):
+    df = to_pandas(qmap[name](SF))
+    assert len(df) > 0, f"{name} returned no rows"
 
 
 def test_entry_smoke(ray_session):

@@ -1,0 +1,219 @@
+"""Training-data op tests: text analysis, dedup (exact / jaccard /
+minhash-LSH / simhash), similarity search — each against an independent
+brute-force oracle."""
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def docs_table():
+    return pq.read_table(f"{SF}/documents.parquet")
+
+
+class TestTextOps:
+    def test_token_count_oracle(self, ray_session):
+        from geomesa_ray.stages.text_ops import token_counts
+
+        got = {r["doc_id"]: r["n_tokens"] for r in token_counts(SF).take_all()}
+        t = docs_table()
+        for d, txt in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            assert got[d] == len(txt.split()), f"doc {d}"
+
+    def test_fingerprint_matches_hashlib(self, ray_session):
+        import hashlib
+
+        from geomesa_ray.stages.text_ops import fingerprints
+
+        got = {r["doc_id"]: r["fp"] for r in fingerprints(SF).take_all()}
+        t = docs_table()
+        for d, txt in list(zip(t.column("doc_id").to_pylist(),
+                               t.column("text").to_pylist()))[:50]:
+            assert got[d] == hashlib.md5(txt.encode()).hexdigest()
+
+    def test_lang_id_runs_and_deterministic(self, ray_session):
+        from geomesa_ray.stages.text_ops import lang_id
+
+        rows = lang_id(SF).take_all()
+        assert len(rows) == docs_table().num_rows
+        assert all(r["lang_pred"] in {"en", "es", "fr", "de", "und"} for r in rows)
+
+
+def tokens_of(txt):
+    return set(txt.split())
+
+
+class TestDedup:
+    def test_exact_dedup_oracle(self, ray_session):
+        from geomesa_ray.stages.dedup import exact_dedup
+
+        got = {(r["fp"], r["doc_id"]) for r in exact_dedup(SF).take_all()}
+        t = docs_table()
+        best = {}
+        import hashlib
+
+        for d, txt in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            fp = hashlib.md5(txt.encode()).hexdigest()
+            best[fp] = min(best.get(fp, d), d)
+        assert got == set(best.items())
+
+    def test_jaccard_pairs_oracle(self, ray_session):
+        from geomesa_ray.stages.dedup import jaccard_pairs
+
+        got = {(r["doc_id_a"], r["doc_id_b"]) for r in jaccard_pairs(SF).take_all()}
+        t = docs_table()
+        ids = t.column("doc_id").to_pylist()
+        toks = [tokens_of(x) for x in t.column("text").to_pylist()]
+        want = set()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter = len(toks[i] & toks[j])
+                union = len(toks[i] | toks[j])
+                if 2 * inter >= union:
+                    a, b = sorted((ids[i], ids[j]))
+                    want.add((a, b))
+        assert got == want
+
+    def test_minhash_pairs_precise_and_recalls_near_dups(self, ray_session):
+        """LSH with 16 bands x 4 rows at J>=0.8 has recall ~1; verification
+        makes precision exact. Build a corpus with known near-dups."""
+        import ray
+
+        from geomesa_ray.stages.dedup import _MinHashSig, _shingle_hashes
+
+        # planted corpus: 10 base docs, each with a near-identical copy
+        base = [" ".join(f"w{(i * 31 + j) % 97}" for j in range(50)) for i in range(10)]
+        texts = base + [b.replace("w1 ", "w1x ") if "w1 " in b else b + " extra"
+                        for b in base]
+        ids = list(range(len(texts)))
+        tmp = "/tmp/graft_fixtures/_lshtest"
+        import os
+
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "text": pa.array(texts, pa.string())}),
+                       f"{tmp}/documents.parquet")
+        from geomesa_ray.stages.dedup import minhash_lsh_pairs
+
+        got = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+               for r in minhash_lsh_pairs(tmp, threshold=0.5).take_all()}
+        # oracle: exact shingle jaccard over all pairs
+        sh = [set(_shingle_hashes(t).tolist()) for t in texts]
+        want = {}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter = len(sh[i] & sh[j])
+                union = len(sh[i] | sh[j])
+                jac = inter / union if union else 0.0
+                if jac >= 0.5:
+                    want[(i, j)] = jac
+        # precision: everything returned is a true >=0.5 pair w/ exact value
+        for k, v in got.items():
+            assert k in want and abs(v - want[k]) < 1e-12
+        # recall: the planted near-identical copies must be found
+        planted = {(i, i + 10) for i in range(10) if (i, i + 10) in want}
+        assert planted.issubset(set(got)), f"missed planted dups {planted - set(got)}"
+
+    def test_simhash_pairs_exact_for_small_hamming(self, ray_session):
+        from geomesa_ray.stages.dedup import _simhash64, simhash_pairs
+
+        got = {(r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+               for r in simhash_pairs(SF).take_all()}
+        t = docs_table()
+        ids = t.column("doc_id").to_pylist()
+        sigs = [_simhash64(x) for x in t.column("text").to_pylist()]
+        want = {}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                ham = bin((sigs[i] ^ sigs[j]) & 0xFFFFFFFFFFFFFFFF).count("1")
+                if ham <= 3:
+                    a, b = sorted((ids[i], ids[j]))
+                    want[(a, b)] = ham
+        assert got == want  # pigeonhole banding loses nothing
+
+
+class TestSimilarity:
+    def _emb(self):
+        t = pq.read_table(f"{SF}/embeddings.parquet")
+        m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return t.column("vec_id").to_numpy(), m
+
+    def test_topk_cosine_oracle(self, ray_session):
+        from geomesa_ray.stages.similarity import topk_cosine
+
+        ids, m = self._emb()
+        got = {}
+        for r in topk_cosine(SF, num_queries=8, k=10).take_all():
+            got.setdefault(r["query_id"], []).append((r["sim_rank"], r["vec_id"]))
+        for qi in range(8):
+            # independent per-query scalar loop oracle
+            sims = [(float(m[qi] @ m[j]), int(ids[j]))
+                    for j in range(len(ids)) if ids[j] != ids[qi]]
+            sims.sort(key=lambda t: (-t[0], t[1]))
+            want = [v for _, v in sims[:10]]
+            rows = sorted(got[ids[qi]])
+            assert [v for _, v in rows] == want, f"query {qi}"
+
+    def test_embed_neardup_oracle(self, ray_session):
+        from geomesa_ray.stages.similarity import embed_neardup
+
+        ids, m = self._emb()
+        got = {(r["vec_id_a"], r["vec_id_b"]) for r in embed_neardup(SF).take_all()}
+        cos = m @ m.T
+        ia, ib = np.nonzero(cos >= 0.35)
+        want = {(int(ids[i]), int(ids[j])) for i, j in zip(ia, ib)
+                if ids[i] < ids[j]}
+        assert got == want
+
+
+class TestImageOps:
+    def test_image_stats(self, ray_session, tiny_fixtures):
+        from geomesa_ray.sources.fixtures import gen_images_table
+        from geomesa_ray.stages.image_ops import image_stats
+
+        rows = {r["image_id"]: r for r in image_stats(tiny_fixtures).take_all()}
+        t = gen_images_table(6000)
+        for i in range(20):
+            rid = t.column("image_id")[i].as_py()
+            px = np.frombuffer(t.column("bytes")[i].as_py(), np.uint8).reshape(8, 8, 3)
+            assert abs(rows[rid]["mean_r"] - px[:, :, 0].mean()) < 1e-9
+
+    def test_image_resize_and_psnr(self, ray_session, tiny_fixtures):
+        from geomesa_ray.stages.image_ops import image_resize, psnr
+
+        rows = image_resize(tiny_fixtures, 4, 4).take_all()
+        assert all(len(r["bytes"]) == 4 * 4 * 3 for r in rows[:50])
+        # identity resize preserves pixels exactly (PSNR = inf >= 40)
+        same = image_resize(tiny_fixtures, 8, 8).take_all()
+        from geomesa_ray.sources.fixtures import gen_images_table
+
+        t = gen_images_table(6000)
+        orig = {t.column("image_id")[i].as_py(): t.column("bytes")[i].as_py()
+                for i in range(100)}
+        checked = 0
+        for r in same:
+            if r["image_id"] in orig:
+                a = np.frombuffer(orig[r["image_id"]], np.uint8)
+                b = np.frombuffer(r["bytes"], np.uint8)
+                assert psnr(a, b) == float("inf")
+                checked += 1
+        assert checked == 100
+
+    def test_compressed_decode_stub_raises(self):
+        from geomesa_ray.stages.image_ops import decode_batch
+
+        batch = pa.table({
+            "image_id": pa.array(["x"]), "bytes": pa.array([b"zz"], pa.binary()),
+            "w": pa.array([2], pa.int32()), "h": pa.array([1], pa.int32()),
+            "fmt": pa.array(["png"]),
+        })
+        with pytest.raises(NotImplementedError):
+            decode_batch(batch)
