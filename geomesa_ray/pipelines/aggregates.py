@@ -2,19 +2,20 @@
 
 Reference parity:
 - Unique attribute values with counts (``process/unique/UniqueProcess.scala:35-110``,
-  ``iterators/UniqueAttributeIterator.scala``) -> ``groupby(col).count()``.
+  ``iterators/UniqueAttributeIterator.scala``).
 - Histogram job — group-by attribute list, count per group
   (``geomesa-jobs/.../analytics/HistogramJob.scala:33-76``).
-- CountByDay (``compute/spark/GeoMesaSpark.scala:156-166``) -> day-string
-  keyed count.
-- Min/max time visitor (``MinMaxTimeVisitor.scala``) -> streaming per-batch
-  partial min/max, combined driver-side (no shuffle).
+- CountByDay (``compute/spark/GeoMesaSpark.scala:156-166``).
+- Min/max time visitor (``MinMaxTimeVisitor.scala``).
 - Attribute-index -> record-table join (``AttributeIdxStrategy.scala:121-164``,
-  ``BatchMultiScanner.scala:21-40``): scan a secondary attribute filter,
-  then look up full records by key. Ray-Data shape: broadcast semi-join —
-  the filtered small side is collected once, ``ray.put``, and probed
-  vectorized inside ``map_batches`` (no all-to-all shuffle); precedent is
-  the reference's 32768-entry batched lookup.
+  ``BatchMultiScanner.scala:21-40``).
+
+Execution shape: these aggregates have BOUNDED key cardinality (attribute
+domains, day strings), so each batch pre-aggregates to counts and ONE
+final combine task merges them (client-side-reduce analog) — no all-to-all
+shuffle. The lookup join broadcasts its filtered small side (``ray.put`` +
+worker-cached resolve) and probes it vectorized inside task-based
+``map_batches`` — reference precedent is the 32768-entry batched lookup.
 """
 
 from __future__ import annotations
@@ -26,22 +27,30 @@ import ray
 import ray.data
 
 from geomesa_ray.sources.io import read_table
+from geomesa_ray.util import gather_combine, resolve_broadcast, sum_by_keys
 
 
-def _rename(ds: ray.data.Dataset, names: list[str]) -> ray.data.Dataset:
-    return ds.map_batches(lambda b: b.rename_columns(names), batch_format="pyarrow")
+def _counted(ds: ray.data.Dataset, key_cols: list[str]) -> ray.data.Dataset:
+    """Partial per-batch counts + single final combine -> (keys..., cnt)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(key_cols).to_pandas()
+        out = df.groupby(key_cols, as_index=False).size().rename(
+            columns={"size": "cnt"})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return gather_combine(parts, lambda b: sum_by_keys(b, key_cols, "cnt"))
 
 
 def unique_values(sf_dir: str, table: str, col: str) -> ray.data.Dataset:
     """Distinct values of one attribute with counts."""
-    ds = read_table(sf_dir, table, columns=[col])
-    return _rename(ds.groupby(col).count(), [col, "cnt"])
+    return _counted(read_table(sf_dir, table, columns=[col]), [col])
 
 
 def histogram(sf_dir: str, table: str, cols: list[str]) -> ray.data.Dataset:
     """Group-by a list of attributes, count per group (HistogramJob)."""
-    ds = read_table(sf_dir, table, columns=list(cols))
-    return _rename(ds.groupby(list(cols)).count(), list(cols) + ["cnt"])
+    return _counted(read_table(sf_dir, table, columns=list(cols)), list(cols))
 
 
 def count_by_day(sf_dir: str, table: str = "orders",
@@ -54,8 +63,8 @@ def count_by_day(sf_dir: str, table: str = "orders",
         return pa.table({"day": pa.array(days.tolist(), pa.string())})
 
     ds = read_table(sf_dir, table, columns=[ts_col])
-    keyed = ds.map_batches(day_col, batch_format="pyarrow")
-    return _rename(keyed.groupby("day").count(), ["day", "cnt"])
+    keyed = ds.map_batches(day_col, batch_format="pyarrow", batch_size=65536)
+    return _counted(keyed, ["day"])
 
 
 def minmax_time(sf_dir: str, table: str = "lineitem",
@@ -79,9 +88,10 @@ def minmax_time(sf_dir: str, table: str = "lineitem",
 def attr_record_join(sf_dir: str, size_below: int = 10) -> ray.data.Dataset:
     """Broadcast semi-join: lineitem rows whose part has p_size < N,
     emitting (l_orderkey, l_partkey, p_size)."""
+    import os
+
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
-    import os
 
     part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
                          columns=["p_partkey", "p_size"])
@@ -89,24 +99,22 @@ def attr_record_join(sf_dir: str, size_below: int = 10) -> ray.data.Dataset:
     keys = part.column("p_partkey").to_numpy()
     sizes = part.column("p_size").to_numpy()
     order = np.argsort(keys)
-    lookup_ref = ray.put((keys[order], sizes[order]))
+    ref = ray.put((keys[order], sizes[order]))
 
-    class Probe:
-        def __init__(self, ref):
-            self.keys, self.sizes = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(self.keys, pk)
-            pos_c = np.clip(pos, 0, len(self.keys) - 1)
-            hit = (len(self.keys) > 0) & (self.keys[pos_c] == pk)
-            sel = np.nonzero(hit)[0]
-            return pa.table({
-                "l_orderkey": batch.column("l_orderkey").take(pa.array(sel)),
-                "l_partkey": batch.column("l_partkey").take(pa.array(sel)),
-                "p_size": pa.array(self.sizes[pos_c[sel]].astype(np.int32)),
-            })
+    def probe(batch: pa.Table) -> pa.Table:
+        keys_s, sizes_s = resolve_broadcast(ref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        if len(keys_s) == 0:
+            sel = np.empty(0, dtype=np.int64)
+        else:
+            pos = np.clip(np.searchsorted(keys_s, pk), 0, len(keys_s) - 1)
+            sel = np.nonzero(keys_s[pos] == pk)[0]
+        pos_sel = np.searchsorted(keys_s, pk[sel]) if len(keys_s) else sel
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey").take(pa.array(sel)),
+            "l_partkey": batch.column("l_partkey").take(pa.array(sel)),
+            "p_size": pa.array(sizes_s[pos_sel].astype(np.int32)),
+        })
 
     ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-    return ds.map_batches(Probe, fn_constructor_args=(lookup_ref,),
-                          batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(probe, batch_format="pyarrow", batch_size=65536)

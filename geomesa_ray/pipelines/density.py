@@ -2,16 +2,17 @@
 
 Reference parity:
 - Density: snap each point to a W x H pixel grid over an envelope and sum
-  weights per cell, with per-scan partial maps merged at the end
-  (``iterators/Z3DensityIterator.scala:38-147``, ``GridSnap.scala``).
-  Ray-Data shape: per-batch partial grids via np.bincount (the combiner),
-  then a small ``groupby(px, py).sum`` over pre-aggregated partials —
-  the shuffle moves at most W*H rows per batch, not the input.
+  weights per cell, with per-scan partial maps merged client-side
+  (``iterators/Z3DensityIterator.scala:38-147``, ``GridSnap.scala``,
+  final reduce ``QueryPlanner.scala:376-390``).
 - Temporal density: snap dtg into N buckets over an interval and count
   (``iterators/TemporalDensityIterator.scala:40-87``, ``TimeSnap.scala``).
 
-Grid arithmetic uses the same expression order as the DuckDB oracle SQL
-(integer bucket math for time; float-floor for pixels) for exact parity.
+Ray-Data shape: per-batch partial grids via np.unique (the combiner; a
+batch of any size shrinks to <= W*H rows), then ONE final combine task
+(``gather_combine``) — the result is bounded by the grid size, so an
+all-to-all groupby shuffle would be pure overhead. Grid arithmetic uses
+the same expression order as the DuckDB oracle SQL for exact parity.
 """
 
 from __future__ import annotations
@@ -23,6 +24,7 @@ import ray.data
 
 from geomesa_ray.sources.io import read_images, read_table
 from geomesa_ray.stages.derive import derive_geometry
+from geomesa_ray.util import gather_combine, unique_flat_sum
 
 
 def _snap(vals: np.ndarray, lo: float, hi: float, n: int) -> np.ndarray:
@@ -43,21 +45,22 @@ def density(fixture_dir: str, bbox=(-180.0, 180.0, -90.0, 90.0),
         m = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
         px = _snap(lon[m], x0, x1, width)
         py = _snap(lat[m], y0, y1, height)
-        flat = py * width + px
-        uniq, cnt = np.unique(flat, return_counts=True)
-        return pa.table({
-            "px": pa.array(uniq % width),
-            "py": pa.array(uniq // width),
-            "weight": pa.array(cnt.astype(np.int64)),
-        })
+        uniq, cnt = np.unique(py * width + px, return_counts=True)
+        return pa.table({"pix": pa.array(uniq),
+                         "weight": pa.array(cnt.astype(np.int64))})
+
+    def final(batch: pa.Table) -> pa.Table:
+        uniq, sums = unique_flat_sum(
+            batch.column("pix").to_numpy(zero_copy_only=False),
+            batch.column("weight").to_numpy(zero_copy_only=False))
+        return pa.table({"px": pa.array(uniq % width),
+                         "py": pa.array(uniq // width),
+                         "weight": pa.array(sums)})
 
     ds = read_images(fixture_dir, columns=["phash"])
-    ds = ds.map_batches(derive_geometry, batch_format="pyarrow")
-    parts = ds.map_batches(partial, batch_format="pyarrow")
-    agg = parts.groupby(["px", "py"]).sum("weight")
-    return agg.map_batches(
-        lambda b: b.rename_columns(["px", "py", "weight"]),
-        batch_format="pyarrow")
+    ds = ds.map_batches(derive_geometry, batch_format="pyarrow", batch_size=65536)
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return gather_combine(parts, final)
 
 
 def temporal_density(sf_dir: str, t0_us: int, t1_us: int,
@@ -77,8 +80,12 @@ def temporal_density(sf_dir: str, t0_us: int, t1_us: int,
         return pa.table({"bucket": pa.array(uniq),
                          "weight": pa.array(cnt.astype(np.int64))})
 
+    def final(batch: pa.Table) -> pa.Table:
+        uniq, sums = unique_flat_sum(
+            batch.column("bucket").to_numpy(zero_copy_only=False),
+            batch.column("weight").to_numpy(zero_copy_only=False))
+        return pa.table({"bucket": pa.array(uniq), "weight": pa.array(sums)})
+
     ds = read_table(sf_dir, "events", columns=["ts"])
-    parts = ds.map_batches(partial, batch_format="pyarrow")
-    agg = parts.groupby("bucket").sum("weight")
-    return agg.map_batches(lambda b: b.rename_columns(["bucket", "weight"]),
-                           batch_format="pyarrow")
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return gather_combine(parts, final)

@@ -196,33 +196,38 @@ def _pip(lon, lat, poly):
     return points_in_polygon(lon, lat, poly)
 
 
-class PIPRefiner:
-    """Actor-pool map_batches stage: candidate lookup + exact PIP refine.
+def _refine_batch(idx: RegionIndex, batch: pa.Table, emit_cols) -> pa.Table:
+    cell = batch.column("cell").to_numpy(zero_copy_only=False)
+    lon = batch.column("lon").to_numpy(zero_copy_only=False)
+    lat = batch.column("lat").to_numpy(zero_copy_only=False)
+    dtg_s = batch.column("dtg_s").to_numpy(zero_copy_only=False)
+    pts, ords = idx.lookup(cell)
+    pts, ords = refine_candidates(idx, pts, ords, lon, lat, dtg_s)
+    cols = {}
+    idx_arr = pa.array(pts)
+    for c in emit_cols:
+        col = batch.column(c)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        cols[c] = col.take(idx_arr)
+    rid = np.asarray(idx.region_ids, dtype=object)[ords]
+    cols["region_id"] = pa.array(rid.tolist(), type=pa.string())
+    return pa.table(cols)
 
-    ``index`` arrives as a Ray object-store reference resolved once per
-    actor (broadcast), not per batch.
-    """
+
+class PIPRefiner:
+    """Actor-pool variant of the refine stage — use when the region index
+    is large enough that per-worker cached resolution should be pinned to
+    long-lived actors (constructor resolves the broadcast ref once)."""
 
     def __init__(self, index, emit_cols=("image_id",)):
         # fn_constructor_args ObjectRefs are NOT auto-resolved by Ray Data
-        # actor pools — ray.get here runs once per actor (the broadcast
-        # read), never per batch.
+        # actor pools — ray.get here runs once per actor.
         self.idx: RegionIndex = ray.get(index) if isinstance(index, ray.ObjectRef) else index
         self.emit_cols = emit_cols
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cell = batch.column("cell").to_numpy(zero_copy_only=False)
-        lon = batch.column("lon").to_numpy(zero_copy_only=False)
-        lat = batch.column("lat").to_numpy(zero_copy_only=False)
-        dtg_s = batch.column("dtg_s").to_numpy(zero_copy_only=False)
-        pts, ords = self.idx.lookup(cell)
-        pts, ords = refine_candidates(self.idx, pts, ords, lon, lat, dtg_s)
-        cols = {}
-        for c in self.emit_cols:
-            cols[c] = batch.column(c).take(pa.array(pts))
-        rid = np.asarray(self.idx.region_ids, dtype=object)[ords]
-        cols["region_id"] = pa.array(rid.tolist(), type=pa.string())
-        return pa.table(cols)
+        return _refine_batch(self.idx, batch, self.emit_cols)
 
 
 def pip_join_points(points_ds: ray.data.Dataset, regions: pa.Table,
@@ -230,13 +235,27 @@ def pip_join_points(points_ds: ray.data.Dataset, regions: pa.Table,
                     emit_cols=("image_id",),
                     concurrency=None) -> ray.data.Dataset:
     """Join an already-keyed point Dataset (lon/lat/dtg_s/cell columns)
-    against a broadcast region table. Zero shuffle."""
+    against a broadcast region table. Zero shuffle.
+
+    Default compute is task-based with a worker-cached broadcast resolve
+    (warm workers, no actor-spawn latency); pass ``concurrency`` to pin an
+    actor pool instead (better for very large indexes).
+    """
+    from geomesa_ray.util import resolve_broadcast
+
     index = build_region_index(regions, max_level=cell_level)
-    ref = ray.put(index)  # broadcast once; resolved per actor, not per batch
-    return points_ds.map_batches(
-        PIPRefiner, fn_constructor_args=(ref, tuple(emit_cols)),
-        batch_format="pyarrow",
-        concurrency=concurrency if concurrency is not None else (1, 8))
+    ref = ray.put(index)  # broadcast once; cached per worker, never per batch
+    emit = tuple(emit_cols)
+    if concurrency is not None:
+        return points_ds.map_batches(
+            PIPRefiner, fn_constructor_args=(ref, emit),
+            batch_format="pyarrow", concurrency=concurrency)
+
+    def refine(batch: pa.Table) -> pa.Table:
+        return _refine_batch(resolve_broadcast(ref), batch, emit)
+
+    return points_ds.map_batches(refine, batch_format="pyarrow",
+                                 batch_size=65536)
 
 
 def pip_join(fixture_dir: str, regions: pa.Table | None = None,
@@ -257,7 +276,11 @@ def pip_join(fixture_dir: str, regions: pa.Table | None = None,
 
         regions = pq.read_table(os.path.join(fixture_dir, "regions.parquet"))
     regions = regions.filter(pc.field("kind").isin(list(kinds)))
-    need = list(dict.fromkeys(list(emit_cols) + ["phash"]))
+    # prune the read to source columns only; derived emit_cols (lon/lat/
+    # cell/week/z3/dtg_s) are added by the encode stage
+    source_cols = {"image_id", "bytes", "w", "h", "fmt", "caption", "phash"}
+    need = list(dict.fromkeys(
+        [c for c in emit_cols if c in source_cols] + ["phash"]))
     ds = read_images(fixture_dir, columns=need)
     ds = ds.map_batches(derive_and_encode, batch_format="pyarrow",
                         fn_kwargs={"cell_level": cell_level})

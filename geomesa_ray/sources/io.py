@@ -21,11 +21,26 @@ except ImportError:
     HAVE_LANCE = False
 
 
+def default_num_blocks() -> int | None:
+    """~1 read block per CPU. Ray's default fragments small inputs into
+    hundreds of tiny blocks (147 for a 600k-row file), which multiplies
+    task overhead and makes sort-shuffles ~6x slower; at real scale the
+    analog is targeting the reference's 128 MB partition precedent
+    (Z3Table.scala:163) per block."""
+    import ray
+
+    if not ray.is_initialized():
+        return None
+    return max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+
 def read_images(fixture_dir: str, columns: list[str] | None = None,
                 **kwargs) -> ray.data.Dataset:
     """Read the image+caption table, pruning to ``columns`` at the scan."""
+    kwargs.setdefault("override_num_blocks", default_num_blocks())
     lance_path = os.path.join(fixture_dir, "images.lance")
     if HAVE_LANCE and os.path.exists(lance_path):
+        kwargs.pop("override_num_blocks", None)
         return ray.data.read_lance(lance_path, columns=columns, **kwargs)
     return ray.data.read_parquet(
         os.path.join(fixture_dir, "images.parquet"), columns=columns, **kwargs
@@ -35,6 +50,7 @@ def read_images(fixture_dir: str, columns: list[str] | None = None,
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
                **kwargs) -> ray.data.Dataset:
     """Read one of the driver's parquet tables (lineitem, orders, ...)."""
+    kwargs.setdefault("override_num_blocks", default_num_blocks())
     return ray.data.read_parquet(
         os.path.join(sf_dir, f"{name}.parquet"), columns=columns, **kwargs
     )

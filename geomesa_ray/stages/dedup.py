@@ -45,14 +45,33 @@ def _token_hashes(text: str) -> np.ndarray:
     return np.sort(np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.int64))
 
 
+_SHINGLE_MULT = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F),
+                 np.uint64(0x165667B19E3779F9))
+
+
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Unique k-token shingle hashes: per-token crc32 (cached) combined
+    positionally with odd multipliers + splitmix finalizer — vectorized
+    over the shingle windows (no per-shingle string allocation)."""
+    from geomesa_ray.sources.fixtures import splitmix64
+
     toks = text.split()
+    if not toks:
+        return np.empty(0, dtype=np.int64)
+    cache: dict[str, int] = {}
+    th = np.fromiter(
+        (cache[t] if t in cache else cache.setdefault(t, zlib.crc32(t.encode()))
+         for t in toks), dtype=np.uint64, count=len(toks))
     if len(toks) < k:
-        shingles = {" ".join(toks)} if toks else set()
+        windows = th[None, :len(toks)]
+        k = len(toks)
     else:
-        shingles = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
-    return np.unique(np.array([zlib.crc32(s.encode()) for s in shingles],
-                              dtype=np.int64))
+        windows = np.stack([th[i:len(th) - k + 1 + i] for i in range(k)], axis=1)
+    with np.errstate(over="ignore"):
+        mixed = np.zeros(len(windows), dtype=np.uint64)
+        for j in range(windows.shape[1]):
+            mixed ^= windows[:, j] * _SHINGLE_MULT[j % 3]
+    return np.unique(splitmix64(mixed).view(np.int64))
 
 
 def jaccard_pairs(sf_dir: str, threshold_num: int = 1,
@@ -102,9 +121,13 @@ class _MinHashSig:
     """Per-batch MinHash signatures + LSH band rows (vectorized perms)."""
 
     def __init__(self, num_perm: int, bands: int, shingle_k: int):
-        rng = np.random.default_rng(12345)  # fixed perms — part of the op
-        self.a = rng.integers(1, MERSENNE_P, num_perm, dtype=np.int64)
-        self.b = rng.integers(0, MERSENNE_P, num_perm, dtype=np.int64)
+        from geomesa_ray.sources.fixtures import splitmix64
+
+        # hash family h_i(x) = splitmix64(x XOR seed_i) — a strong mixing
+        # family, fully vectorizable in uint64 (no modular bigint math)
+        rng = np.random.default_rng(12345)  # fixed seeds — part of the op
+        self.seeds = rng.integers(0, 2**63, num_perm).astype(np.uint64)
+        self._mix = splitmix64
         self.num_perm = num_perm
         self.bands = bands
         self.rows_per_band = num_perm // bands
@@ -113,11 +136,9 @@ class _MinHashSig:
     def signature(self, text: str) -> np.ndarray:
         h = _shingle_hashes(text, self.shingle_k)
         if len(h) == 0:
-            return np.full(self.num_perm, MERSENNE_P, dtype=np.int64)
-        v = (self.a[:, None] * h[None, :].astype(np.object_) + self.b[:, None])
-        # object dtype avoids int64 overflow in a*h; small arrays only
-        v = np.mod(v, MERSENNE_P).astype(np.int64)
-        return v.min(axis=1)
+            return np.full(self.num_perm, -1, dtype=np.int64)
+        v = self._mix(h.view(np.uint64)[None, :] ^ self.seeds[:, None])
+        return v.min(axis=1).view(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, band_ids, band_hashes = [], [], []
@@ -146,24 +167,42 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     shingle index -> (doc_id_a, doc_id_b, jaccard >= threshold).
     """
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    band_rows = docs.map_batches(
-        _MinHashSig, fn_constructor_args=(num_perm, bands, shingle_k),
-        batch_format="pyarrow", concurrency=(1, 8))
+    sig = _MinHashSig(num_perm, bands, shingle_k)  # tiny state: captured
+    band_rows = docs.map_batches(sig.__call__, batch_format="pyarrow",
+                                 batch_size=65536)
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.sort(group.column("doc_id").to_numpy(zero_copy_only=False))
-        if len(ids) < 2:
+    # Candidate pairs: the band table is SKINNY (doc_id, band_id, hash =
+    # 24 B/row regardless of doc size), so bucket-collision pairs are
+    # extracted in one vectorized combine over the sorted keys. Ray's
+    # groupby().map_groups here would invoke the UDF once per bucket
+    # (~one bucket per doc x band -> 5 s of per-group overhead at 5k
+    # docs). At 10^12-doc scale, replace the single combine with
+    # sort(band_key) + the same run-detection kernel per sorted block.
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        bid = batch.column("band_id").to_numpy(zero_copy_only=False)
+        bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        key = (bid << np.int64(33)) | bh  # band_hash is 32-bit crc
+        order = np.lexsort((doc, key))
+        key, doc = key[order], doc[order]
+        _, start, count = np.unique(key, return_index=True, return_counts=True)
+        out_a, out_b = [], []
+        for s, c in zip(start[count > 1], count[count > 1]):
+            ids = doc[s:s + c]
+            ia, ib = np.triu_indices(c, 1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
             return pa.table({"doc_id_a": pa.array([], pa.int64()),
                              "doc_id_b": pa.array([], pa.int64())})
-        ia, ib = np.triu_indices(len(ids), 1)
-        return pa.table({"doc_id_a": pa.array(ids[ia]),
-                         "doc_id_b": pa.array(ids[ib])})
+        pairs = np.unique(np.stack([np.concatenate(out_a),
+                                    np.concatenate(out_b)], axis=1), axis=0)
+        return pa.table({"doc_id_a": pa.array(pairs[:, 0]),
+                         "doc_id_b": pa.array(pairs[:, 1])})
 
-    cand = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow")
-    cand = _rename(cand.groupby(["doc_id_a", "doc_id_b"]).count(),
-                   ["doc_id_a", "doc_id_b", "n_bands"]) \
-        .select_columns(["doc_id_a", "doc_id_b"])
+    from geomesa_ray.util import gather_combine
+
+    cand = gather_combine(band_rows, bucket_pairs)
 
     # broadcast shingle index (small side here; at 10^12 scale this becomes
     # a re-join of shingle sets by doc_id instead of a broadcast)
@@ -175,30 +214,28 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     index = {d: _shingle_hashes(t, shingle_k)
              for d, t in zip(dt.column("doc_id").to_pylist(),
                              dt.column("text").to_pylist())}
+    from geomesa_ray.util import resolve_broadcast
+
     ref = ray.put(index)
 
-    class Verify:
-        def __init__(self, r):
-            self.idx = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+    def verify(batch: pa.Table) -> pa.Table:
+        idx = resolve_broadcast(ref)
+        a = batch.column("doc_id_a").to_pylist()
+        b = batch.column("doc_id_b").to_pylist()
+        jac = np.zeros(len(a))
+        for i in range(len(a)):
+            sa, sb = idx[a[i]], idx[b[i]]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac[i] = inter / union if union else 0.0
+        keep = jac >= threshold
+        return pa.table({
+            "doc_id_a": pa.array(np.asarray(a)[keep], pa.int64()),
+            "doc_id_b": pa.array(np.asarray(b)[keep], pa.int64()),
+            "jaccard": pa.array(jac[keep]),
+        })
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch.column("doc_id_a").to_pylist()
-            b = batch.column("doc_id_b").to_pylist()
-            jac = np.zeros(len(a))
-            for i in range(len(a)):
-                sa, sb = self.idx[a[i]], self.idx[b[i]]
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                union = len(sa) + len(sb) - inter
-                jac[i] = inter / union if union else 0.0
-            keep = jac >= threshold
-            return pa.table({
-                "doc_id_a": pa.array(np.asarray(a)[keep], pa.int64()),
-                "doc_id_b": pa.array(np.asarray(b)[keep], pa.int64()),
-                "jaccard": pa.array(jac[keep]),
-            })
-
-    return cand.map_batches(Verify, fn_constructor_args=(ref,),
-                            batch_format="pyarrow", concurrency=(1, 4))
+    return cand.map_batches(verify, batch_format="pyarrow", batch_size=65536)
 
 
 def _simhash64(text: str) -> int:
@@ -242,31 +279,50 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
         })
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    rows = docs.map_batches(sig, batch_format="pyarrow")
+    rows = docs.map_batches(sig, batch_format="pyarrow", batch_size=65536)
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        order = np.argsort(group.column("doc_id").to_numpy(zero_copy_only=False))
-        ids = group.column("doc_id").to_numpy(zero_copy_only=False)[order]
-        sh = group.column("simhash").to_numpy(zero_copy_only=False)[order]
-        if len(ids) < 2:
+    # same skinny-table combine as minhash: vectorized run detection over
+    # sorted (band_id, band_val) keys, hamming popcount per pair, dedup
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        bid = batch.column("band_id").to_numpy(zero_copy_only=False)
+        bv = batch.column("band_val").to_numpy(zero_copy_only=False)
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sh = batch.column("simhash").to_numpy(zero_copy_only=False)
+        key = (bid << np.int64(17)) | bv  # band_val is 16-bit
+        order = np.lexsort((doc, key))
+        key, doc, sh = key[order], doc[order], sh[order]
+        _, start, count = np.unique(key, return_index=True, return_counts=True)
+        out_a, out_b, out_h = [], [], []
+        for s, c in zip(start[count > 1], count[count > 1]):
+            ids = doc[s:s + c]
+            hs = sh[s:s + c]
+            ia, ib = np.triu_indices(c, 1)
+            x = hs[ia].view(np.uint64) ^ hs[ib].view(np.uint64)
+            ham = np.zeros(len(x), dtype=np.int64)
+            v = x.copy()
+            for _ in range(64):
+                ham += (v & np.uint64(1)).astype(np.int64)
+                v >>= np.uint64(1)
+            keep = ham <= max_hamming
+            out_a.append(ids[ia][keep])
+            out_b.append(ids[ib][keep])
+            out_h.append(ham[keep])
+        if not out_a:
             return pa.table({"doc_id_a": pa.array([], pa.int64()),
                              "doc_id_b": pa.array([], pa.int64()),
                              "hamming": pa.array([], pa.int64())})
-        ia, ib = np.triu_indices(len(ids), 1)
-        x = (sh[ia].view(np.uint64)) ^ (sh[ib].view(np.uint64))
-        ham = np.zeros(len(x), dtype=np.int64)
-        v = x.copy()
-        for _ in range(64):
-            ham += (v & np.uint64(1)).astype(np.int64)
-            v >>= np.uint64(1)
-        keep = ham <= max_hamming
-        return pa.table({
-            "doc_id_a": pa.array(ids[ia][keep]),
-            "doc_id_b": pa.array(ids[ib][keep]),
-            "hamming": pa.array(ham[keep]),
-        })
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        h = np.concatenate(out_h)
+        trip = np.unique(np.stack([a, b, h], axis=1), axis=0)
+        # one row per pair (hamming is identical across bands for a pair)
+        pair_key = trip[:, 0] * np.int64(1 << 32) + trip[:, 1]
+        _, first = np.unique(pair_key, return_index=True)
+        trip = trip[first]
+        return pa.table({"doc_id_a": pa.array(trip[:, 0]),
+                         "doc_id_b": pa.array(trip[:, 1]),
+                         "hamming": pa.array(trip[:, 2])})
 
-    pairs = rows.groupby(["band_id", "band_val"]).map_groups(
-        bucket_pairs, batch_format="pyarrow")
-    return _rename(pairs.groupby(["doc_id_a", "doc_id_b"]).min("hamming"),
-                   ["doc_id_a", "doc_id_b", "hamming"])
+    from geomesa_ray.util import gather_combine
+
+    return gather_combine(rows, bucket_pairs)

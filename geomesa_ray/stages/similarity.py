@@ -46,26 +46,31 @@ def load_queries(sf_dir: str, num_queries: int) -> tuple[np.ndarray, np.ndarray]
     return t.column("vec_id").to_numpy(), q
 
 
-class _PartialTopKCos:
-    def __init__(self, ref, k):
-        self.qids, self.q = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        self.k = k
+def topk_cosine(sf_dir: str, num_queries: int = 8, k: int = 10) -> ray.data.Dataset:
+    """(query_id, vec_id, sim_rank): exact top-k cosine neighbors of the
+    first ``num_queries`` embeddings (self excluded), rank tie-broken by
+    vec_id. Partials are bounded (queries x k x n_batches), so one final
+    combine task replaces a groupby shuffle."""
+    from geomesa_ray.util import gather_combine, resolve_broadcast
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    ref = ray.put(load_queries(sf_dir, num_queries))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, q = resolve_broadcast(ref)
         x = _normalize(_embedding_matrix(batch))
         vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        sims = self.q @ x.T  # (Q, B)
+        sims = q @ x.T  # (Q, B)
         out_q, out_v, out_c = [], [], []
         n = sims.shape[1]
-        for qi in range(len(self.qids)):
+        for qi in range(len(qids)):
             s = sims[qi]
-            k = min(self.k + 1, n)  # +1 slack for the self row
-            if n > k:
-                thresh = np.partition(s, n - k)[n - k]
+            kk = min(k + 1, n)  # +1 slack for the self row
+            if n > kk:
+                thresh = np.partition(s, n - kk)[n - kk]
                 cand = np.nonzero(s >= thresh)[0]
             else:
                 cand = np.arange(n)
-            out_q.append(np.full(len(cand), self.qids[qi], dtype=np.int64))
+            out_q.append(np.full(len(cand), qids[qi], dtype=np.int64))
             out_v.append(vids[cand])
             out_c.append(s[cand])
         return pa.table({
@@ -74,31 +79,27 @@ class _PartialTopKCos:
             "cos": pa.array(np.concatenate(out_c)),
         })
 
-
-def topk_cosine(sf_dir: str, num_queries: int = 8, k: int = 10) -> ray.data.Dataset:
-    """(query_id, vec_id, sim_rank): exact top-k cosine neighbors of the
-    first ``num_queries`` embeddings (self excluded), rank tie-broken by
-    vec_id."""
-    ref = ray.put(load_queries(sf_dir, num_queries))
-
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    partial = ds.map_batches(_PartialTopKCos, fn_constructor_args=(ref, k),
-                             batch_format="pyarrow", concurrency=(1, 8))
-
-    def final(group: pa.Table) -> pa.Table:
-        qid = group.column("query_id")[0].as_py()
-        v = group.column("vec_id").to_numpy(zero_copy_only=False)
-        c = group.column("cos").to_numpy(zero_copy_only=False)
-        m = v != qid  # exclude self
-        v, c = v[m], c[m]
-        order = np.lexsort((v, -c))[:k]
+    def final(batch: pa.Table) -> pa.Table:
+        qv = batch.column("query_id").to_numpy(zero_copy_only=False)
+        v = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        c = batch.column("cos").to_numpy(zero_copy_only=False)
+        out_q, out_v, out_r = [], [], []
+        for qid in np.unique(qv):
+            sel = np.nonzero((qv == qid) & (v != qid))[0]  # exclude self
+            order = np.lexsort((v[sel], -c[sel]))[:k]
+            take = sel[order]
+            out_q.append(np.full(len(take), qid, dtype=np.int64))
+            out_v.append(v[take])
+            out_r.append(np.arange(1, len(take) + 1, dtype=np.int64))
         return pa.table({
-            "query_id": pa.array(np.full(len(order), qid, dtype=np.int64)),
-            "vec_id": pa.array(v[order]),
-            "sim_rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "sim_rank": pa.array(np.concatenate(out_r)),
         })
 
-    return partial.groupby("query_id").map_groups(final, batch_format="pyarrow")
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return gather_combine(parts, final)
 
 
 def embed_neardup(sf_dir: str, tau: float = 0.35) -> ray.data.Dataset:
@@ -109,26 +110,24 @@ def embed_neardup(sf_dir: str, tau: float = 0.35) -> ray.data.Dataset:
                       columns=["vec_id", "embedding"])
     all_ids = t.column("vec_id").to_numpy()
     m = _normalize(_embedding_matrix(t))
+    from geomesa_ray.util import resolve_broadcast
+
     ref = ray.put((all_ids, m))
 
-    class Pairs:
-        def __init__(self, r):
-            self.ids, self.m = ray.get(r) if isinstance(r, ray.ObjectRef) else r
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            x = _normalize(_embedding_matrix(batch))
-            vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            sims = x @ self.m.T  # (B, N)
-            bi, ni = np.nonzero(sims >= tau)
-            a = vids[bi]
-            b = self.ids[ni]
-            keep = a < b  # dedup + drop self
-            return pa.table({
-                "vec_id_a": pa.array(a[keep]),
-                "vec_id_b": pa.array(b[keep]),
-                "cos": pa.array(sims[bi[keep], ni[keep]]),
-            })
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids, mat = resolve_broadcast(ref)
+        x = _normalize(_embedding_matrix(batch))
+        vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        sims = x @ mat.T  # (B, N)
+        bi, ni = np.nonzero(sims >= tau)
+        a = vids[bi]
+        b = ids[ni]
+        keep = a < b  # dedup + drop self
+        return pa.table({
+            "vec_id_a": pa.array(a[keep]),
+            "vec_id_b": pa.array(b[keep]),
+            "cos": pa.array(sims[bi[keep], ni[keep]]),
+        })
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return ds.map_batches(Pairs, fn_constructor_args=(ref,),
-                          batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(pairs, batch_format="pyarrow", batch_size=65536)

@@ -1,0 +1,63 @@
+"""Per-partition lineage manifests — the checkpoint/restart substrate.
+
+The reference has no query checkpointing (ingest restart = idempotent
+re-run by feature id, ``AccumuloFeatureWriter``; Kafka replay is the
+streaming analog, ``ReplayKafkaConsumerFeatureSource.scala:32-72``). The
+north rule instead demands batch resumability: every completed partition
+commits a manifest atomically (write-to-tmp + rename), and a restarted run
+filters completed partitions BEFORE the shuffle/write, so finished work is
+neither recomputed nor rewritten.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+
+def manifest_path(out_dir: str, partition: int | str) -> str:
+    return os.path.join(out_dir, f"part={partition}", "manifest.json")
+
+
+def write_manifest(out_dir: str, partition: int | str, payload: dict) -> str:
+    """Atomically commit a partition manifest (tmp file + rename)."""
+    pdir = os.path.join(out_dir, f"part={partition}")
+    os.makedirs(pdir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=pdir, prefix=".manifest_")
+    with os.fdopen(fd, "w") as f:
+        json.dump(payload, f)
+    dest = manifest_path(out_dir, partition)
+    os.replace(tmp, dest)
+    return dest
+
+
+def completed_partitions(out_dir: str) -> dict[str, dict]:
+    """partition-id -> manifest payload for every committed partition."""
+    out = {}
+    if not os.path.isdir(out_dir):
+        return out
+    for name in os.listdir(out_dir):
+        if not name.startswith("part="):
+            continue
+        mf = os.path.join(out_dir, name, "manifest.json")
+        if os.path.exists(mf):
+            with open(mf) as f:
+                out[name[len("part="):]] = json.load(f)
+    return out
+
+
+def skew_stats(manifests: dict[str, dict], key: str = "rows") -> dict:
+    """Aggregate per-partition metrics incl. the skew factor
+    (max/mean rows) the north rule asks to be emitted."""
+    rows = [m.get(key, 0) for m in manifests.values()]
+    if not rows:
+        return {"partitions": 0, "rows": 0, "skew_factor": 0.0}
+    mean = sum(rows) / len(rows)
+    return {
+        "partitions": len(rows),
+        "rows": int(sum(rows)),
+        "max_partition_rows": int(max(rows)),
+        "mean_partition_rows": mean,
+        "skew_factor": (max(rows) / mean) if mean else 0.0,
+    }

@@ -1,0 +1,154 @@
+"""SpatialStore: cell-bucketed, sorted, manifest-committed parquet layout.
+
+The Ray-Data analog of the reference's physical index tables: one logical
+dataset materialized as a partitioned layout whose partition key is a Z2
+cell prefix (reference pre-split tables + 128 MB tablet threshold,
+``Z3Table.scala:162-170``, ``Splitters.scala:16-37``), with rows sorted by
+(week, z3, image_id) inside each partition — the same sort order as the Z3
+table row key (``Z3Table.scala:120-139``) — so scans prune partitions by
+cell-prefix range and then benefit from sorted row groups.
+
+Write path = the only all-to-all shuffle in the engine's ingest
+(``groupby(bucket)``); each partition's writer commits parquet + lineage
+manifest atomically, so killed runs restart by filtering completed buckets
+BEFORE the shuffle (nothing is recomputed — FIXTURES.md F6 semantics).
+Task retries are safe: a rewrite of the same bucket is byte-idempotent.
+
+Read path: query -> covering Z2 ranges at bucket level -> only matching
+``part=<bucket>`` directories are read -> coarse z3 + exact refine
+(pipelines/scan.py kernels).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from geomesa_ray.curve.sfc import lonlat_to_xy, zranges_2d
+from geomesa_ray.pipelines.scan import QueryPlan, SpatialQuery, _ScanFilter, plan_query
+from geomesa_ray.sources.io import read_images
+from geomesa_ray.stages.encode import DEFAULT_CELL_LEVEL, derive_and_encode
+from geomesa_ray.state.manifest import completed_partitions, skew_stats, write_manifest
+
+DEFAULT_BUCKET_LEVEL = 3  # 4^3 = 64 partitions; scale with cluster size
+
+
+def add_bucket(batch: pa.Table, cell_level: int, bucket_level: int) -> pa.Table:
+    cell = batch.column("cell").to_numpy(zero_copy_only=False)
+    bucket = cell >> np.int64(2 * (cell_level - bucket_level))
+    return batch.append_column("bucket", pa.array(bucket))
+
+
+def _bucket_writer(out_dir: str):
+    """map_groups writer: sort partition by (week, z3, image_id), write
+    parquet, commit manifest atomically; emits the manifest row."""
+
+    def write_bucket(group: pa.Table) -> pa.Table:
+        bucket = int(group.column("bucket")[0].as_py())
+        g = group.sort_by([("week", "ascending"), ("z3", "ascending"),
+                           ("image_id", "ascending")])
+        pdir = os.path.join(out_dir, f"part={bucket}")
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, ".data.parquet.tmp")
+        pq.write_table(g, tmp, row_group_size=65536)
+        os.replace(tmp, os.path.join(pdir, "data.parquet"))
+        n_cells = len(np.unique(g.column("cell").to_numpy(zero_copy_only=False)))
+        payload = {
+            "bucket": bucket,
+            "rows": g.num_rows,
+            "n_cells": n_cells,
+            "week_min": int(np.min(g.column("week").to_numpy(zero_copy_only=False))),
+            "week_max": int(np.max(g.column("week").to_numpy(zero_copy_only=False))),
+        }
+        write_manifest(out_dir, bucket, payload)
+        return pa.table({
+            "bucket": pa.array([bucket], pa.int64()),
+            "rows": pa.array([g.num_rows], pa.int64()),
+            "n_cells": pa.array([n_cells], pa.int64()),
+        })
+
+    return write_bucket
+
+
+def write_store(fixture_dir: str, out_dir: str,
+                cell_level: int = DEFAULT_CELL_LEVEL,
+                bucket_level: int = DEFAULT_BUCKET_LEVEL,
+                columns: list[str] | None = None) -> dict:
+    """Ingest the image table into a cell-bucketed store. Returns skew/row
+    metrics aggregated from the per-partition manifests.
+
+    Resumable: buckets with committed manifests are filtered out before
+    the shuffle; a killed run continues where it stopped.
+    """
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = {int(b) for b in completed_partitions(out_dir)}
+
+    need = columns if columns is not None else ["image_id", "phash", "caption"]
+    # size read blocks to the cluster: the groupby(bucket) sort-shuffle
+    # cost scales with block COUNT, not bytes — over-fragmented inputs
+    # (Ray's default here: 147 blocks for 600k rows) made the shuffle 6x
+    # slower than ~1 block per cpu. At real scale target the reference's
+    # 128 MB partition precedent (Z3Table.scala:163) instead.
+    n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    ds = read_images(fixture_dir, columns=need, override_num_blocks=n_blocks)
+    ds = ds.map_batches(derive_and_encode, batch_format="pyarrow",
+                        fn_kwargs={"cell_level": cell_level})
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow",
+                        fn_kwargs={"cell_level": cell_level,
+                                   "bucket_level": bucket_level})
+    if done:
+        done_arr = pa.array(sorted(done), pa.int64())
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            m = pc.is_in(batch.column("bucket"), value_set=done_arr)
+            return batch.filter(pc.invert(m))
+
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+
+    out = ds.groupby("bucket").map_groups(_bucket_writer(out_dir),
+                                          batch_format="pyarrow")
+    out.count()  # drive the pipeline; manifests are the durable output
+    manifests = completed_partitions(out_dir)
+    return skew_stats(manifests)
+
+
+def store_buckets_for_query(query: SpatialQuery, bucket_level: int) -> set[int]:
+    """Partition pruning: bucket ids whose Z2 prefix range intersects the
+    query bbox."""
+    ix0, iy0 = lonlat_to_xy(query.lon_min, query.lat_min, bucket_level, bucket_level)
+    ix1, iy1 = lonlat_to_xy(query.lon_max, query.lat_max, bucket_level, bucket_level)
+    ranges = zranges_2d(int(ix0), int(ix1), int(iy0), int(iy1), bucket_level)
+    out = set()
+    for lo, hi in ranges:
+        out.update(range(lo, hi + 1))
+    return out
+
+
+def read_store(out_dir: str, query: SpatialQuery | None = None,
+               bucket_level: int = DEFAULT_BUCKET_LEVEL,
+               columns: list[str] | None = None) -> ray.data.Dataset:
+    """Scan the store; with a query, prunes partitions then applies the
+    coarse+exact filters on the stored key columns."""
+    manifests = completed_partitions(out_dir)
+    buckets = sorted(int(b) for b in manifests)
+    if query is not None:
+        keep = store_buckets_for_query(query, bucket_level)
+        buckets = [b for b in buckets if b in keep]
+    paths = [os.path.join(out_dir, f"part={b}", "data.parquet") for b in buckets]
+    if not paths:
+        import pyarrow as _pa
+
+        return ray.data.from_arrow(_pa.table({"image_id": _pa.array([], _pa.string())}))
+    ds = ray.data.read_parquet(paths, columns=columns)
+    if query is not None:
+        ds = ds.map_batches(_ScanFilter(plan_query(query)), batch_format="pyarrow")
+    return ds

@@ -1,0 +1,98 @@
+"""SpatialStore + resumability tests (FIXTURES.md F6): kill mid-write,
+restart, assert completed partitions untouched and output identical."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from geomesa_ray.pipelines.scan import SpatialQuery, exact_mask
+from geomesa_ray.sources.fixtures import gen_images_table
+from geomesa_ray.stages.derive import phash_to_dtg_s, phash_to_lonlat
+from geomesa_ray.state.manifest import completed_partitions
+from geomesa_ray.state.store import read_store, store_buckets_for_query, write_store
+
+
+@pytest.fixture()
+def store_dir(tmp_path):
+    return str(tmp_path / "store")
+
+
+class TestWriteRead:
+    def test_write_then_read_roundtrip(self, ray_session, tiny_fixtures, store_dir):
+        stats = write_store(tiny_fixtures, store_dir)
+        assert stats["rows"] == 6000
+        assert stats["partitions"] > 10
+        assert stats["skew_factor"] < 3.0  # uniform corpus, mild skew
+        ds = read_store(store_dir)
+        ids = [r["image_id"] for r in ds.select_columns(["image_id"]).take_all()]
+        assert len(ids) == 6000 and len(set(ids)) == 6000
+
+    def test_store_rows_sorted_by_week_z3(self, ray_session, tiny_fixtures, store_dir):
+        write_store(tiny_fixtures, store_dir)
+        part = sorted(os.listdir(store_dir))[0]
+        t = pq.read_table(os.path.join(store_dir, part, "data.parquet"))
+        week = t.column("week").to_numpy()
+        z3 = t.column("z3").to_numpy()
+        key = week.astype(np.float64) * 2**63 + z3
+        assert (np.diff(key) >= 0).all()
+
+    def test_caption_byte_equality_through_store(self, ray_session, tiny_fixtures,
+                                                 store_dir):
+        write_store(tiny_fixtures, store_dir)
+        got = {r["image_id"]: r["caption"]
+               for r in read_store(store_dir).select_columns(
+                   ["image_id", "caption"]).take_all()}
+        ref = gen_images_table(6000)
+        for i, c in zip(ref.column("image_id").to_pylist(),
+                        ref.column("caption").to_pylist()):
+            assert got[i] == c
+
+    def test_pruned_query_read(self, ray_session, tiny_fixtures, store_dir):
+        write_store(tiny_fixtures, store_dir)
+        q = SpatialQuery(-10.0, 25.0, -5.0, 30.0)
+        got = {r["image_id"] for r in read_store(store_dir, q).select_columns(
+            ["image_id"]).take_all()}
+        ref = gen_images_table(6000)
+        lon, lat = phash_to_lonlat(ref.column("phash").to_numpy())
+        dtg = phash_to_dtg_s(ref.column("phash").to_numpy())
+        m = exact_mask(q, lon, lat, dtg)
+        want = set(np.array(ref.column("image_id").to_pylist())[m].tolist())
+        assert got == want
+
+    def test_pruning_reads_fewer_buckets(self, ray_session):
+        q = SpatialQuery(-10.0, 25.0, -5.0, 30.0)
+        assert len(store_buckets_for_query(q, 3)) < 64
+
+
+class TestResume:
+    def test_restart_skips_completed(self, ray_session, tiny_fixtures, store_dir):
+        # full reference run
+        ref_dir = store_dir + "_ref"
+        write_store(tiny_fixtures, ref_dir)
+
+        # simulate a crashed run: copy only some completed partitions
+        os.makedirs(store_dir)
+        parts = sorted(os.listdir(ref_dir))[: len(os.listdir(ref_dir)) // 2]
+        for p in parts:
+            shutil.copytree(os.path.join(ref_dir, p), os.path.join(store_dir, p))
+        mtimes = {p: os.path.getmtime(os.path.join(store_dir, p, "manifest.json"))
+                  for p in parts}
+
+        stats = write_store(tiny_fixtures, store_dir)  # resume
+        # completed partitions were not rewritten
+        for p, mt in mtimes.items():
+            assert os.path.getmtime(os.path.join(store_dir, p, "manifest.json")) == mt
+
+        # final output identical to the uninterrupted run
+        a = completed_partitions(store_dir)
+        b = completed_partitions(ref_dir)
+        assert a == b
+        assert stats["rows"] == 6000
+        ids_a = sorted(r["image_id"] for r in read_store(store_dir)
+                       .select_columns(["image_id"]).take_all())
+        ids_b = sorted(r["image_id"] for r in read_store(ref_dir)
+                       .select_columns(["image_id"]).take_all())
+        assert ids_a == ids_b
