@@ -1,0 +1,179 @@
+"""Co-partitioned PIP join with hot-cell salting — the scale path for
+region sets too large to broadcast.
+
+Reference parity: GeoMesa co-locates points and query geometry by index
+cell (geohash decomposition written to the ST table,
+``STIndexEntry.scala:43-103``) and spreads hot rows with a random shard
+prefix (``IndexSchema.scala:108-113`` ``%999#r``, 4-bit murmur shard in
+``Z3FeatureIdGenerator.scala:66-80``). Here:
+
+1. Points are keyed by coarse cell (``flat_map``-free — one cell per
+   point); a per-cell histogram (pre-aggregated per batch) finds hot
+   cells.
+2. Hot cells are SALTED: each point in a hot cell gets
+   ``salt = mix(phash) % n_salt``; each REGION covering a hot cell is
+   replicated to every salt — exactness is preserved because a
+   (point, region) pair still meets in exactly one (cell, salt) bucket.
+3. Regions explode to one row per covering cell (``flat_map`` role);
+   both sides shuffle by (cell, salt); ``groupby.map_groups`` refines
+   with the same exact kernels as the broadcast join.
+4. A point's cell may be covered by a region whose polygon does not
+   contain it — the exact test filters; a pair can never meet twice
+   (one cell per point, region rows deduped per cell), so no output
+   dedup is needed (emit-guard, reference ``hasDuplicates`` analog,
+   ``IndexSchema.mayContainDuplicates:300-307``).
+
+The groupby is the one all-to-all; only skinny columns shuffle
+(image_id, phash-derived keys — never payload bytes, reference
+index-value precedent ``IndexValueEncoder.scala:26-80``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from geomesa_ray.pipelines.pip_join import (
+    build_region_index,
+    refine_candidates,
+)
+from geomesa_ray.sources.fixtures import splitmix64
+from geomesa_ray.sources.io import read_images
+from geomesa_ray.stages.encode import derive_and_encode
+
+COGROUP_CELL_LEVEL = 6  # coarse co-partition grid (4^6 = 4096 cells)
+
+
+def _region_cell_table(regions: pa.Table, cell_level: int) -> pa.Table:
+    """Explode regions to (cell, region ordinal) rows at the co-partition
+    level (role of GeohashUtils.decomposeGeometry for writes)."""
+    idx = build_region_index(regions, max_level=cell_level)
+    cells, ords = [], []
+    for level, (cls, offsets, ordinals) in idx.levels.items():
+        shift = 2 * (cell_level - level)
+        for i, c in enumerate(cls):
+            members = ordinals[offsets[i]:offsets[i + 1]]
+            if shift == 0:
+                for m in members:
+                    cells.append(int(c))
+                    ords.append(int(m))
+            else:
+                # expand the coarser cell to all level-`cell_level` children
+                base = int(c) << shift
+                for child in range(1 << shift):
+                    for m in members:
+                        cells.append(base + child)
+                        ords.append(int(m))
+    return pa.table({"cell": pa.array(cells, pa.int64()),
+                     "ord": pa.array(ords, pa.int32())}), idx
+
+
+def cell_histogram(points: ray.data.Dataset, cell_level: int,
+                   full_level: int) -> dict[int, int]:
+    """Per-cell row counts (pre-aggregated per batch, combined driver-side
+    — the skew detector)."""
+    shift = 2 * (full_level - cell_level)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(zero_copy_only=False) >> np.int64(shift)
+        u, c = np.unique(cell, return_counts=True)
+        return pa.table({"cell": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    out: dict[int, int] = {}
+    for row in points.map_batches(partial, batch_format="pyarrow").take_all():
+        out[row["cell"]] = out.get(row["cell"], 0) + row["n"]
+    return out
+
+
+def pip_join_cogroup(fixture_dir: str, regions: pa.Table,
+                     cell_level: int = COGROUP_CELL_LEVEL,
+                     full_level: int = 12,
+                     hot_threshold: int = 50_000,
+                     n_salt: int = 8) -> ray.data.Dataset:
+    """(image_id, region_id) via explicit (cell, salt) co-partitioning."""
+    region_cells, idx = _region_cell_table(regions, cell_level)
+    rc_cell = region_cells.column("cell").to_numpy()
+    shift = 2 * (full_level - cell_level)
+
+    pts = read_images(fixture_dir, columns=["image_id", "phash"])
+    pts = pts.map_batches(derive_and_encode, batch_format="pyarrow",
+                          fn_kwargs={"cell_level": full_level})
+
+    hist = cell_histogram(pts, cell_level, full_level)
+    hot = {c for c, n in hist.items() if n > hot_threshold}
+
+    # point side: (cell, salt, image_id, lon, lat, dtg_s)
+    def key_points(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(zero_copy_only=False) >> np.int64(shift)
+        ph = batch.column("phash").to_numpy(zero_copy_only=False)
+        salt = (splitmix64(ph.view(np.uint64) ^ np.uint64(0xABCD))
+                % np.uint64(n_salt)).astype(np.int64)
+        if hot:
+            is_hot = np.isin(cell, np.array(sorted(hot), dtype=np.int64))
+            salt = np.where(is_hot, salt, 0)
+        else:
+            salt = np.zeros(len(cell), dtype=np.int64)
+        return pa.table({
+            "ckey": pa.array(cell * np.int64(n_salt) + salt),
+            "side": pa.array(np.zeros(len(cell), dtype=np.int8)),
+            "image_id": batch.column("image_id"),
+            "ord": pa.array(np.full(len(cell), -1, dtype=np.int32)),
+            "lon": batch.column("lon"),
+            "lat": batch.column("lat"),
+            "dtg_s": batch.column("dtg_s"),
+        })
+
+    # region side: replicate hot-cell rows to every salt
+    rcells = []
+    rords = []
+    rc_ord = region_cells.column("ord").to_numpy()
+    for c, o in zip(rc_cell.tolist(), rc_ord.tolist()):
+        salts = range(n_salt) if c in hot else (0,)
+        for s in salts:
+            rcells.append(c * n_salt + s)
+            rords.append(o)
+    region_rows = pa.table({
+        "ckey": pa.array(rcells, pa.int64()),
+        "side": pa.array(np.ones(len(rcells), dtype=np.int8)),
+        "image_id": pa.array([""] * len(rcells), pa.string()),
+        "ord": pa.array(rords, pa.int32()),
+        "lon": pa.array(np.zeros(len(rcells))),
+        "lat": pa.array(np.zeros(len(rcells))),
+        "dtg_s": pa.array(np.zeros(len(rcells), dtype=np.int64)),
+    })
+
+    both = pts.map_batches(key_points, batch_format="pyarrow") \
+        .union(ray.data.from_arrow(region_rows))
+
+    region_ids = idx.region_ids
+
+    def cogroup_refine(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        pts_t = group.filter(pa.array(side == 0))
+        regs = group.filter(pa.array(side == 1))
+        if pts_t.num_rows == 0 or regs.num_rows == 0:
+            return pa.table({"image_id": pa.array([], pa.string()),
+                             "region_id": pa.array([], pa.string())})
+        lon = pts_t.column("lon").to_numpy(zero_copy_only=False)
+        lat = pts_t.column("lat").to_numpy(zero_copy_only=False)
+        dtg = pts_t.column("dtg_s").to_numpy(zero_copy_only=False)
+        ords = np.unique(regs.column("ord").to_numpy(zero_copy_only=False))
+        pairs_p, pairs_o = [], []
+        for o in ords:
+            pairs_p.append(np.arange(pts_t.num_rows, dtype=np.int64))
+            pairs_o.append(np.full(pts_t.num_rows, o, dtype=np.int32))
+        pts_i = np.concatenate(pairs_p)
+        ords_i = np.concatenate(pairs_o)
+        keep_p, keep_o = refine_candidates(idx, pts_i, ords_i, lon, lat, dtg)
+        ids = pts_t.column("image_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        rid = np.asarray(region_ids, dtype=object)[keep_o]
+        return pa.table({
+            "image_id": ids.take(pa.array(keep_p)),
+            "region_id": pa.array(rid.tolist(), pa.string()),
+        })
+
+    return both.groupby("ckey").map_groups(cogroup_refine, batch_format="pyarrow")

@@ -1,0 +1,96 @@
+"""Proximity (within-distance) join and the unique-union helper.
+
+Reference parity: ``ProximitySearchProcess.scala:28-60`` buffers input
+features by d meters and runs a within-distance join against the store.
+Ray-Data shape: the probe side is small -> broadcast; candidate prune by
+bbox expanded by the degree-equivalent of d (the reference's
+meters->degrees rewrite, ``FilterHelper.scala:104-116``), exact refine by
+haversine. One streaming pass, zero shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from geomesa_ray.geom.kernels import haversine_m
+from geomesa_ray.sources.io import read_images
+from geomesa_ray.stages.derive import derive_geometry
+from geomesa_ray.util import resolve_broadcast
+
+METERS_PER_DEGREE_EQ = 111_320.0  # at the equator; lat-scaled below
+
+
+def proximity_join(fixture_dir: str, probes_lon: np.ndarray,
+                   probes_lat: np.ndarray, probe_ids: list[str],
+                   dist_m: float) -> ray.data.Dataset:
+    """(probe_id, image_id, dist_m) for every image within dist_m of a
+    probe point (haversine-exact; bbox prescreen in degrees)."""
+    # degrees bound: worst-case lon shrink at high latitude (cap 85)
+    dlat = dist_m / METERS_PER_DEGREE_EQ
+    coslat = np.cos(np.radians(np.clip(np.abs(probes_lat), 0, 85.0)))
+    dlon = dist_m / (METERS_PER_DEGREE_EQ * np.maximum(coslat, 1e-3))
+    ref = ray.put((np.asarray(probes_lon), np.asarray(probes_lat),
+                   np.asarray(dlat), np.asarray(dlon), list(probe_ids)))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        plon, plat, dla, dlo, pids = resolve_broadcast(ref)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        out_p, out_i, out_d = [], [], []
+        for p in range(len(plon)):
+            cand = np.nonzero((np.abs(lat - plat[p]) <= dla)
+                              & (np.abs(lon - plon[p]) <= dlo[p]))[0]
+            if len(cand) == 0:
+                continue
+            d = haversine_m(lon[cand], lat[cand], plon[p], plat[p])
+            keep = d <= dist_m
+            out_p.append(np.full(keep.sum(), p, dtype=np.int64))
+            out_i.append(cand[keep])
+            out_d.append(d[keep])
+        if not out_p:
+            return pa.table({"probe_id": pa.array([], pa.string()),
+                             "image_id": pa.array([], pa.string()),
+                             "dist_m": pa.array([], pa.float64())})
+        pidx = np.concatenate(out_p)
+        idx = np.concatenate(out_i)
+        ids = batch.column("image_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        plook = pa.array(pids, pa.string())
+        return pa.table({
+            "probe_id": plook.take(pa.array(pidx)),
+            "image_id": ids.take(pa.array(idx)),
+            "dist_m": pa.array(np.concatenate(out_d)),
+        })
+
+    ds = read_images(fixture_dir, columns=["image_id", "phash"])
+    ds = ds.map_batches(derive_geometry, batch_format="pyarrow")
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def unique_union(datasets: list[ray.data.Dataset],
+                 id_col: str = "image_id") -> ray.data.Dataset:
+    """De-duplicating union of result sets (reference
+    ``UniqueMultiCollection``, used by tube-select): union + keep-first
+    per id. Result sets here are query outputs (small relative to the
+    corpus) -> one combine task; switch to a groupby(id) shuffle if a
+    union ever exceeds one block."""
+    from geomesa_ray.util import gather_combine
+
+    ds = datasets[0]
+    for other in datasets[1:]:
+        ds = ds.union(other)
+
+    def drop_dupes(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        seen = np.asarray(ids.to_pylist(), dtype=object)
+        _, first = np.unique(seen, return_index=True)
+        return batch.take(pa.array(np.sort(first)))
+
+    return gather_combine(ds, drop_dupes)

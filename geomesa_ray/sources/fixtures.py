@@ -66,37 +66,11 @@ def rows_for_sf(sf_dir: str) -> int:
 
 
 def gen_images_table(n: int) -> pa.Table:
-    """n-row image+caption table, schema exactly per input_hint."""
-    i = np.arange(n, dtype=np.int64)
-    phash = splitmix64(i.view(U)).view(np.int64)
+    """n-row image+caption table, schema exactly per input_hint.
 
-    image_id = np.char.add("img", np.char.zfill(i.astype("U8"), 8))
-    word = [_WORDS[int(h)] for h in (phash & np.int64(15))]
-    caption = np.array(
-        [f"caption for img{k:08d} #{w}" for k, w in zip(i.tolist(), word)],
-        dtype=object,
-    )
-
-    # deterministic raw RGB pixels: 24 uint64 words per row -> 192 bytes
-    words = splitmix64((i[:, None] * np.int64(24) + np.arange(24, dtype=np.int64)[None, :]).view(U))
-    pixels = words.astype("<u8").view(np.uint8).reshape(n * IMG_NBYTES)
-
-    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * IMG_NBYTES)
-    bytes_arr = pa.BinaryArray.from_buffers(
-        pa.binary(), n, [None, offsets.buffers()[1], pa.py_buffer(pixels.tobytes())]
-    )
-
-    return pa.table(
-        {
-            "image_id": pa.array(image_id.tolist(), type=pa.string()),
-            "bytes": bytes_arr,
-            "w": pa.array(np.full(n, IMG_W, dtype=np.int32)),
-            "h": pa.array(np.full(n, IMG_H, dtype=np.int32)),
-            "fmt": pa.array(["raw"] * n, type=pa.string()),
-            "caption": pa.array(caption.tolist(), type=pa.string()),
-            "phash": pa.array(phash),
-        }
-    )
+    Deterministic raw RGB pixels: 24 uint64 words per row -> 192 bytes.
+    """
+    return gen_images_table_range(0, n)
 
 
 def _ts(seconds: float) -> int:
@@ -219,6 +193,61 @@ def gen_probes_table(n: int = 64) -> pa.Table:
 
 def fixture_dir_for(sf_dir: str) -> str:
     return os.path.join(FIXTURE_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+
+
+def ensure_scaling_corpus(n_files: int = 32, rows_per_file: int = 600_000) -> str:
+    """Multi-file image corpus for the scaling benchmark: ``n_files``
+    parquet shards with disjoint deterministic row ranges (row index
+    offset per shard). A single-file corpus read concurrently does NOT
+    scale — all read tasks contend on one inode/page-cache — which is a
+    benchmark artifact, not an engine property; real corpora are
+    many-file. Generated once under /tmp/graft_fixtures/scaling/."""
+    out_dir = os.path.join(FIXTURE_ROOT, f"scaling_{n_files}x{rows_per_file}")
+    done = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return out_dir
+    import shutil
+
+    os.makedirs(FIXTURE_ROOT, exist_ok=True)
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir, ignore_errors=True)
+    tmp = tempfile.mkdtemp(prefix=".scaling_", dir=FIXTURE_ROOT)
+    for f in range(n_files):
+        t = gen_images_table_range(f * rows_per_file, rows_per_file)
+        pq.write_table(t, os.path.join(tmp, f"images_{f:04d}.parquet"),
+                       row_group_size=131072)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+        fh.write("ok")
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out_dir
+
+
+def gen_images_table_range(start: int, n: int) -> pa.Table:
+    """Images table for row indexes [start, start+n) — same derivation as
+    gen_images_table but offset, so shards are disjoint."""
+    i = np.arange(start, start + n, dtype=np.int64)
+    phash = splitmix64(i.view(U)).view(np.int64)
+    image_id = np.char.add("img", np.char.zfill(i.astype("U8"), 8))
+    word = [_WORDS[int(h)] for h in (phash & np.int64(15))]
+    caption = [f"caption for img{k:08d} #{w}" for k, w in zip(i.tolist(), word)]
+    words = splitmix64((i[:, None] * np.int64(24)
+                        + np.arange(24, dtype=np.int64)[None, :]).view(U))
+    pixels = words.astype("<u8").view(np.uint8).reshape(n * IMG_NBYTES)
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * IMG_NBYTES)
+    bytes_arr = pa.BinaryArray.from_buffers(
+        pa.binary(), n, [None, offsets.buffers()[1], pa.py_buffer(pixels.tobytes())])
+    return pa.table({
+        "image_id": pa.array(image_id.tolist(), type=pa.string()),
+        "bytes": bytes_arr,
+        "w": pa.array(np.full(n, IMG_W, dtype=np.int32)),
+        "h": pa.array(np.full(n, IMG_H, dtype=np.int32)),
+        "fmt": pa.array(["raw"] * n, type=pa.string()),
+        "caption": pa.array(caption, type=pa.string()),
+        "phash": pa.array(phash),
+    })
 
 
 def ensure_fixtures(sf_dir: str, n_rows: int | None = None) -> str:
