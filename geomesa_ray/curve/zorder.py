@@ -105,3 +105,19 @@ def z2_encode(ix, iy):
 def z2_decode(z):
     z = np.asarray(z, dtype=U)
     return combine32(z), combine32(z >> U(1))
+
+
+def seek_skip(ranges_lo: np.ndarray, ranges_hi: np.ndarray, z: int) -> int | None:
+    """Next z at-or-after ``z`` inside the covering range list, or None.
+
+    Fulfils the role of the reference's Tropf LITMAX/BIGMIN seek-skipping
+    (``Z3.scala:181-232`` ``zdiv``): the reference computes BIGMIN on the
+    fly because it cannot enumerate ranges exhaustively per tablet; this
+    engine precomputes merged covering ranges at plan time (zranges +
+    MergeQueue), so the provably-equivalent skip is a binary search over
+    that list. Used when seeking within (week, z3)-sorted partitions.
+    """
+    i = int(np.searchsorted(ranges_hi, z))
+    if i >= len(ranges_lo):
+        return None
+    return max(z, int(ranges_lo[i]))

@@ -85,6 +85,61 @@ def minmax_time(sf_dir: str, table: str = "lineitem",
                      "tmax": pa.array([tmax], pa.int64()).cast(pa.timestamp("us"))})
 
 
+def pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-flavoured multi-aggregate over lineitem, with all sums in
+    integer domains (cents / basis points) so the DuckDB oracle matches
+    bit-exactly (float sums are order-dependent): per (returnflag,
+    linestatus): row count, sum quantity, revenue in cent-bp =
+    round(price*100) * (100 - round(discount*100))."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        qty = df["l_quantity"].to_numpy()
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        disc = np.round(df["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        df2 = df[["l_returnflag", "l_linestatus"]].copy()
+        df2["cnt"] = 1
+        df2["sum_qty"] = qty.astype(np.int64)
+        df2["revenue_centbp"] = cents * (100 - disc)
+        out = df2.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice", "l_discount"])
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+
+    def final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = df.groupby(["l_returnflag", "l_linestatus"], as_index=False,
+                         sort=True).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from geomesa_ray.util import gather_combine
+
+    return gather_combine(parts, final)
+
+
+def map_value_agg(sf_dir: str) -> ray.data.Dataset:
+    """Map-value aggregation (``MapAggregatingIterator.scala:32-79``
+    analog): merge the events' props map {k: int} elementwise per
+    event_type — (event_type, sum_k). JSON value extracted with an RE2
+    regex, same engine DuckDB uses."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = pc.extract_regex(batch.column("props"), r'"k": (?P<v>\d+)')
+        vals = pc.struct_field(v, "v").cast(pa.int64())
+        df = batch.select(["event_type"]).to_pandas()
+        df["sum_k"] = vals.to_numpy(zero_copy_only=False)
+        out = df.groupby(["event_type"], as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+    return gather_combine(parts, lambda b: sum_by_keys(b, ["event_type"], "sum_k"))
+
+
 def attr_record_join(sf_dir: str, size_below: int = 10) -> ray.data.Dataset:
     """Broadcast semi-join: lineitem rows whose part has p_size < N,
     emitting (l_orderkey, l_partkey, p_size)."""

@@ -142,6 +142,69 @@ class _ScanFilter:
         return batch.slice(0, 0)
 
 
+def scan_or(fixture_dir: str, queries: list[SpatialQuery],
+            columns: list[str] | None = None) -> ray.data.Dataset:
+    """OR of multiple box queries via the reference's disjoint rewrite:
+    arms become A, B AND NOT A, C AND NOT A AND NOT B, ... so the union
+    is disjoint and needs NO dedup shuffle
+    (``QueryFilterSplitter.scala:210-225``; OR-splitting
+    ``QueryPlanner.splitQueryOnOrs:347-365``). Each arm is a pruned scan.
+    """
+    need = ["image_id", "phash"]
+    if columns:
+        need = list(dict.fromkeys(need + columns))
+    plans = [plan_query(q) for q in queries]
+
+    def arm_filter(i):
+        plan = plans[i]
+        exclude = queries[:i]
+
+        def fn(batch: pa.Table) -> pa.Table:
+            week = batch.column("week").to_numpy(zero_copy_only=False)
+            z3 = batch.column("z3").to_numpy(zero_copy_only=False)
+            m = coarse_mask(plan, week, z3)
+            if not m.any():
+                return batch.slice(0, 0)
+            sub = batch.filter(pa.array(m))
+            lon = sub.column("lon").to_numpy(zero_copy_only=False)
+            lat = sub.column("lat").to_numpy(zero_copy_only=False)
+            dtg = sub.column("dtg_s").to_numpy(zero_copy_only=False)
+            keep = exact_mask(plan.query, lon, lat, dtg)
+            for q in exclude:  # the NOT-previous-arms rewrite
+                keep &= ~exact_mask(q, lon, lat, dtg)
+            return sub.filter(pa.array(keep))
+
+        return fn
+
+    arms = []
+    for i in range(len(queries)):
+        ds = read_images(fixture_dir, columns=need)
+        ds = ds.map_batches(derive_and_encode, batch_format="pyarrow")
+        arms.append(ds.map_batches(arm_filter(i), batch_format="pyarrow"))
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.union(a)
+    return out
+
+
+def sample_cells(fixture_dir: str, permille: int = 100,
+                 query: SpatialQuery | None = None) -> ray.data.Dataset:
+    """Deterministic ~permille/1000 sample: keep rows with
+    (phash & 1023) < permille * 1024 // 1000 — the spatial-sampling role
+    of ``BoundingBoxSampler`` (pseudo-random cell sequence), reproducible
+    in SQL. Optionally restricted to a query box."""
+    thresh = permille * 1024 // 1000
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ph = batch.column("phash").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((ph & np.int64(1023)) < thresh))
+
+    if query is not None:
+        return scan(fixture_dir, query).map_batches(keep, batch_format="pyarrow")
+    ds = read_images(fixture_dir, columns=["image_id", "phash"])
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def scan(fixture_dir: str, query: SpatialQuery,
          columns: list[str] | None = None) -> ray.data.Dataset:
     """Query the image table: rows whose derived (lon, lat, dtg) fall in
