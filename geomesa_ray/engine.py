@@ -1,0 +1,202 @@
+"""Public engine facade — the analog of GeoMesa's WPS process surface.
+
+Reference parity: each GeoTools ``@DescribeProcess`` (``process/*``) maps
+to one method returning a ``ray.data.Dataset``; the datastore lifecycle
+(createSchema / feature writer / feature reader) maps to
+``ingest_store`` / ``query``. A user of the reference's query +
+processing surface drives every capability from this one class.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from geomesa_ray.pipelines.scan import SpatialQuery
+from geomesa_ray.planner import QuerySpec, Strategy, choose_strategy, intersect_id_sets
+
+
+class GeoMesaRayEngine:
+    """Engine over one image+caption corpus directory (parquet or lance)."""
+
+    def __init__(self, fixture_dir: str, store_dir: str | None = None):
+        self.fixture_dir = fixture_dir
+        self.store_dir = store_dir
+
+    # ---- datastore lifecycle
+
+    def ingest_store(self, store_dir: str, **kw) -> dict:
+        """createSchema + feature-writer analog: cell-bucketed sorted
+        layout with lineage manifests (resumable)."""
+        from geomesa_ray.state.store import write_store
+
+        self.store_dir = store_dir
+        return write_store(self.fixture_dir, store_dir, **kw)
+
+    # ---- query path (strategy-decided)
+
+    def query(self, spec: QuerySpec,
+              strategy_override: Strategy | None = None) -> ray.data.Dataset:
+        """Cost-based strategy choice, then the matching pipeline; exact
+        refinement of remaining predicates is always applied."""
+        from geomesa_ray.pipelines.scan import scan
+        from geomesa_ray.planner import record_lookup
+
+        strat = choose_strategy(spec, strategy_override)
+        if strat is Strategy.RECORD:
+            ids = intersect_id_sets(spec)
+            ds = record_lookup(self.fixture_dir, ids or [])
+            return self._refine(ds, spec, skip_ids=True)
+        if strat is Strategy.ATTRIBUTE:
+            ds = self._attribute_scan(spec)
+            return self._refine(ds, spec, skip_attr=True)
+        q = self._to_spatial_query(spec)
+        if self.store_dir is not None:
+            from geomesa_ray.state.store import read_store
+
+            ds = read_store(self.store_dir, q)
+        else:
+            ds = scan(self.fixture_dir, q)
+        return self._refine(ds, spec, skip_spatial=True)
+
+    def _to_spatial_query(self, spec: QuerySpec) -> SpatialQuery:
+        bbox = spec.bbox or (-180.0, 180.0, -90.0, 90.0)
+        t0, t1 = spec.interval_s or (None, None)
+        return SpatialQuery(*bbox, t0, t1)
+
+    def _attribute_scan(self, spec: QuerySpec) -> ray.data.Dataset:
+        from geomesa_ray.sources.io import read_images
+        from geomesa_ray.stages.encode import derive_and_encode
+
+        cols = list({"image_id", "phash", *spec.attr_eq.keys()})
+
+        def keep(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            m = pa.array(np.ones(batch.num_rows, dtype=bool))
+            for col, val in spec.attr_eq.items():
+                m = pc.and_(m, pc.equal(batch.column(col), val))
+            return batch.filter(m)
+
+        ds = read_images(self.fixture_dir, columns=cols)
+        return ds.map_batches(keep, batch_format="pyarrow").map_batches(
+            derive_and_encode, batch_format="pyarrow")
+
+    def _refine(self, ds: ray.data.Dataset, spec: QuerySpec, skip_ids=False,
+                skip_attr=False, skip_spatial=False) -> ray.data.Dataset:
+        import pyarrow.compute as pc
+
+        from geomesa_ray.pipelines.scan import exact_mask
+        from geomesa_ray.stages.derive import phash_to_dtg_s, phash_to_lonlat
+
+        ids = None if skip_ids else intersect_id_sets(spec)
+        attr = {} if skip_attr else spec.attr_eq
+        q = None
+        if not skip_spatial and (spec.bbox is not None or spec.interval_s):
+            q = self._to_spatial_query(spec)
+
+        if ids is None and not attr and q is None:
+            return ds
+
+        want = np.array(sorted(ids), dtype=object) if ids is not None else None
+
+        def fn(batch: pa.Table) -> pa.Table:
+            m = np.ones(batch.num_rows, dtype=bool)
+            if want is not None:
+                if len(want) == 0:
+                    m &= False
+                else:
+                    col = batch.column("image_id")
+                    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                    vals = np.asarray(col.to_pylist(), dtype=object)
+                    pos = np.clip(np.searchsorted(want, vals), 0, len(want) - 1)
+                    m &= want[pos] == vals
+            for col, val in attr.items():
+                m &= pc.equal(batch.column(col), val).to_numpy(zero_copy_only=False)
+            if q is not None:
+                ph = batch.column("phash").to_numpy(zero_copy_only=False)
+                lon, lat = phash_to_lonlat(ph)
+                m &= exact_mask(q, lon, lat, phash_to_dtg_s(ph))
+            return batch.filter(pa.array(m))
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    # ---- analytic processes (WPS analogs)
+
+    def pip_join(self, regions: pa.Table, **kw) -> ray.data.Dataset:
+        from geomesa_ray.pipelines.pip_join import pip_join
+
+        return pip_join(self.fixture_dir, regions=regions, **kw)
+
+    def knn(self, probes: pa.Table | None = None, **kw) -> ray.data.Dataset:
+        from geomesa_ray.pipelines.knn import knn
+
+        return knn(self.fixture_dir, probes, **kw)
+
+    def proximity(self, lon, lat, ids, dist_m: float) -> ray.data.Dataset:
+        from geomesa_ray.pipelines.proximity import proximity_join
+
+        return proximity_join(self.fixture_dir, lon, lat, ids, dist_m)
+
+    def tube_select(self, **kw) -> ray.data.Dataset:
+        from geomesa_ray.pipelines.tube import tube_select
+
+        return tube_select(self.fixture_dir, **kw)
+
+    def density(self, **kw) -> ray.data.Dataset:
+        from geomesa_ray.pipelines.density import density
+
+        return density(self.fixture_dir, **kw)
+
+    def unique(self, sf_dir: str, table: str, col: str) -> ray.data.Dataset:
+        from geomesa_ray.pipelines.aggregates import unique_values
+
+        return unique_values(sf_dir, table, col)
+
+    def tiles(self, level: int = 8) -> ray.data.Dataset:
+        from geomesa_ray.pipelines.tiles import tile_assignment
+
+        return tile_assignment(self.fixture_dir, level)
+
+    def mosaic(self, level: int = 8) -> ray.data.Dataset:
+        from geomesa_ray.pipelines.tiles import mosaic
+
+        return mosaic(self.fixture_dir, level)
+
+    def bbox_union(self) -> pa.Table:
+        """BBOX-combiner analog (``BBOXCombiner.scala:24-50``): envelope
+        union of the corpus (per-batch partials, driver combine)."""
+        from geomesa_ray.sources.io import read_images
+        from geomesa_ray.stages.derive import derive_geometry
+
+        def partial(batch: pa.Table) -> pa.Table:
+            lon = batch.column("lon").to_numpy(zero_copy_only=False)
+            lat = batch.column("lat").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "lon_min": pa.array([float(lon.min())]),
+                "lon_max": pa.array([float(lon.max())]),
+                "lat_min": pa.array([float(lat.min())]),
+                "lat_max": pa.array([float(lat.max())]),
+            })
+
+        ds = read_images(self.fixture_dir, columns=["phash"]).map_batches(
+            derive_geometry, batch_format="pyarrow").map_batches(
+            partial, batch_format="pyarrow")
+        rows = ds.take_all()
+        return pa.table({
+            "lon_min": pa.array([min(r["lon_min"] for r in rows)]),
+            "lon_max": pa.array([max(r["lon_max"] for r in rows)]),
+            "lat_min": pa.array([min(r["lat_min"] for r in rows)]),
+            "lat_max": pa.array([max(r["lat_max"] for r in rows)]),
+        })
+
+    def sorted_export(self, query: SpatialQuery) -> ray.data.Dataset:
+        """Globally-ordered export by (week, z3, image_id) — the
+        LazySortedIterator analog as a distributed range-partition sort
+        (``QueryPlanner.scala:394-448``)."""
+        from geomesa_ray.pipelines.scan import scan
+
+        ds = scan(self.fixture_dir, query)
+        return ds.sort(["week", "z3", "image_id"])

@@ -1,0 +1,103 @@
+"""Query strategy decider — the cost-based plan chooser.
+
+Reference parity: ``QueryStrategyDecider.chooseStrategies``
+(``QueryStrategyDecider.scala:68-115``) partitions a query's predicates
+into ID / attribute / spatio-temporal groups and picks the cheapest
+strategy by fixed costs: record(id)=1, attribute=1..MaxInt by declared
+cardinality, z3=200 (point+time), st=400 (spatial only)
+(``RecordIdxStrategy.scala:30``, ``AttributeIdxStrategy.scala:172-198``,
+``Z3IdxStrategy.scala:193-194``, ``STIdxStrategy.scala:255``). The same
+constants order our strategies; a ``strategy_override`` kwarg mirrors the
+reference's QUERY_STRATEGY_KEY hint (``QueryPlanner.scala:248-270``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+
+class Strategy(Enum):
+    RECORD = "record"       # id-filter lookup
+    ATTRIBUTE = "attribute"  # secondary-attribute predicate
+    Z3 = "z3"               # bbox + time interval
+    ST = "st"               # bbox only (cell prune, full time)
+
+    @property
+    def cost(self) -> int:
+        return {Strategy.RECORD: 1, Strategy.ATTRIBUTE: 100,
+                Strategy.Z3: 200, Strategy.ST: 400}[self]
+
+
+@dataclass
+class QuerySpec:
+    """Predicate bundle: any combination of id set, attribute equality,
+    bbox, time interval."""
+
+    ids: list[str] | None = None           # image_id IN (...)
+    id_sets: list[list[str]] | None = None  # AND of several id filters
+    attr_eq: dict = field(default_factory=dict)  # {col: value}
+    bbox: tuple | None = None              # (lon0, lon1, lat0, lat1)
+    interval_s: tuple | None = None        # (t0, t1) unix seconds
+
+
+def intersect_id_sets(spec: QuerySpec) -> list[str] | None:
+    """AND of Id filters = plan-time set intersection
+    (``RecordIdxStrategy.scala:32-41``)."""
+    sets = []
+    if spec.ids is not None:
+        sets.append(set(spec.ids))
+    for s in spec.id_sets or []:
+        sets.append(set(s))
+    if not sets:
+        return None
+    out = sets[0]
+    for s in sets[1:]:
+        out &= s
+    return sorted(out)
+
+
+def choose_strategy(spec: QuerySpec, override: Strategy | None = None) -> Strategy:
+    if override is not None:
+        return override
+    candidates = []
+    if spec.ids is not None or spec.id_sets:
+        candidates.append(Strategy.RECORD)
+    if spec.attr_eq:
+        candidates.append(Strategy.ATTRIBUTE)
+    if spec.bbox is not None and spec.interval_s is not None:
+        candidates.append(Strategy.Z3)
+    elif spec.bbox is not None:
+        candidates.append(Strategy.ST)
+    if not candidates:
+        candidates.append(Strategy.ST)  # full scan fallback
+    return min(candidates, key=lambda s: s.cost)
+
+
+def record_lookup(fixture_dir: str, ids: list[str],
+                  columns: list[str] | None = None) -> ray.data.Dataset:
+    """Record-index lookup: rows by exact id set (RecordIdxStrategy).
+    The id set is broadcast-sorted; probe is a vectorized searchsorted
+    (the 32768-entry batched-lookup precedent)."""
+    from geomesa_ray.sources.io import read_images
+
+    want = np.array(sorted(ids), dtype=object)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        col = batch.column("image_id")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = np.asarray(col.to_pylist(), dtype=object)
+        pos = np.searchsorted(want, vals)
+        pos_c = np.clip(pos, 0, len(want) - 1)
+        hit = want[pos_c] == vals
+        return batch.filter(pa.array(hit))
+
+    need = columns if columns is not None else ["image_id", "phash", "caption"]
+    ds = read_images(fixture_dir, columns=need)
+    return ds.map_batches(probe, batch_format="pyarrow")

@@ -1,0 +1,169 @@
+"""Engine facade, strategy decider, record lookup, ingest/export tests."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geomesa_ray.engine import GeoMesaRayEngine
+from geomesa_ray.pipelines.scan import SpatialQuery, exact_mask
+from geomesa_ray.planner import (
+    QuerySpec,
+    Strategy,
+    choose_strategy,
+    intersect_id_sets,
+    record_lookup,
+)
+from geomesa_ray.sources.fixtures import gen_images_table
+from geomesa_ray.stages.derive import phash_to_dtg_s, phash_to_lonlat
+
+
+class TestStrategyDecider:
+    def test_record_beats_everything(self):
+        spec = QuerySpec(ids=["img00000001"], attr_eq={"fmt": "raw"},
+                         bbox=(0, 1, 0, 1), interval_s=(0, 1))
+        assert choose_strategy(spec) is Strategy.RECORD
+
+    def test_attr_beats_spatial(self):
+        spec = QuerySpec(attr_eq={"fmt": "raw"}, bbox=(0, 1, 0, 1),
+                         interval_s=(0, 1))
+        assert choose_strategy(spec) is Strategy.ATTRIBUTE
+
+    def test_z3_vs_st(self):
+        assert choose_strategy(QuerySpec(bbox=(0, 1, 0, 1),
+                                         interval_s=(0, 1))) is Strategy.Z3
+        assert choose_strategy(QuerySpec(bbox=(0, 1, 0, 1))) is Strategy.ST
+
+    def test_override(self):
+        spec = QuerySpec(ids=["a"])
+        assert choose_strategy(spec, override=Strategy.ST) is Strategy.ST
+
+    def test_id_intersection(self):
+        spec = QuerySpec(ids=["a", "b", "c"], id_sets=[["b", "c", "d"], ["c", "b"]])
+        assert intersect_id_sets(spec) == ["b", "c"]
+
+
+class TestRecordLookup:
+    def test_lookup(self, ray_session, tiny_fixtures):
+        ids = ["img00000005", "img00000100", "img00005999"]
+        rows = record_lookup(tiny_fixtures, ids).take_all()
+        assert sorted(r["image_id"] for r in rows) == ids
+        # caption payload intact
+        ref = gen_images_table(6000)
+        cap = dict(zip(ref.column("image_id").to_pylist(),
+                       ref.column("caption").to_pylist()))
+        assert all(r["caption"] == cap[r["image_id"]] for r in rows)
+
+
+class TestEngineQuery:
+    def test_combined_predicates_any_strategy(self, ray_session, tiny_fixtures):
+        """All strategies must return the SAME rows for the same spec."""
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        ref = gen_images_table(6000)
+        ids = ref.column("image_id").to_pylist()[:500]
+        q = SpatialQuery(-90.0, 90.0, -45.0, 45.0)
+        spec = QuerySpec(ids=ids, bbox=(-90.0, 90.0, -45.0, 45.0))
+
+        lon, lat = phash_to_lonlat(ref.column("phash").to_numpy())
+        dtg = phash_to_dtg_s(ref.column("phash").to_numpy())
+        m = exact_mask(q, lon, lat, dtg)
+        want = {i for i, keep in zip(ref.column("image_id").to_pylist(), m)
+                if keep and i in set(ids)}
+
+        for override in [None, Strategy.ST]:
+            got = {r["image_id"] for r in
+                   eng.query(spec, strategy_override=override)
+                   .select_columns(["image_id"]).take_all()}
+            assert got == want, f"strategy={override}"
+
+    def test_store_backed_query(self, ray_session, tiny_fixtures, tmp_path):
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        eng.ingest_store(str(tmp_path / "store"))
+        spec = QuerySpec(bbox=(-10.0, 25.0, -5.0, 30.0))
+        got = {r["image_id"] for r in eng.query(spec)
+               .select_columns(["image_id"]).take_all()}
+        ref = gen_images_table(6000)
+        lon, lat = phash_to_lonlat(ref.column("phash").to_numpy())
+        dtg = phash_to_dtg_s(ref.column("phash").to_numpy())
+        m = exact_mask(SpatialQuery(-10.0, 25.0, -5.0, 30.0), lon, lat, dtg)
+        want = set(np.array(ref.column("image_id").to_pylist())[m].tolist())
+        assert got == want
+
+    def test_bbox_union(self, ray_session, tiny_fixtures):
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        t = eng.bbox_union().to_pylist()[0]
+        assert -180 <= t["lon_min"] < t["lon_max"] <= 180
+
+    def test_sorted_export_ordering(self, ray_session, tiny_fixtures):
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        rows = eng.sorted_export(SpatialQuery(-60.0, 60.0, -60.0, 60.0)) \
+            .select_columns(["week", "z3"]).take_all()
+        key = [(r["week"], r["z3"]) for r in rows]
+        assert key == sorted(key)
+        assert len(rows) > 100
+
+
+class TestIngestExport:
+    def test_csv_roundtrip(self, ray_session, tmp_path):
+        import pandas as pd
+
+        from geomesa_ray.sources.ingest import csv_ingest
+
+        src = tmp_path / "in.csv"
+        pd.DataFrame({"name": [" Alice ", "bob"], "x": [1.5, 2.5],
+                      "y": [10.0, 20.0]}).to_csv(src, index=False)
+        spec = {
+            "name": ("trim", "col:name"),
+            "name_up": ("uppercase", "col:name"),
+            "geom": ("point_wkt", "col:x", "col:y"),
+            "x2": ("multiply", "col:x", "col:x"),
+        }
+        rows = sorted(csv_ingest([str(src)], spec).take_all(),
+                      key=lambda r: r["name"].lower())
+        assert rows[0]["name"] == "Alice" and rows[0]["name_up"] == " ALICE "
+        assert rows[0]["geom"] == "POINT (1.5 10)"
+        assert rows[1]["x2"] == 6.25
+
+    def test_json_ingest(self, ray_session, tmp_path):
+        from geomesa_ray.sources.ingest import json_ingest
+
+        src = tmp_path / "in.json"
+        with open(src, "w") as f:
+            f.write('{"a": "x", "n": 3}\n{"a": "y", "n": 4}\n')
+        rows = sorted(json_ingest([str(src)], {"a": "col:a",
+                                               "n2": ("add", "col:n", "col:n")})
+                      .take_all(), key=lambda r: r["a"])
+        assert rows[0]["n2"] == 6
+
+    def test_geojson_export(self, ray_session, tiny_fixtures, tmp_path):
+        import ray.data
+
+        from geomesa_ray.sources.exports import export_geojson
+        from geomesa_ray.sources.io import read_images
+        from geomesa_ray.stages.derive import derive_geometry
+
+        ds = read_images(tiny_fixtures, columns=["image_id", "phash"]) \
+            .map_batches(derive_geometry, batch_format="pyarrow") \
+            .select_columns(["image_id", "lon", "lat"]).limit(50)
+        out = str(tmp_path / "gj")
+        export_geojson(ds, out)
+        feats = []
+        for fn in os.listdir(out):
+            with open(os.path.join(out, fn)) as f:
+                for line in f:
+                    if line.strip():
+                        feats.append(json.loads(line))
+        assert len(feats) == 50
+        g = json.loads(feats[0]["feature"]) if "feature" in feats[0] else feats[0]
+        assert g["type"] == "Feature" and g["geometry"]["type"] == "Point"
+
+    def test_csv_export(self, ray_session, tiny_fixtures, tmp_path):
+        from geomesa_ray.sources.exports import export_csv
+        from geomesa_ray.sources.io import read_images
+
+        out = str(tmp_path / "csv")
+        export_csv(read_images(tiny_fixtures, columns=["image_id", "phash"])
+                   .limit(10), out)
+        assert any(f.endswith(".csv") for f in os.listdir(out))
