@@ -89,6 +89,8 @@ def record_lookup(fixture_dir: str, ids: list[str],
     want = np.array(sorted(ids), dtype=object)
 
     def probe(batch: pa.Table) -> pa.Table:
+        if len(want) == 0:  # empty id set (e.g. empty AND-intersection)
+            return batch.slice(0, 0)
         col = batch.column("image_id")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()

@@ -167,3 +167,13 @@ class TestIngestExport:
         export_csv(read_images(tiny_fixtures, columns=["image_id", "phash"])
                    .limit(10), out)
         assert any(f.endswith(".csv") for f in os.listdir(out))
+
+
+class TestEmptyIdSet:
+    def test_empty_intersection_returns_zero_rows(self, ray_session, tiny_fixtures):
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        spec = QuerySpec(ids=["img00000010"], id_sets=[["img99999999"]])
+        assert eng.query(spec).count() == 0
+
+    def test_record_lookup_empty_ids(self, ray_session, tiny_fixtures):
+        assert record_lookup(tiny_fixtures, []).count() == 0
