@@ -104,3 +104,118 @@ def knn(fixture_dir: str, probes: pa.Table | None = None,
     ds = ds.map_batches(derive_geometry, batch_format="pyarrow")
     parts = ds.map_batches(partial, batch_format="pyarrow")
     return gather_combine(parts, final)
+
+
+def knn_indexed(store_dir: str, probes: pa.Table | None = None,
+                fixture_dir: str | None = None) -> pa.Table:
+    """Index-pruned kNN over a SpatialStore: per-probe ring expansion on
+    the bucket grid with the reference's termination rule — stop when the
+    unread rings' minimum possible distance exceeds the kth-best distance
+    (``KNNQuery.scala:56-81`` spiral + ``GeoHashSpiral`` enumeration,
+    re-expressed as batched ring reads).
+
+    Each iteration does ONE pruned distributed read of the newly-needed
+    partitions for all still-active probes (never re-reading a bucket),
+    and a broadcast vectorized distance pass; candidate state is
+    O(probes x k) on the driver. Exactly matches the full-scan planar
+    ``knn()`` (verified in tests). Returns an arrow Table.
+    """
+    import os
+
+    from geomesa_ray.state.store import completed_partitions, read_meta
+
+    if probes is None:
+        probes = pq.read_table(os.path.join(fixture_dir, "probes.parquet"))
+    meta = read_meta(store_dir)
+    blevel = meta["bucket_level"]
+    nx = 1 << blevel
+    cell_w = 360.0 / nx
+    cell_h = 180.0 / nx
+    min_cell = min(cell_w, cell_h)
+
+    plon = probes.column("lon").to_numpy()
+    plat = probes.column("lat").to_numpy()
+    pk = probes.column("k").to_numpy()
+    pids = probes.column("probe_id").to_pylist()
+    npr = len(pids)
+
+    from geomesa_ray.curve.sfc import lonlat_to_xy
+    from geomesa_ray.curve.zorder import U, z2_encode
+
+    px, py = lonlat_to_xy(plon, plat, blevel, blevel)
+    existing = {int(b) for b in completed_partitions(store_dir)}
+
+    # per-probe candidate state: (dist, image_id) lists kept at <= k
+    cand: list[list] = [[] for _ in range(npr)]
+    read_buckets: set[int] = set()
+    active = set(range(npr))
+    ring = 0
+    max_ring = nx  # covers the whole grid (with lon wrap)
+
+    def ring_cells(p: int, r: int) -> set[int]:
+        cx, cy = int(px[p]), int(py[p])
+        out = set()
+        for dx in range(-r, r + 1):
+            for dy in (-r, r):
+                yy = cy + dy
+                if 0 <= yy < nx:
+                    out.add(((cx + dx) % nx, yy))
+        for dy in range(-r + 1, r):
+            for dx in (-r, r):
+                yy = cy + dy
+                if 0 <= yy < nx:
+                    out.add(((cx + dx) % nx, yy))
+        if r == 0:
+            out = {(cx, cy)}
+        return {int(z2_encode(np.uint64(x), np.uint64(y))) for x, y in out}
+
+    while active and ring <= max_ring:
+        needed = set()
+        for p in active:
+            needed |= ring_cells(p, ring)
+        new = (needed & existing) - read_buckets
+        read_buckets |= needed
+        if new:
+            paths = [os.path.join(store_dir, f"part={b}", "data.parquet")
+                     for b in sorted(new)]
+            t = pq.read_table(paths, columns=["image_id", "lon", "lat"])
+            lon = t.column("lon").to_numpy()
+            lat = t.column("lat").to_numpy()
+            ids = t.column("image_id").to_pylist()
+            for p in list(active):
+                dx = lon - plon[p]
+                dy = lat - plat[p]
+                d = (dx * dx) + (dy * dy)
+                k = int(pk[p])
+                if len(d) > k:
+                    thresh = np.partition(d, k - 1)[k - 1]
+                    sel = np.nonzero(d <= thresh)[0]
+                else:
+                    sel = np.arange(len(d))
+                cand[p].extend((float(d[i]), ids[i]) for i in sel)
+                cand[p].sort()
+                if len(cand[p]) > k:
+                    # keep the top k plus every tie at the kth distance
+                    kd = cand[p][k - 1][0]
+                    cut = k
+                    while cut < len(cand[p]) and cand[p][cut][0] == kd:
+                        cut += 1
+                    del cand[p][cut:]
+        # termination: unread rings are at distance >= ring * min_cell
+        bound = (ring * min_cell) ** 2
+        for p in list(active):
+            k = int(pk[p])
+            if len(cand[p]) >= k and cand[p][k - 1][0] <= bound:
+                active.discard(p)
+        ring += 1
+
+    out_p, out_i, out_r = [], [], []
+    for p in range(npr):
+        top = sorted(cand[p])[: int(pk[p])]
+        for r, (_, iid) in enumerate(top, 1):
+            out_p.append(pids[p])
+            out_i.append(iid)
+            out_r.append(r)
+    return pa.table({"probe_id": pa.array(out_p, pa.string()),
+                     "image_id": pa.array(out_i, pa.string()),
+                     "knn_rank": pa.array(out_r, pa.int64())})

@@ -102,6 +102,90 @@ def topk_cosine(sf_dir: str, num_queries: int = 8, k: int = 10) -> ray.data.Data
     return gather_combine(parts, final)
 
 
+def topk_cosine_ivf(sf_dir: str, num_queries: int = 8, k: int = 10,
+                    n_centroids: int = 16, nprobe: int = 4) -> ray.data.Dataset:
+    """IVF-bucketed approximate top-k cosine — the 10^12-row scale path.
+
+    A coarse codebook (here: the first ``n_centroids`` embeddings,
+    deterministic; at scale, k-means on a sample) is broadcast. Each query
+    selects its ``nprobe`` closest buckets driver-side; each batch then
+    assigns its rows to buckets (one matmul against the codebook) and
+    computes exact cosines ONLY for (query, row) pairs sharing a probed
+    bucket. Partial top-k -> one combine, same as the exact pipeline.
+    With ``nprobe == n_centroids`` this degrades to exact brute force
+    (verified in tests); smaller nprobe trades recall for a ~nprobe/n
+    fraction of the matmul work.
+    """
+    from geomesa_ray.util import gather_combine, resolve_broadcast
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"]).sort_by("vec_id")
+    cent = _normalize(_embedding_matrix(t.slice(0, n_centroids)))
+    qids = t.column("vec_id").to_numpy()[:num_queries]
+    q = _normalize(_embedding_matrix(t.slice(0, num_queries)))
+    # per-query probed buckets (driver-side, tiny)
+    qsim = q @ cent.T
+    probed = np.argsort(-qsim, axis=1)[:, :nprobe]  # (Q, nprobe)
+    ref = ray.put((qids, q, cent, probed))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids_, q_, cent_, probed_ = resolve_broadcast(ref)
+        x = _normalize(_embedding_matrix(batch))
+        vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        bucket = np.argmax(x @ cent_.T, axis=1)  # (B,)
+        out_q, out_v, out_c = [], [], []
+        for qi in range(len(qids_)):
+            m = np.isin(bucket, probed_[qi])
+            if not m.any():
+                continue
+            idx = np.nonzero(m)[0]
+            s = q_[qi] @ x[idx].T
+            kk = min(k + 1, len(idx))
+            if len(idx) > kk:
+                thresh = np.partition(s, len(idx) - kk)[len(idx) - kk]
+                sel = np.nonzero(s >= thresh)[0]
+            else:
+                sel = np.arange(len(idx))
+            out_q.append(np.full(len(sel), qids_[qi], dtype=np.int64))
+            out_v.append(vids[idx[sel]])
+            out_c.append(s[sel])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "cos": pa.array(np.concatenate(out_c)),
+        })
+
+    def final(batch: pa.Table) -> pa.Table:
+        qv = batch.column("query_id").to_numpy(zero_copy_only=False)
+        v = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        c = batch.column("cos").to_numpy(zero_copy_only=False)
+        out_q, out_v, out_r = [], [], []
+        for qid in np.unique(qv):
+            sel = np.nonzero((qv == qid) & (v != qid))[0]
+            order = np.lexsort((v[sel], -c[sel]))[:k]
+            take = sel[order]
+            out_q.append(np.full(len(take), qid, dtype=np.int64))
+            out_v.append(v[take])
+            out_r.append(np.arange(1, len(take) + 1, dtype=np.int64))
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim_rank": pa.array([], pa.int64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "sim_rank": pa.array(np.concatenate(out_r)),
+        })
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return gather_combine(parts, final)
+
+
 def embed_neardup(sf_dir: str, tau: float = 0.35) -> ray.data.Dataset:
     """(vec_id_a, vec_id_b, cos): embedding pairs with cosine >= tau,
     a < b. The comparison side is broadcast (small at this scale; the

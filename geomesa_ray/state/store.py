@@ -117,8 +117,33 @@ def write_store(fixture_dir: str, out_dir: str,
     out = ds.groupby("bucket").map_groups(_bucket_writer(out_dir),
                                           batch_format="pyarrow")
     out.count()  # drive the pipeline; manifests are the durable output
+    _write_meta(out_dir, cell_level, bucket_level, need)
     manifests = completed_partitions(out_dir)
     return skew_stats(manifests)
+
+
+def _write_meta(out_dir: str, cell_level: int, bucket_level: int,
+                columns: list[str]) -> None:
+    """Store catalog record (the metadata-table analog of
+    ``AccumuloDataStore.createSchema``, ``data/package.scala:36-52``):
+    schema columns + partitioning spec, committed atomically."""
+    import json
+    import tempfile
+
+    payload = {"cell_level": cell_level, "bucket_level": bucket_level,
+               "columns": columns, "format": "parquet",
+               "sort_key": ["week", "z3", "image_id"], "version": 1}
+    fd, tmp = tempfile.mkstemp(dir=out_dir, prefix=".meta_")
+    with os.fdopen(fd, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, os.path.join(out_dir, "meta.json"))
+
+
+def read_meta(out_dir: str) -> dict:
+    import json
+
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        return json.load(f)
 
 
 def store_buckets_for_query(query: SpatialQuery, bucket_level: int) -> set[int]:

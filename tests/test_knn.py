@@ -1,0 +1,74 @@
+"""kNN tests: haversine variant vs brute-force oracle; indexed (ring
+expansion over the store) variant vs the full-scan planar pipeline."""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from geomesa_ray.geom.kernels import haversine_m
+from geomesa_ray.pipelines.knn import knn, knn_indexed
+from geomesa_ray.sources.fixtures import gen_images_table
+from geomesa_ray.stages.derive import phash_to_lonlat
+
+
+def knn_rows(ds_or_table):
+    rows = ds_or_table.take_all() if hasattr(ds_or_table, "take_all") else \
+        ds_or_table.to_pylist()
+    return {(r["probe_id"], r["knn_rank"]): r["image_id"] for r in rows}
+
+
+class TestHaversineKnn:
+    def test_vs_bruteforce(self, ray_session, tiny_fixtures):
+        got = knn_rows(knn(tiny_fixtures, metric="haversine"))
+        probes = pq.read_table(f"{tiny_fixtures}/probes.parquet")
+        t = gen_images_table(6000)
+        lon, lat = phash_to_lonlat(t.column("phash").to_numpy())
+        ids = np.asarray(t.column("image_id").to_pylist(), dtype=object)
+        for p in probes.to_pylist():
+            d = haversine_m(lon, lat, p["lon"], p["lat"])
+            order = np.lexsort((ids, d))[: p["k"]]
+            for r, i in enumerate(order, 1):
+                assert got[(p["probe_id"], r)] == ids[i], \
+                    f"probe {p['probe_id']} rank {r}"
+
+
+class TestIndexedKnn:
+    def test_matches_full_scan(self, ray_session, tiny_fixtures, tmp_path):
+        from geomesa_ray.state.store import write_store
+
+        store = str(tmp_path / "store")
+        write_store(tiny_fixtures, store)
+        got = knn_rows(knn_indexed(store, fixture_dir=tiny_fixtures))
+        want = knn_rows(knn(tiny_fixtures, metric="planar"))
+        assert got == want
+
+    def test_prunes_reads_for_clustered_probes(self, ray_session, tiny_fixtures,
+                                               tmp_path):
+        """A single probe with small k must not read every partition."""
+        import pyarrow as pa
+
+        from geomesa_ray.state.store import write_store
+
+        store = str(tmp_path / "store")
+        write_store(tiny_fixtures, store)
+        probes = pa.table({
+            "probe_id": pa.array(["p0"]), "lon": pa.array([10.0]),
+            "lat": pa.array([45.0]), "k": pa.array([3], pa.int32()),
+            "max_dist_m": pa.array([1e7]),
+        })
+        # instrument: count parquet reads via monkeypatched pq.read_table
+        import geomesa_ray.pipelines.knn as knn_mod
+
+        calls = []
+        orig = knn_mod.pq.read_table
+
+        def spy(paths, **kw):
+            calls.append(len(paths) if isinstance(paths, list) else 1)
+            return orig(paths, **kw)
+
+        knn_mod.pq.read_table = spy
+        try:
+            out = knn_indexed(store, probes=probes)
+        finally:
+            knn_mod.pq.read_table = orig
+        assert len(out) == 3
+        assert sum(calls) < 40, f"read {sum(calls)} partitions of 64"

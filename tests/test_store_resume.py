@@ -32,7 +32,7 @@ class TestWriteRead:
 
     def test_store_rows_sorted_by_week_z3(self, ray_session, tiny_fixtures, store_dir):
         write_store(tiny_fixtures, store_dir)
-        part = sorted(os.listdir(store_dir))[0]
+        part = sorted(p for p in os.listdir(store_dir) if p.startswith("part="))[0]
         t = pq.read_table(os.path.join(store_dir, part, "data.parquet"))
         week = t.column("week").to_numpy()
         z3 = t.column("z3").to_numpy()
@@ -75,7 +75,8 @@ class TestResume:
 
         # simulate a crashed run: copy only some completed partitions
         os.makedirs(store_dir)
-        parts = sorted(os.listdir(ref_dir))[: len(os.listdir(ref_dir)) // 2]
+        all_parts = sorted(p for p in os.listdir(ref_dir) if p.startswith("part="))
+        parts = all_parts[: len(all_parts) // 2]
         for p in parts:
             shutil.copytree(os.path.join(ref_dir, p), os.path.join(store_dir, p))
         mtimes = {p: os.path.getmtime(os.path.join(store_dir, p, "manifest.json"))

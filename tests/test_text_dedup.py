@@ -217,3 +217,26 @@ class TestImageOps:
         })
         with pytest.raises(NotImplementedError):
             decode_batch(batch)
+
+
+class TestIVF:
+    def test_full_probe_equals_exact(self, ray_session):
+        from geomesa_ray.stages.similarity import topk_cosine, topk_cosine_ivf
+
+        exact = {(r["query_id"], r["sim_rank"]): r["vec_id"]
+                 for r in topk_cosine(SF).take_all()}
+        ivf = {(r["query_id"], r["sim_rank"]): r["vec_id"]
+               for r in topk_cosine_ivf(SF, n_centroids=16, nprobe=16).take_all()}
+        assert ivf == exact  # probing every bucket must be exact
+
+    def test_partial_probe_recall(self, ray_session):
+        from geomesa_ray.stages.similarity import topk_cosine, topk_cosine_ivf
+
+        exact = {}
+        for r in topk_cosine(SF).take_all():
+            exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+        ivf = {}
+        for r in topk_cosine_ivf(SF, n_centroids=16, nprobe=6).take_all():
+            ivf.setdefault(r["query_id"], set()).add(r["vec_id"])
+        recalls = [len(ivf.get(q, set()) & s) / len(s) for q, s in exact.items()]
+        assert sum(recalls) / len(recalls) > 0.3  # random embeddings: modest
