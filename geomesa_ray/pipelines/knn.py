@@ -128,6 +128,7 @@ def knn_indexed(store_dir: str, probes: pa.Table | None = None,
         probes = pq.read_table(os.path.join(fixture_dir, "probes.parquet"))
     meta = read_meta(store_dir)
     blevel = meta["bucket_level"]
+    n_salt = meta.get("n_salt", 1) if meta.get("salted") else 1
     nx = 1 << blevel
     cell_w = 360.0 / nx
     cell_h = 180.0 / nx
@@ -173,6 +174,8 @@ def knn_indexed(store_dir: str, probes: pa.Table | None = None,
         needed = set()
         for p in active:
             needed |= ring_cells(p, ring)
+        # salted layout: expand each cell bucket to its salt partitions
+        needed = {c * n_salt + s for c in needed for s in range(n_salt)}
         new = (needed & existing) - read_buckets
         read_buckets |= needed
         if new:

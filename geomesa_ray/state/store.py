@@ -75,20 +75,58 @@ def _bucket_writer(out_dir: str):
     return write_bucket
 
 
+def bucket_counts(fixture_dir: str, cell_level: int,
+                  bucket_level: int) -> dict[int, int]:
+    """Per-bucket row histogram from a phash-only scan (the skew
+    detector; reference precedent: pre-split planning from data stats)."""
+    import pyarrow.compute as _pc
+
+    ds = read_images(fixture_dir, columns=["phash"])
+    ds = ds.map_batches(derive_and_encode, batch_format="pyarrow",
+                        fn_kwargs={"cell_level": cell_level})
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow",
+                        fn_kwargs={"cell_level": cell_level,
+                                   "bucket_level": bucket_level})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch.column("bucket").to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"bucket": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    out: dict[int, int] = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        out[r["bucket"]] = out.get(r["bucket"], 0) + r["n"]
+    return out
+
+
 def write_store(fixture_dir: str, out_dir: str,
                 cell_level: int = DEFAULT_CELL_LEVEL,
                 bucket_level: int = DEFAULT_BUCKET_LEVEL,
-                columns: list[str] | None = None) -> dict:
+                columns: list[str] | None = None,
+                hot_rows_threshold: int | None = None,
+                n_salt: int = 4) -> dict:
     """Ingest the image table into a cell-bucketed store. Returns skew/row
     metrics aggregated from the per-partition manifests.
 
     Resumable: buckets with committed manifests are filtered out before
     the shuffle; a killed run continues where it stopped.
+
+    Skew: with ``hot_rows_threshold``, a phash-only histogram pre-pass
+    finds buckets above the threshold and splits them into ``n_salt``
+    salted partitions (partition id = bucket * n_salt + salt; unsalted
+    buckets use salt 0) — the random-shard write-spreading precedent
+    (``IndexSchema.scala:108-113``). The salt map is recorded in
+    meta.json so reads expand bucket -> partition ids.
     """
     import ray
 
     os.makedirs(out_dir, exist_ok=True)
     done = {int(b) for b in completed_partitions(out_dir)}
+
+    hot: set[int] = set()
+    if hot_rows_threshold is not None:
+        hist = bucket_counts(fixture_dir, cell_level, bucket_level)
+        hot = {b for b, n in hist.items() if n > hot_rows_threshold}
 
     need = columns if columns is not None else ["image_id", "phash", "caption"]
     # size read blocks to the cluster: the groupby(bucket) sort-shuffle
@@ -103,6 +141,30 @@ def write_store(fixture_dir: str, out_dir: str,
     ds = ds.map_batches(add_bucket, batch_format="pyarrow",
                         fn_kwargs={"cell_level": cell_level,
                                    "bucket_level": bucket_level})
+    if hot:
+        hot_arr = np.array(sorted(hot), dtype=np.int64)
+
+        def salt_buckets(batch: pa.Table) -> pa.Table:
+            from geomesa_ray.sources.fixtures import splitmix64
+
+            b = batch.column("bucket").to_numpy(zero_copy_only=False)
+            ph = batch.column("phash").to_numpy(zero_copy_only=False)
+            salt = (splitmix64(ph.view(np.uint64) ^ np.uint64(0x5A17))
+                    % np.uint64(n_salt)).astype(np.int64)
+            salt = np.where(np.isin(b, hot_arr), salt, 0)
+            batch = batch.drop_columns(["bucket"])
+            return batch.append_column(
+                "bucket", pa.array(b * np.int64(n_salt) + salt))
+
+        ds = ds.map_batches(salt_buckets, batch_format="pyarrow")
+    elif hot_rows_threshold is not None:
+        # uniform partition-id space even when nothing is hot
+        def scale_buckets(batch: pa.Table) -> pa.Table:
+            b = batch.column("bucket").to_numpy(zero_copy_only=False)
+            batch = batch.drop_columns(["bucket"])
+            return batch.append_column("bucket", pa.array(b * np.int64(n_salt)))
+
+        ds = ds.map_batches(scale_buckets, batch_format="pyarrow")
     if done:
         done_arr = pa.array(sorted(done), pa.int64())
 
@@ -117,13 +179,16 @@ def write_store(fixture_dir: str, out_dir: str,
     out = ds.groupby("bucket").map_groups(_bucket_writer(out_dir),
                                           batch_format="pyarrow")
     out.count()  # drive the pipeline; manifests are the durable output
-    _write_meta(out_dir, cell_level, bucket_level, need)
+    _write_meta(out_dir, cell_level, bucket_level, need,
+                salted=hot_rows_threshold is not None, n_salt=n_salt,
+                hot_buckets=sorted(hot))
     manifests = completed_partitions(out_dir)
     return skew_stats(manifests)
 
 
 def _write_meta(out_dir: str, cell_level: int, bucket_level: int,
-                columns: list[str]) -> None:
+                columns: list[str], salted: bool = False,
+                n_salt: int = 1, hot_buckets: list[int] | None = None) -> None:
     """Store catalog record (the metadata-table analog of
     ``AccumuloDataStore.createSchema``, ``data/package.scala:36-52``):
     schema columns + partitioning spec, committed atomically."""
@@ -132,7 +197,9 @@ def _write_meta(out_dir: str, cell_level: int, bucket_level: int,
 
     payload = {"cell_level": cell_level, "bucket_level": bucket_level,
                "columns": columns, "format": "parquet",
-               "sort_key": ["week", "z3", "image_id"], "version": 1}
+               "sort_key": ["week", "z3", "image_id"], "version": 1,
+               "salted": salted, "n_salt": n_salt if salted else 1,
+               "hot_buckets": hot_buckets or []}
     fd, tmp = tempfile.mkstemp(dir=out_dir, prefix=".meta_")
     with os.fdopen(fd, "w") as f:
         json.dump(payload, f)
@@ -144,6 +211,81 @@ def read_meta(out_dir: str) -> dict:
 
     with open(os.path.join(out_dir, "meta.json")) as f:
         return json.load(f)
+
+
+def append_store(out_dir: str, new_images: pa.Table) -> dict:
+    """Incremental append/upsert: the batch analog of the reference's
+    streaming surface (live cache updates / replay,
+    ``LiveKafkaConsumerFeatureSource.scala:136-160``) — only the buckets
+    touched by new rows are recomputed and atomically rewritten.
+
+    Upsert by ``image_id`` (new row wins), mirroring the reference's
+    idempotent feature-id overwrite (``AccumuloFeatureWriter``), which
+    also makes re-running an append a no-op.
+    """
+    import ray
+    import ray.data
+
+    meta = read_meta(out_dir)
+    cell_level = meta["cell_level"]
+    bucket_level = meta["bucket_level"]
+    n_salt = meta.get("n_salt", 1) if meta.get("salted") else 1
+
+    ds = ray.data.from_arrow(new_images.select(meta["columns"]))
+    ds = ds.map_batches(derive_and_encode, batch_format="pyarrow",
+                        fn_kwargs={"cell_level": cell_level})
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow",
+                        fn_kwargs={"cell_level": cell_level,
+                                   "bucket_level": bucket_level})
+    if n_salt > 1:
+        hot_arr = np.array(sorted(meta.get("hot_buckets", [])), dtype=np.int64)
+
+        def salt(batch: pa.Table) -> pa.Table:
+            from geomesa_ray.sources.fixtures import splitmix64
+
+            b = batch.column("bucket").to_numpy(zero_copy_only=False)
+            ph = batch.column("phash").to_numpy(zero_copy_only=False)
+            s = (splitmix64(ph.view(np.uint64) ^ np.uint64(0x5A17))
+                 % np.uint64(n_salt)).astype(np.int64)
+            s = np.where(np.isin(b, hot_arr), s, 0)
+            batch = batch.drop_columns(["bucket"])
+            return batch.append_column("bucket",
+                                       pa.array(b * np.int64(n_salt) + s))
+
+        ds = ds.map_batches(salt, batch_format="pyarrow")
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        bucket = int(group.column("bucket")[0].as_py())
+        pdir = os.path.join(out_dir, f"part={bucket}")
+        path = os.path.join(pdir, "data.parquet")
+        new_ids = set(group.column("image_id").to_pylist())
+        if os.path.exists(path):
+            old = pq.read_table(path)
+            keep = pa.array([i not in new_ids
+                             for i in old.column("image_id").to_pylist()])
+            old = old.filter(keep)
+            merged = pa.concat_tables([old, group.select(old.schema.names)])
+        else:
+            merged = group
+        merged = merged.sort_by([("week", "ascending"), ("z3", "ascending"),
+                                 ("image_id", "ascending")])
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, ".data.parquet.tmp")
+        pq.write_table(merged, tmp, row_group_size=65536)
+        os.replace(tmp, path)
+        n_cells = len(np.unique(merged.column("cell").to_numpy(zero_copy_only=False)))
+        write_manifest(out_dir, bucket, {
+            "bucket": bucket, "rows": merged.num_rows, "n_cells": n_cells,
+            "week_min": int(np.min(merged.column("week").to_numpy(zero_copy_only=False))),
+            "week_max": int(np.max(merged.column("week").to_numpy(zero_copy_only=False))),
+        })
+        return pa.table({"bucket": pa.array([bucket], pa.int64()),
+                         "rows": pa.array([merged.num_rows], pa.int64())})
+
+    touched = ds.groupby("bucket").map_groups(merge_bucket,
+                                              batch_format="pyarrow").take_all()
+    return {"touched_buckets": len(touched),
+            "rows_after": int(sum(r["rows"] for r in touched))}
 
 
 def store_buckets_for_query(query: SpatialQuery, bucket_level: int) -> set[int]:
@@ -166,8 +308,15 @@ def read_store(out_dir: str, query: SpatialQuery | None = None,
     manifests = completed_partitions(out_dir)
     buckets = sorted(int(b) for b in manifests)
     if query is not None:
+        try:
+            meta = read_meta(out_dir)
+            bucket_level = meta["bucket_level"]
+            n_salt = meta.get("n_salt", 1) if meta.get("salted") else 1
+        except FileNotFoundError:
+            n_salt = 1
         keep = store_buckets_for_query(query, bucket_level)
-        buckets = [b for b in buckets if b in keep]
+        # salted layout: partition id = cell_bucket * n_salt + salt
+        buckets = [b for b in buckets if (b // n_salt) in keep]
     paths = [os.path.join(out_dir, f"part={b}", "data.parquet") for b in buckets]
     if not paths:
         import pyarrow as _pa

@@ -97,3 +97,72 @@ class TestResume:
         ids_b = sorted(r["image_id"] for r in read_store(ref_dir)
                        .select_columns(["image_id"]).take_all())
         assert ids_a == ids_b
+
+
+class TestSaltedStore:
+    def test_salted_write_and_pruned_read(self, ray_session, tiny_fixtures,
+                                          tmp_path):
+        from geomesa_ray.state.store import read_meta
+
+        store = str(tmp_path / "salted")
+        # low threshold: many buckets go hot and get split 4 ways
+        stats = write_store(tiny_fixtures, store, hot_rows_threshold=50,
+                            n_salt=4)
+        assert stats["rows"] == 6000
+        meta = read_meta(store)
+        assert meta["salted"] and meta["n_salt"] == 4
+        assert len(meta["hot_buckets"]) > 0
+        # pruned query over the salted layout still exact
+        q = SpatialQuery(-10.0, 25.0, -5.0, 30.0)
+        got = {r["image_id"] for r in read_store(store, q)
+               .select_columns(["image_id"]).take_all()}
+        from geomesa_ray.sources.fixtures import gen_images_table
+        from geomesa_ray.pipelines.scan import exact_mask
+        from geomesa_ray.stages.derive import phash_to_dtg_s, phash_to_lonlat
+
+        ref = gen_images_table(6000)
+        lon, lat = phash_to_lonlat(ref.column("phash").to_numpy())
+        dtg = phash_to_dtg_s(ref.column("phash").to_numpy())
+        m = exact_mask(q, lon, lat, dtg)
+        want = set(np.array(ref.column("image_id").to_pylist())[m].tolist())
+        assert got == want
+
+    def test_salting_reduces_skew(self, ray_session, tiny_fixtures, tmp_path):
+        plain = write_store(tiny_fixtures, str(tmp_path / "plain"))
+        salted = write_store(tiny_fixtures, str(tmp_path / "salt"),
+                             hot_rows_threshold=80, n_salt=4)
+        assert salted["max_partition_rows"] < plain["max_partition_rows"]
+
+    def test_indexed_knn_on_salted_store(self, ray_session, tiny_fixtures,
+                                         tmp_path):
+        from geomesa_ray.pipelines.knn import knn, knn_indexed
+
+        store = str(tmp_path / "sknn")
+        write_store(tiny_fixtures, store, hot_rows_threshold=50, n_salt=4)
+        got = {(r["probe_id"], r["knn_rank"], r["image_id"])
+               for r in knn_indexed(store, fixture_dir=tiny_fixtures).to_pylist()}
+        want = {(r["probe_id"], r["knn_rank"], r["image_id"])
+                for r in knn(tiny_fixtures, metric="planar").take_all()}
+        assert got == want
+
+
+class TestAppend:
+    def test_append_upsert_idempotent(self, ray_session, tiny_fixtures, tmp_path):
+        from geomesa_ray.sources.fixtures import gen_images_table_range
+        from geomesa_ray.state.store import append_store
+
+        store = str(tmp_path / "app")
+        write_store(tiny_fixtures, store)
+        new = gen_images_table_range(6000, 100)
+        r1 = append_store(store, new)
+        assert r1["touched_buckets"] > 0
+        total = sum(m["rows"] for m in completed_partitions(store).values())
+        assert total == 6100
+        # idempotent: re-append the same rows -> unchanged
+        append_store(store, new)
+        total2 = sum(m["rows"] for m in completed_partitions(store).values())
+        assert total2 == 6100
+        # appended rows are queryable with payload intact
+        ids = {r["image_id"] for r in read_store(store)
+               .select_columns(["image_id"]).take_all()}
+        assert "img00006050" in ids and len(ids) == 6100
