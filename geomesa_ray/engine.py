@@ -38,9 +38,12 @@ class GeoMesaRayEngine:
     # ---- query path (strategy-decided)
 
     def query(self, spec: QuerySpec,
-              strategy_override: Strategy | None = None) -> ray.data.Dataset:
+              strategy_override: Strategy | None = None,
+              limit: int | None = None) -> ray.data.Dataset:
         """Cost-based strategy choice, then the matching pipeline; exact
-        refinement of remaining predicates is always applied."""
+        refinement of remaining predicates is always applied. ``limit``
+        mirrors GeoTools maxFeatures (``AccumuloFeatureReader.scala:44-58``).
+        """
         from geomesa_ray.pipelines.scan import scan
         from geomesa_ray.planner import record_lookup
 
@@ -48,18 +51,20 @@ class GeoMesaRayEngine:
         if strat is Strategy.RECORD:
             ids = intersect_id_sets(spec)
             ds = record_lookup(self.fixture_dir, ids or [])
-            return self._refine(ds, spec, skip_ids=True)
-        if strat is Strategy.ATTRIBUTE:
+            out = self._refine(ds, spec, skip_ids=True)
+        elif strat is Strategy.ATTRIBUTE:
             ds = self._attribute_scan(spec)
-            return self._refine(ds, spec, skip_attr=True)
-        q = self._to_spatial_query(spec)
-        if self.store_dir is not None:
-            from geomesa_ray.state.store import read_store
-
-            ds = read_store(self.store_dir, q)
+            out = self._refine(ds, spec, skip_attr=True)
         else:
-            ds = scan(self.fixture_dir, q)
-        return self._refine(ds, spec, skip_spatial=True)
+            q = self._to_spatial_query(spec)
+            if self.store_dir is not None:
+                from geomesa_ray.state.store import read_store
+
+                ds = read_store(self.store_dir, q)
+            else:
+                ds = scan(self.fixture_dir, q)
+            out = self._refine(ds, spec, skip_spatial=True)
+        return out.limit(limit) if limit is not None else out
 
     def _to_spatial_query(self, spec: QuerySpec) -> SpatialQuery:
         bbox = spec.bbox or (-180.0, 180.0, -90.0, 90.0)

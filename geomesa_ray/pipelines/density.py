@@ -63,6 +63,30 @@ def density(fixture_dir: str, bbox=(-180.0, 180.0, -90.0, 90.0),
     return gather_combine(parts, final)
 
 
+def temporal_density_images(fixture_dir: str, buckets: int = 96) -> ray.data.Dataset:
+    """(bucket, weight) over the image corpus's derived dtg — integer
+    bucket math over the fixed 4-week span (SQL-exact)."""
+    from geomesa_ray.sources.fixtures import DTG_BASE_S, DTG_SPAN_S
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dtg = batch.column("dtg_s").to_numpy(zero_copy_only=False)
+        b = ((dtg - DTG_BASE_S) * buckets) // DTG_SPAN_S
+        uniq, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(uniq),
+                         "weight": pa.array(cnt.astype(np.int64))})
+
+    def final(batch: pa.Table) -> pa.Table:
+        uniq, sums = unique_flat_sum(
+            batch.column("bucket").to_numpy(zero_copy_only=False),
+            batch.column("weight").to_numpy(zero_copy_only=False))
+        return pa.table({"bucket": pa.array(uniq), "weight": pa.array(sums)})
+
+    ds = read_images(fixture_dir, columns=["phash"])
+    ds = ds.map_batches(derive_geometry, batch_format="pyarrow", batch_size=65536)
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return gather_combine(parts, final)
+
+
 def temporal_density(sf_dir: str, t0_us: int, t1_us: int,
                      buckets: int = 96) -> ray.data.Dataset:
     """(bucket, weight) — event count per time bucket over [t0, t1).

@@ -258,6 +258,22 @@ def pip_join_points(points_ds: ray.data.Dataset, regions: pa.Table,
                                  batch_size=65536)
 
 
+def attach_payload(join_ds: ray.data.Dataset, fixture_dir: str,
+                   payload_cols=("caption", "bytes"),
+                   num_partitions: int = 16) -> ray.data.Dataset:
+    """Re-attach heavy payload columns to skinny join output by hash join
+    on image_id — the reference's index-value vs full-value split
+    (``IndexValueEncoder.scala:26-80``): shuffles carry only skinny keys;
+    image bytes move exactly once, here, at the end.
+    """
+    from geomesa_ray.sources.io import read_images
+
+    payload = read_images(fixture_dir,
+                          columns=["image_id", *payload_cols])
+    return join_ds.join(payload, join_type="inner",
+                        num_partitions=num_partitions, on=("image_id",))
+
+
 def pip_join(fixture_dir: str, regions: pa.Table | None = None,
              kinds: tuple = ("box", "poly"),
              cell_level: int = DEFAULT_CELL_LEVEL,

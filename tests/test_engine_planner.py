@@ -177,3 +177,22 @@ class TestEmptyIdSet:
 
     def test_record_lookup_empty_ids(self, ray_session, tiny_fixtures):
         assert record_lookup(tiny_fixtures, []).count() == 0
+
+
+class TestAttrStrategyAndLimit:
+    def test_attribute_scan_path(self, ray_session, tiny_fixtures):
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        spec = QuerySpec(attr_eq={"fmt": "raw"}, bbox=(-10.0, 25.0, -5.0, 30.0))
+        assert choose_strategy(spec) is Strategy.ATTRIBUTE
+        got = {r["image_id"] for r in eng.query(spec)
+               .select_columns(["image_id"]).take_all()}
+        ref = gen_images_table(6000)
+        lon, lat = phash_to_lonlat(ref.column("phash").to_numpy())
+        dtg = phash_to_dtg_s(ref.column("phash").to_numpy())
+        m = exact_mask(SpatialQuery(-10.0, 25.0, -5.0, 30.0), lon, lat, dtg)
+        want = set(np.array(ref.column("image_id").to_pylist())[m].tolist())
+        assert got == want  # fmt='raw' matches everything; bbox refines
+
+    def test_limit(self, ray_session, tiny_fixtures):
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        assert eng.query(QuerySpec(), limit=7).count() == 7

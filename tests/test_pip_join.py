@@ -107,3 +107,19 @@ class TestPIPJoin:
                 if r == "r_idl":
                     got_idl.add((i, r))
         assert got_idl == idl_pairs
+
+
+class TestAttachPayload:
+    def test_payload_rejoin(self, ray_session, tiny_fixtures):
+        from geomesa_ray.pipelines.pip_join import attach_payload, pip_join
+
+        join = pip_join(tiny_fixtures, kinds=("box",))
+        n_join = join.count()
+        full = attach_payload(join, tiny_fixtures, payload_cols=("caption",))
+        rows = full.take_all()
+        assert len(rows) == n_join
+        ref = gen_images_table(6000)
+        cap = dict(zip(ref.column("image_id").to_pylist(),
+                       ref.column("caption").to_pylist()))
+        for r in rows[:200]:
+            assert r["caption"] == cap[r["image_id"]]
