@@ -240,3 +240,51 @@ class TestIVF:
             ivf.setdefault(r["query_id"], set()).add(r["vec_id"])
         recalls = [len(ivf.get(q, set()) & s) / len(s) for q, s in exact.items()]
         assert sum(recalls) / len(recalls) > 0.3  # random embeddings: modest
+
+
+class TestMultimodalStubs:
+    def test_frame_sample(self, ray_session):
+        import ray.data
+
+        from geomesa_ray.stages.image_ops import FrameSample
+
+        # synthetic rawvid: 6 frames of 2x2x3
+        frame = bytes(range(12))
+        vid = frame * 6
+        t = pa.table({
+            "image_id": pa.array(["v0"]), "bytes": pa.array([vid], pa.binary()),
+            "w": pa.array([2], pa.int32()), "h": pa.array([2], pa.int32()),
+            "fmt": pa.array(["rawvid"]),
+        })
+        out = ray.data.from_arrow(t).map_batches(
+            FrameSample, fn_constructor_args=(2,), batch_format="pyarrow",
+            concurrency=1).take_all()
+        assert [r["frame"] for r in out] == [0, 2, 4]
+        assert all(r["bytes"] == frame for r in out)
+
+    def test_audio_features(self, ray_session):
+        import ray.data
+
+        from geomesa_ray.stages.image_ops import AudioFeatures
+
+        x = np.array([100, -100] * 50, dtype="<i2")
+        t = pa.table({
+            "image_id": pa.array(["a0"]),
+            "bytes": pa.array([x.tobytes()], pa.binary()),
+            "fmt": pa.array(["pcm16"]),
+        })
+        out = ray.data.from_arrow(t).map_batches(
+            AudioFeatures, batch_format="pyarrow", concurrency=1).take_all()
+        assert abs(out[0]["rms"] - 100.0) < 1e-9
+        assert abs(out[0]["zcr"] - 1.0) < 1e-9
+
+    def test_compressed_video_raises(self):
+        from geomesa_ray.stages.image_ops import FrameSample
+
+        t = pa.table({
+            "image_id": pa.array(["v1"]), "bytes": pa.array([b"xx"], pa.binary()),
+            "w": pa.array([2], pa.int32()), "h": pa.array([2], pa.int32()),
+            "fmt": pa.array(["mp4"]),
+        })
+        with pytest.raises(NotImplementedError):
+            FrameSample()(t)
