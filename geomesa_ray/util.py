@@ -54,6 +54,22 @@ def sum_by_keys(batch: pa.Table, key_cols: list[str], val_col: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def binary_column_to_matrix(col, nbytes: int) -> np.ndarray:
+    """(n, nbytes) uint8 view of a binary column whose values all have
+    length ``nbytes`` — zero-copy when the offsets are contiguous (the
+    common case for fixture payloads), falling back to a per-row copy."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset:col.offset + n + 1]
+    if len(offs) == n + 1 and np.all(np.diff(offs) == nbytes):
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        return data[offs[0]:offs[-1]].reshape(n, nbytes)
+    return np.stack([np.frombuffer(col[i].as_py(), dtype=np.uint8)
+                     for i in range(n)])
+
+
 def unique_flat_sum(flat: np.ndarray, weights: np.ndarray):
     """(unique keys, summed weights) for an int64 key array."""
     order = np.argsort(flat, kind="stable")
