@@ -238,6 +238,48 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     return cand.map_batches(verify, batch_format="pyarrow", batch_size=65536)
 
 
+def dedup_clusters(pairs_ds: ray.data.Dataset,
+                   id_cols=("doc_id_a", "doc_id_b")) -> ray.data.Dataset:
+    """Near-dup pairs -> connected components: (doc_id, cluster_id) with
+    cluster_id = min doc id in the component (the canonical-survivor
+    rule). The pair list is tiny relative to the corpus (it's the dedup
+    output), so union-find runs in one combine task; for pathological
+    pair volumes switch to iterated min-label propagation with groupby.
+    """
+    from geomesa_ray.util import gather_combine
+
+    def components(batch: pa.Table) -> pa.Table:
+        a = batch.column(id_cols[0]).to_numpy(zero_copy_only=False)
+        b = batch.column(id_cols[1]).to_numpy(zero_copy_only=False)
+        nodes = np.unique(np.concatenate([a, b]))
+        idx = {int(v): i for i, v in enumerate(nodes)}
+        parent = np.arange(len(nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in zip(a.tolist(), b.tolist()):
+            rx, ry = find(idx[x]), find(idx[y])
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        roots = np.array([find(i) for i in range(len(nodes))])
+        # canonical id = min doc id per component
+        order = np.argsort(roots, kind="stable")
+        rs = roots[order]
+        ns = nodes[order]
+        uniq, start = np.unique(rs, return_index=True)
+        mins = np.minimum.reduceat(ns, start)
+        root_min = dict(zip(uniq.tolist(), mins.tolist()))
+        cluster = np.array([root_min[int(r)] for r in roots])
+        return pa.table({"doc_id": pa.array(nodes),
+                         "cluster_id": pa.array(cluster)})
+
+    return gather_combine(pairs_ds.select_columns(list(id_cols)), components)
+
+
 def _simhash64(text: str) -> int:
     """64-bit SimHash over token multiset; returned in signed-int64 range."""
     toks = text.split()

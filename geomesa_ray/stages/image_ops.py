@@ -49,17 +49,41 @@ def decode_batch(batch: pa.Table) -> list[np.ndarray]:
 
 class ImageStats:
     """Feature extraction: per-channel means + a recomputed average-hash
-    (the verifiable stand-in for model-based feature extraction)."""
+    (the verifiable stand-in for model-based feature extraction).
+
+    Fast path: uniform raw batches decode as ONE (n, h*w*3) zero-copy
+    matrix and all stats vectorize across the whole batch; mixed/
+    compressed batches fall back to per-image decode.
+    """
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        imgs = decode_batch(batch)
-        means = np.array([im.reshape(-1, 3).mean(axis=0) for im in imgs])
-        ahash = []
-        for im in imgs:
-            g = im.mean(axis=2)
-            bits = (g > g.mean()).astype(np.uint64).ravel()[:64]
-            v = int((bits << np.arange(len(bits), dtype=np.uint64)).sum(dtype=np.uint64))
-            ahash.append(v - (1 << 64) if v >= (1 << 63) else v)
+        from geomesa_ray.util import binary_column_to_matrix
+
+        w = batch.column("w").to_numpy(zero_copy_only=False)
+        h = batch.column("h").to_numpy(zero_copy_only=False)
+        fmts = batch.column("fmt").to_pylist()
+        uniform_raw = (len(set(fmts)) == 1 and fmts[0] == "raw"
+                       and len(np.unique(w)) == 1 and len(np.unique(h)) == 1)
+        if uniform_raw:
+            nb = int(w[0]) * int(h[0]) * 3
+            m = binary_column_to_matrix(batch.column("bytes"), nb) \
+                .reshape(batch.num_rows, -1, 3).astype(np.float64)
+            means = m.mean(axis=1)  # (n, 3)
+            g = m.mean(axis=2)      # (n, h*w) grayscale
+            bits = (g > g.mean(axis=1, keepdims=True)).astype(np.uint64)[:, :64]
+            weights = np.uint64(1) << np.arange(bits.shape[1], dtype=np.uint64)
+            av = (bits * weights[None, :]).sum(axis=1, dtype=np.uint64)
+            ahash = av.view(np.int64).tolist()
+        else:
+            imgs = decode_batch(batch)
+            means = np.array([im.reshape(-1, 3).mean(axis=0) for im in imgs])
+            ahash = []
+            for im in imgs:
+                g = im.mean(axis=2)
+                bits = (g > g.mean()).astype(np.uint64).ravel()[:64]
+                v = int((bits << np.arange(len(bits), dtype=np.uint64))
+                        .sum(dtype=np.uint64))
+                ahash.append(v - (1 << 64) if v >= (1 << 63) else v)
         return pa.table({
             "image_id": batch.column("image_id"),
             "mean_r": pa.array(means[:, 0]),
@@ -81,17 +105,39 @@ class ImageResize:
         self.out_h = out_h
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        imgs = decode_batch(batch)
-        out = []
-        for im in imgs:
-            h, w, _ = im.shape
-            yi = (np.arange(self.out_h) * h) // self.out_h
-            xi = (np.arange(self.out_w) * w) // self.out_w
-            out.append(im[yi][:, xi].tobytes())
-        n = len(out)
+        from geomesa_ray.util import binary_column_to_matrix
+
+        w = batch.column("w").to_numpy(zero_copy_only=False)
+        h = batch.column("h").to_numpy(zero_copy_only=False)
+        fmts = batch.column("fmt").to_pylist()
+        n = batch.num_rows
+        uniform_raw = (len(set(fmts)) == 1 and fmts[0] == "raw"
+                       and len(np.unique(w)) == 1 and len(np.unique(h)) == 1)
+        if uniform_raw:
+            hh, ww = int(h[0]), int(w[0])
+            m = binary_column_to_matrix(batch.column("bytes"), hh * ww * 3) \
+                .reshape(n, hh, ww, 3)
+            yi = (np.arange(self.out_h) * hh) // self.out_h
+            xi = (np.arange(self.out_w) * ww) // self.out_w
+            resized = np.ascontiguousarray(m[:, yi][:, :, xi])  # (n, oh, ow, 3)
+            flat = resized.reshape(n, -1)
+            nb_out = self.out_h * self.out_w * 3
+            offsets = pa.array(np.arange(n + 1, dtype=np.int32) * nb_out)
+            out_arr = pa.BinaryArray.from_buffers(
+                pa.binary(), n,
+                [None, offsets.buffers()[1], pa.py_buffer(flat.tobytes())])
+        else:
+            imgs = decode_batch(batch)
+            bufs = []
+            for im in imgs:
+                ih, iw, _ = im.shape
+                yi = (np.arange(self.out_h) * ih) // self.out_h
+                xi = (np.arange(self.out_w) * iw) // self.out_w
+                bufs.append(im[yi][:, xi].tobytes())
+            out_arr = pa.array(bufs, pa.binary())
         return pa.table({
             "image_id": batch.column("image_id"),
-            "bytes": pa.array(out, pa.binary()),
+            "bytes": out_arr,
             "w": pa.array(np.full(n, self.out_w, dtype=np.int32)),
             "h": pa.array(np.full(n, self.out_h, dtype=np.int32)),
             "fmt": pa.array(["raw"] * n, pa.string()),

@@ -322,7 +322,24 @@ def read_store(out_dir: str, query: SpatialQuery | None = None,
         import pyarrow as _pa
 
         return ray.data.from_arrow(_pa.table({"image_id": _pa.array([], _pa.string())}))
-    ds = ray.data.read_parquet(paths, columns=columns)
+    read_kwargs = {}
+    if query is not None:
+        # row-group pushdown: partitions are SORTED by (week, z3), and
+        # lon/lat are stored — parquet row-group min/max stats prune
+        # within a partition before any batch is decoded (the sorted-
+        # layout payoff, reference sorted-table seek analog)
+        import pyarrow.compute as _pc
+
+        expr = ((_pc.field("lon") >= query.lon_min)
+                & (_pc.field("lon") <= query.lon_max)
+                & (_pc.field("lat") >= query.lat_min)
+                & (_pc.field("lat") <= query.lat_max))
+        if query.t_start_s is not None:
+            expr = expr & (_pc.field("dtg_s") >= query.t_start_s)
+        if query.t_end_s is not None:
+            expr = expr & (_pc.field("dtg_s") <= query.t_end_s)
+        read_kwargs["filter"] = expr
+    ds = ray.data.read_parquet(paths, columns=columns, **read_kwargs)
     if query is not None:
         ds = ds.map_batches(_ScanFilter(plan_query(query)), batch_format="pyarrow")
     return ds

@@ -288,3 +288,18 @@ class TestMultimodalStubs:
         })
         with pytest.raises(NotImplementedError):
             FrameSample()(t)
+
+
+class TestDedupClusters:
+    def test_connected_components(self, ray_session):
+        import ray.data
+
+        from geomesa_ray.stages.dedup import dedup_clusters
+
+        pairs = pa.table({
+            "doc_id_a": pa.array([1, 2, 10, 11], pa.int64()),
+            "doc_id_b": pa.array([2, 3, 11, 12], pa.int64()),
+        })
+        out = {r["doc_id"]: r["cluster_id"]
+               for r in dedup_clusters(ray.data.from_arrow(pairs)).take_all()}
+        assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
