@@ -83,6 +83,10 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     timed("minhash_lsh_pairs", lambda: _consume(dedup.minhash_lsh_pairs(sf_dir)))
     timed("similarity_topk", lambda: _consume(similarity.topk_cosine(sf_dir)))
     timed("token_count", lambda: _consume(text_ops.token_counts(sf_dir)))
+    from geomesa_ray.stages import image_ops
+
+    timed("image_stats", lambda: _consume(image_ops.image_stats(fdir)))
+    timed("mosaic", lambda: _consume(tiles.mosaic(fdir)))
 
     store_dir = f"/tmp/graft_store_bench_{num_cpus}"
     import shutil

@@ -53,56 +53,41 @@ def mosaic(fixture_dir: str, level: int = DEFAULT_TILE_LEVEL,
     """Per-tile mosaic: mean of member images' pixels (uint8 canvas) +
     member count.
 
-    Vectorized segmented reduction: each batch sorts by tile and
-    ``np.add.reduceat``s the stacked pixel matrix into per-tile partial
-    sums (one row per tile per batch); a single combine merges partials
-    and finalizes mean canvases. (A groupby(tile).map_groups formulation
-    pays the per-group UDF call ~39k times at level 8 — 6+ s of pure
-    overhead; this shape is ~6x faster with identical output. For tile
-    counts beyond one combine task, swap the final stage for
-    groupby(tile) over the partial sums.)
+    Shape: tiles are SPARSE relative to rows (at level 8, ~1 row per tile
+    per batch), so per-batch partial sums don't shrink anything and
+    float64 sums would inflate shuffle bytes 8x. Instead the raw payload
+    shuffles ONCE keyed by a tile-prefix bucket (the honest co-location
+    cost of mosaicking), and each bucket does a vectorized segmented
+    reduction (sort + np.add.reduceat) over all its tiles — a few hundred
+    bucket UDF calls, not one per tile.
     """
     nb = w * h * 3
+    bucket_level = max(level - 4, 0)  # 4^4 = 256 tiles per bucket group
+    shift = 2 * (level - bucket_level)
 
-    def partial(batch: pa.Table) -> pa.Table:
-        from geomesa_ray.util import binary_column_to_matrix
-
+    def keyed(batch: pa.Table) -> pa.Table:
         b = derive_and_encode(batch, cell_level=level)
-        cell = b.column("cell").to_numpy(zero_copy_only=False)
-        px = binary_column_to_matrix(b.column("bytes"), nb).astype(np.float64)
-        order = np.argsort(cell, kind="stable")
-        cell_s = cell[order]
-        uniq, start = np.unique(cell_s, return_index=True)
-        sums = np.ascontiguousarray(np.add.reduceat(px[order], start, axis=0))
-        counts = np.diff(np.append(start, len(cell_s)))
-        offsets = pa.array(np.arange(len(uniq) + 1, dtype=np.int32) * (nb * 8))
-        pixsum = pa.BinaryArray.from_buffers(
-            pa.binary(), len(uniq),
-            [None, offsets.buffers()[1], pa.py_buffer(sums.tobytes())])
-        return pa.table({
-            "tile": pa.array(uniq),
-            "n": pa.array(counts.astype(np.int64)),
-            "pixsum": pixsum,
-        })
+        cell = b.column("cell")
+        bucket = pa.array(cell.to_numpy(zero_copy_only=False) >> np.int64(shift))
+        return pa.table({"tile": cell, "bucket": bucket,
+                         "bytes": b.column("bytes")})
 
-    def final(batch: pa.Table) -> pa.Table:
+    def combine(group: pa.Table) -> pa.Table:
         from geomesa_ray.util import binary_column_to_matrix
 
-        tile = batch.column("tile").to_numpy(zero_copy_only=False)
-        n = batch.column("n").to_numpy(zero_copy_only=False)
-        sums = binary_column_to_matrix(batch.column("pixsum"), nb * 8) \
-            .view(np.float64).reshape(len(tile), nb)
+        tile = group.column("tile").to_numpy(zero_copy_only=False)
+        px = binary_column_to_matrix(group.column("bytes"), nb).astype(np.float64)
         order = np.argsort(tile, kind="stable")
-        tile_s, n_s, sums_s = tile[order], n[order], sums[order]
+        tile_s = tile[order]
         uniq, start = np.unique(tile_s, return_index=True)
-        tot = np.add.reduceat(sums_s, start, axis=0)
-        cnt = np.add.reduceat(n_s, start)
+        tot = np.add.reduceat(px[order], start, axis=0)
+        cnt = np.diff(np.append(start, len(tile_s)))
         canvases = np.round(tot / cnt[:, None]).astype(np.uint8)
-        flat = canvases.reshape(-1)
         offsets = pa.array(np.arange(len(uniq) + 1, dtype=np.int32) * nb)
         tile_bytes = pa.BinaryArray.from_buffers(
             pa.binary(), len(uniq),
-            [None, offsets.buffers()[1], pa.py_buffer(flat.tobytes())])
+            [None, offsets.buffers()[1],
+             pa.py_buffer(np.ascontiguousarray(canvases).tobytes())])
         return pa.table({
             "level": pa.array(np.full(len(uniq), level, dtype=np.int64)),
             "tile": pa.array(uniq),
@@ -110,8 +95,6 @@ def mosaic(fixture_dir: str, level: int = DEFAULT_TILE_LEVEL,
             "tile_bytes": tile_bytes,
         })
 
-    from geomesa_ray.util import gather_combine
-
-    ds = read_images(fixture_dir, columns=["image_id", "bytes", "phash"])
-    parts = ds.map_batches(partial, batch_format="pyarrow")
-    return gather_combine(parts, final)
+    ds = read_images(fixture_dir, columns=["bytes", "phash"])
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+    return keyed_ds.groupby("bucket").map_groups(combine, batch_format="pyarrow")

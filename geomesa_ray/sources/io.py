@@ -42,9 +42,19 @@ def read_images(fixture_dir: str, columns: list[str] | None = None,
     if HAVE_LANCE and os.path.exists(lance_path):
         kwargs.pop("override_num_blocks", None)
         return ray.data.read_lance(lance_path, columns=columns, **kwargs)
-    return ray.data.read_parquet(
-        os.path.join(fixture_dir, "images.parquet"), columns=columns, **kwargs
-    )
+    single = os.path.join(fixture_dir, "images.parquet")
+    if os.path.exists(single):
+        paths = single
+    else:  # sharded corpus (images_NNNN.parquet)
+        import glob
+
+        paths = sorted(glob.glob(os.path.join(fixture_dir, "images_*.parquet")))
+        if not paths:
+            raise FileNotFoundError(f"no images parquet under {fixture_dir}")
+        # many files: let one block per file stand (better than coalescing)
+        if len(paths) >= (kwargs.get("override_num_blocks") or 0):
+            kwargs.pop("override_num_blocks", None)
+    return ray.data.read_parquet(paths, columns=columns, **kwargs)
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
