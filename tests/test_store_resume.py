@@ -166,3 +166,63 @@ class TestAppend:
         ids = {r["image_id"] for r in read_store(store)
                .select_columns(["image_id"]).take_all()}
         assert "img00006050" in ids and len(ids) == 6100
+
+
+class TestKillRestart:
+    def test_sigkill_mid_ingest_then_restart(self, ray_session, tmp_path):
+        """FIXTURES.md F6 faithful variant: SIGKILL a separate ingest
+        process mid-run, restart, assert completed partitions untouched
+        and final output identical to an uninterrupted run."""
+        import subprocess
+        import sys
+        import time
+
+        fdir = "/tmp/graft_fixtures/sf0.01"
+        from geomesa_ray.sources.fixtures import ensure_fixtures
+
+        ensure_fixtures("/root/testdata/sf0.01")
+        store = str(tmp_path / "killed")
+        ref = str(tmp_path / "ref")
+
+        code = f"""
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False, log_to_driver=False)
+import sys; sys.path.insert(0, "/root/repo")
+from geomesa_ray.state.store import write_store
+write_store({fdir!r}, {store!r}, bucket_level=4)
+"""
+        proc = subprocess.Popen([sys.executable, "-c", code],
+                                stdout=subprocess.DEVNULL,
+                                stderr=subprocess.DEVNULL)
+        # kill once a meaningful fraction of partitions committed
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            done = len(completed_partitions(store))
+            if done >= 40:
+                break
+            if proc.poll() is not None:
+                break  # finished before we could kill: still a valid run
+            time.sleep(0.05)
+        killed = proc.poll() is None
+        if killed:
+            proc.kill()
+            proc.wait()
+        partial = completed_partitions(store)
+        mtimes = {b: os.path.getmtime(os.path.join(store, f"part={b}",
+                                                   "manifest.json"))
+                  for b in partial}
+
+        # restart in-process (same semantics as re-running the job)
+        write_store(fdir, store, bucket_level=4)
+        for b, mt in mtimes.items():
+            assert os.path.getmtime(
+                os.path.join(store, f"part={b}", "manifest.json")) == mt, \
+                f"completed partition {b} was recomputed"
+
+        write_store(fdir, ref, bucket_level=4)
+        a = completed_partitions(store)
+        b = completed_partitions(ref)
+        assert a == b
+        ids_a = sorted(r["image_id"] for r in read_store(store)
+                       .select_columns(["image_id"]).take_all())
+        assert len(ids_a) == 60000
