@@ -188,16 +188,22 @@ def run_scaling(sf_dir: str, cpus_list=(2, 8, 32)) -> dict:
     would (each node brings its own memory bandwidth). The 8 -> 32 pair
     is reported as well and saturates the box's bandwidth (vectorized
     kernels are memory-streaming) — see BASELINE.md."""
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
     runs = []
     for c in cpus_list:
-        env = dict(os.environ)
-        env["RAY_GRAFT_CPUS"] = str(c)
-        out = subprocess.run(
-            [sys.executable, __file__, "--scaling-worker"],
-            capture_output=True, text=True, env=env, timeout=1800)
-        line = [ln for ln in out.stdout.strip().splitlines()
-                if ln.startswith("{")][-1]
-        runs.append(json.loads(line))
+        best = None
+        for _ in range(repeats):  # best-of-N: ambient load on this shared
+            env = dict(os.environ)  # box swings single runs by 2-3x
+            env["RAY_GRAFT_CPUS"] = str(c)
+            out = subprocess.run(
+                [sys.executable, __file__, "--scaling-worker"],
+                capture_output=True, text=True, env=env, timeout=1800)
+            line = [ln for ln in out.stdout.strip().splitlines()
+                    if ln.startswith("{")][-1]
+            r = json.loads(line)
+            if best is None or r["value"] < best["value"]:
+                best = r
+        runs.append(best)
     rps = [r["rows_per_sec"] for r in runs]
     eff_2_8 = (rps[1] / rps[0]) / (cpus_list[1] / cpus_list[0])
     result = {

@@ -87,6 +87,36 @@ def temporal_density_images(fixture_dir: str, buckets: int = 96) -> ray.data.Dat
     return gather_combine(parts, final)
 
 
+def user_window_counts(sf_dir: str, window_s: int = 86400) -> ray.data.Dataset:
+    """Per-key tumbling-window counts over the events stream table:
+    (user_id, window_start, cnt). The batch expression of a streaming
+    keyed window (ray_guide 'streaming-shaped workloads': ordered log +
+    GROUP BY key, floor(ts/size)); watermarks are unnecessary in batch —
+    late data is simply present. Bounded keys x windows -> per-batch
+    combiner + single combine."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        win = (ts // (window_s * 1_000_000)) * window_s
+        key = uid * np.int64(1 << 32) + (win // window_s)
+        uniq, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
+        first = np.zeros(len(uniq), dtype=np.int64)
+        first[inv] = np.arange(len(key))
+        return pa.table({
+            "user_id": pa.array(uid[first]),
+            "window_start": pa.array(win[first]),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    from geomesa_ray.util import gather_combine, sum_by_keys
+
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return gather_combine(
+        parts, lambda b: sum_by_keys(b, ["user_id", "window_start"], "cnt"))
+
+
 def temporal_density(sf_dir: str, t0_us: int, t1_us: int,
                      buckets: int = 96) -> ray.data.Dataset:
     """(bucket, weight) — event count per time bucket over [t0, t1).
