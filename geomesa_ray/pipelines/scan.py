@@ -27,7 +27,6 @@ import pyarrow as pa
 import ray.data
 
 from geomesa_ray.curve.sfc import SECONDS_PER_WEEK, lonlat_to_xy, zranges_3d
-from geomesa_ray.curve.zorder import U
 from geomesa_ray.sources.fixtures import DTG_BASE_S, DTG_SPAN_S
 from geomesa_ray.sources.io import read_images
 from geomesa_ray.stages.encode import derive_and_encode

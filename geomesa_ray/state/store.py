@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from geomesa_ray.curve.sfc import lonlat_to_xy, zranges_2d
-from geomesa_ray.pipelines.scan import QueryPlan, SpatialQuery, _ScanFilter, plan_query
+from geomesa_ray.pipelines.scan import SpatialQuery, _ScanFilter, plan_query
 from geomesa_ray.sources.io import read_images
 from geomesa_ray.stages.encode import DEFAULT_CELL_LEVEL, derive_and_encode
 from geomesa_ray.state.manifest import completed_partitions, skew_stats, write_manifest
