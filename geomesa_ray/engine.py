@@ -140,6 +140,22 @@ class GeoMesaRayEngine:
 
         return knn(self.fixture_dir, probes, **kw)
 
+    def knn_indexed(self, probes: pa.Table | None = None) -> pa.Table:
+        """Index-pruned kNN (requires ingest_store first)."""
+        from geomesa_ray.pipelines.knn import knn_indexed
+
+        if self.store_dir is None:
+            raise ValueError("ingest_store(...) first: indexed kNN reads the store")
+        return knn_indexed(self.store_dir, probes, fixture_dir=self.fixture_dir)
+
+    def append(self, new_images: pa.Table) -> dict:
+        """Incremental upsert into the store (affected buckets only)."""
+        from geomesa_ray.state.store import append_store
+
+        if self.store_dir is None:
+            raise ValueError("ingest_store(...) first")
+        return append_store(self.store_dir, new_images)
+
     def proximity(self, lon, lat, ids, dist_m: float) -> ray.data.Dataset:
         from geomesa_ray.pipelines.proximity import proximity_join
 

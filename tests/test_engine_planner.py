@@ -196,3 +196,18 @@ class TestAttrStrategyAndLimit:
     def test_limit(self, ray_session, tiny_fixtures):
         eng = GeoMesaRayEngine(tiny_fixtures)
         assert eng.query(QuerySpec(), limit=7).count() == 7
+
+
+class TestEngineIndexedFacade:
+    def test_knn_indexed_and_append_via_engine(self, ray_session, tiny_fixtures,
+                                               tmp_path):
+        from geomesa_ray.sources.fixtures import gen_images_table_range
+
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        with pytest.raises(ValueError):
+            eng.knn_indexed()
+        eng.ingest_store(str(tmp_path / "s"))
+        out = eng.knn_indexed()
+        assert len(out) > 0
+        r = eng.append(gen_images_table_range(6000, 10))
+        assert r["touched_buckets"] > 0
