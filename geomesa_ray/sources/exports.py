@@ -46,3 +46,28 @@ def export_geojson(ds: ray.data.Dataset, out_dir: str, lon_col: str = "lon",
                    lat_col: str = "lat") -> None:
     ds.map_batches(lambda b: geojson_batch(b, lon_col, lat_col),
                    batch_format="pyarrow").write_json(out_dir)
+
+
+def gml_batch(batch: pa.Table, lon_col: str = "lon", lat_col: str = "lat",
+              type_name: str = "image", id_col: str = "image_id") -> pa.Table:
+    """Encode rows as GML 2 featureMember fragments (Point geometry) —
+    the CLI gml export analog (``ExportCommand.scala:122-123``)."""
+    from xml.sax.saxutils import escape
+
+    lon = batch.column(lon_col).to_pylist()
+    lat = batch.column(lat_col).to_pylist()
+    ids = batch.column(id_col).to_pylist()
+    frags = []
+    for i in range(batch.num_rows):
+        frags.append(
+            f'<gml:featureMember><{type_name} fid="{escape(str(ids[i]))}">'
+            f"<gml:pointProperty><gml:Point srsName=\"EPSG:4326\">"
+            f"<gml:coordinates>{lon[i]:.10g},{lat[i]:.10g}</gml:coordinates>"
+            f"</gml:Point></gml:pointProperty></{type_name}></gml:featureMember>")
+    return pa.table({"gml": pa.array(frags, pa.string())})
+
+
+def export_gml(ds: ray.data.Dataset, out_dir: str, lon_col: str = "lon",
+               lat_col: str = "lat") -> None:
+    ds.map_batches(lambda b: gml_batch(b, lon_col, lat_col),
+                   batch_format="pyarrow").write_json(out_dir)

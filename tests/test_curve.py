@@ -180,3 +180,40 @@ class TestZ3SFC:
         assert (np.asarray(w1) == np.asarray(w2)).all()
         assert (np.asarray(z1) == np.asarray(z2)).all()
         assert (np.asarray(z1) >= 0).all()
+
+
+class TestPlannerFuzz:
+    def test_100_random_boxes_coarse_covers_exact(self):
+        """Planner fuzz (pure numpy, no Ray): for 100 random spatio-
+        temporal boxes, the coarse z-range mask must be a superset of the
+        exact mask over a 20k-point corpus."""
+        from geomesa_ray.pipelines.scan import (SpatialQuery, coarse_mask,
+                                                exact_mask, plan_query)
+        from geomesa_ray.sources.fixtures import (DTG_BASE_S, DTG_SPAN_S,
+                                                  gen_images_table)
+        from geomesa_ray.stages.encode import derive_and_encode
+
+        t = derive_and_encode(gen_images_table(20000))
+        week = t.column("week").to_numpy()
+        z3 = t.column("z3").to_numpy()
+        lon = t.column("lon").to_numpy()
+        lat = t.column("lat").to_numpy()
+        dtg = t.column("dtg_s").to_numpy()
+        rng = np.random.default_rng(99)
+        for i in range(100):
+            x0 = rng.uniform(-180, 179)
+            y0 = rng.uniform(-90, 89)
+            w = rng.uniform(0.01, 60)
+            h = rng.uniform(0.01, 40)
+            if rng.random() < 0.3:
+                ts, te = None, None
+            else:
+                ts = DTG_BASE_S + int(rng.integers(0, DTG_SPAN_S))
+                te = min(ts + int(rng.integers(60, DTG_SPAN_S)),
+                         DTG_BASE_S + DTG_SPAN_S)
+            q = SpatialQuery(x0, min(x0 + w, 180.0), y0, min(y0 + h, 90.0),
+                             ts, te)
+            cm = coarse_mask(plan_query(q), week, z3)
+            em = exact_mask(q, lon, lat, dtg)
+            dropped = int((em & ~cm).sum())
+            assert dropped == 0, f"box {i}: coarse dropped {dropped} rows ({q})"

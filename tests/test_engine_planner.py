@@ -211,3 +211,27 @@ class TestEngineIndexedFacade:
         assert len(out) > 0
         r = eng.append(gen_images_table_range(6000, 10))
         assert r["touched_buckets"] > 0
+
+
+class TestGmlExport:
+    def test_gml_fragments(self, ray_session, tiny_fixtures, tmp_path):
+        import json as _json
+
+        from geomesa_ray.sources.exports import export_gml
+        from geomesa_ray.sources.io import read_images
+        from geomesa_ray.stages.derive import derive_geometry
+
+        ds = read_images(tiny_fixtures, columns=["image_id", "phash"]) \
+            .map_batches(derive_geometry, batch_format="pyarrow") \
+            .select_columns(["image_id", "lon", "lat"]).limit(5)
+        out = str(tmp_path / "gml")
+        export_gml(ds, out)
+        frags = []
+        for fn in os.listdir(out):
+            with open(os.path.join(out, fn)) as f:
+                for line in f:
+                    if line.strip():
+                        frags.append(_json.loads(line)["gml"])
+        assert len(frags) == 5
+        assert all("<gml:featureMember>" in g and "EPSG:4326" in g
+                   for g in frags)
