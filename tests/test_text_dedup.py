@@ -303,3 +303,33 @@ class TestDedupClusters:
         out = {r["doc_id"]: r["cluster_id"]
                for r in dedup_clusters(ray.data.from_arrow(pairs)).take_all()}
         assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+class TestHLL:
+    def test_accuracy_vs_exact(self, ray_session):
+        import duckdb
+
+        from geomesa_ray.stages.sketches import approx_distinct
+
+        for table, col in [("events", "user_id"), ("lineitem", "l_partkey"),
+                           ("orders", "o_custkey")]:
+            got = approx_distinct(SF, table=table, col=col).take_all()[0][
+                "approx_distinct"]
+            exact = duckdb.sql(
+                f"SELECT count(DISTINCT {col}) FROM "
+                f"read_parquet('{SF}/{table}.parquet')").fetchone()[0]
+            rel = abs(got - exact) / exact
+            assert rel < 0.05, f"{table}.{col}: {got} vs {exact} ({rel:.3f})"
+
+    def test_merge_equals_single_pass(self):
+        import numpy as np
+
+        from geomesa_ray.stages.sketches import hll_estimate, hll_registers
+        from geomesa_ray.sources.fixtures import splitmix64
+
+        h = splitmix64(np.arange(100000, dtype=np.uint64))
+        whole = hll_registers(h, 12)
+        merged = np.maximum(hll_registers(h[:50000], 12),
+                            hll_registers(h[50000:], 12))
+        assert (whole == merged).all()  # sketches are exactly mergeable
+        assert abs(hll_estimate(whole) - 100000) / 100000 < 0.05
