@@ -26,7 +26,17 @@ import pyarrow as pa
 import ray
 import ray.data
 
-_BCAST_CACHE: dict = {}
+from collections import OrderedDict
+
+_BCAST_CACHE: OrderedDict = OrderedDict()
+# LRU cap (entry count): long driver sessions run many pipelines, each
+# broadcasting its own object — bound the per-worker heap. 32 comfortably
+# exceeds the number of broadcast-backed pipelines any driver interleaves
+# (thrashing would silently reintroduce per-batch deserialization).
+# Keyed by ref HEX, not the ObjectRef itself, so a cached entry does NOT
+# pin the plasma copy (the submitting task's closure already holds the
+# ref while the pipeline runs).
+_BCAST_CACHE_MAX = 32
 
 
 def resolve_broadcast(ref):
@@ -34,9 +44,14 @@ def resolve_broadcast(ref):
     if not isinstance(ref, ray.ObjectRef):
         return ref
     key = ref.hex()
-    if key not in _BCAST_CACHE:
-        _BCAST_CACHE[key] = ray.get(ref)
-    return _BCAST_CACHE[key]
+    if key in _BCAST_CACHE:
+        _BCAST_CACHE.move_to_end(key)
+        return _BCAST_CACHE[key]
+    val = ray.get(ref)
+    _BCAST_CACHE[key] = val
+    while len(_BCAST_CACHE) > _BCAST_CACHE_MAX:
+        _BCAST_CACHE.popitem(last=False)
+    return val
 
 
 def gather_combine(parts: ray.data.Dataset, final_fn,
