@@ -50,7 +50,10 @@ class GeoMesaRayEngine:
         strat = choose_strategy(spec, strategy_override)
         if strat is Strategy.RECORD:
             ids = intersect_id_sets(spec)
-            ds = record_lookup(self.fixture_dir, ids or [])
+            # projection must carry every column later predicates refine on
+            cols = list(dict.fromkeys(
+                ["image_id", "phash", "caption", *spec.attr_eq.keys()]))
+            ds = record_lookup(self.fixture_dir, ids or [], columns=cols)
             out = self._refine(ds, spec, skip_ids=True)
         elif strat is Strategy.ATTRIBUTE:
             ds = self._attribute_scan(spec)
@@ -110,14 +113,9 @@ class GeoMesaRayEngine:
         def fn(batch: pa.Table) -> pa.Table:
             m = np.ones(batch.num_rows, dtype=bool)
             if want is not None:
-                if len(want) == 0:
-                    m &= False
-                else:
-                    col = batch.column("image_id")
-                    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-                    vals = np.asarray(col.to_pylist(), dtype=object)
-                    pos = np.clip(np.searchsorted(want, vals), 0, len(want) - 1)
-                    m &= want[pos] == vals
+                from geomesa_ray.util import id_membership_mask
+
+                m &= id_membership_mask(batch.column("image_id"), want)
             for col, val in attr.items():
                 m &= pc.equal(batch.column(col), val).to_numpy(zero_copy_only=False)
             if q is not None:

@@ -33,7 +33,9 @@ def _image_time_index(fixture_dir: str):
     ds = read_images(fixture_dir, columns=["image_id", "phash"])
     ds = ds.map_batches(derive_geometry, batch_format="pyarrow")
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def min_id_per_ts(batch: pa.Table) -> pa.Table:
+        """One row per timestamp, min image id — used as both the partial
+        combiner and the final combine (it is idempotent)."""
         dtg = batch.column("dtg_s").to_numpy(zero_copy_only=False)
         ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
         order = np.lexsort((ids, dtg))
@@ -42,17 +44,8 @@ def _image_time_index(fixture_dir: str):
         return pa.table({"dtg_s": pa.array(uniq),
                          "image_id": pa.array(i_s[start].tolist(), pa.string())})
 
-    def final(batch: pa.Table) -> pa.Table:
-        dtg = batch.column("dtg_s").to_numpy(zero_copy_only=False)
-        ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
-        order = np.lexsort((ids, dtg))
-        d_s, i_s = dtg[order], ids[order]
-        uniq, start = np.unique(d_s, return_index=True)
-        return pa.table({"dtg_s": pa.array(uniq),
-                         "image_id": pa.array(i_s[start].tolist(), pa.string())})
-
-    t = gather_combine(ds.map_batches(partial, batch_format="pyarrow"), final) \
-        .take_all()
+    t = gather_combine(ds.map_batches(min_id_per_ts, batch_format="pyarrow"),
+                       min_id_per_ts).take_all()
     dtg = np.array([r["dtg_s"] for r in t], dtype=np.int64)
     ids = np.asarray([r["image_id"] for r in t], dtype=object)
     return dtg, ids

@@ -42,8 +42,10 @@ def proximity_join(fixture_dir: str, probes_lon: np.ndarray,
         lat = batch.column("lat").to_numpy(zero_copy_only=False)
         out_p, out_i, out_d = [], [], []
         for p in range(len(plon)):
+            # antimeridian-safe lon delta: wrap into [-180, 180)
+            dlon_w = np.abs(((lon - plon[p] + 180.0) % 360.0) - 180.0)
             cand = np.nonzero((np.abs(lat - plat[p]) <= dla)
-                              & (np.abs(lon - plon[p]) <= dlo[p]))[0]
+                              & (dlon_w <= dlo[p]))[0]
             if len(cand) == 0:
                 continue
             d = haversine_m(lon[cand], lat[cand], plon[p], plat[p])

@@ -85,20 +85,13 @@ def record_lookup(fixture_dir: str, ids: list[str],
     The id set is broadcast-sorted; probe is a vectorized searchsorted
     (the 32768-entry batched-lookup precedent)."""
     from geomesa_ray.sources.io import read_images
+    from geomesa_ray.util import id_membership_mask
 
     want = np.array(sorted(ids), dtype=object)
 
     def probe(batch: pa.Table) -> pa.Table:
-        if len(want) == 0:  # empty id set (e.g. empty AND-intersection)
-            return batch.slice(0, 0)
-        col = batch.column("image_id")
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        vals = np.asarray(col.to_pylist(), dtype=object)
-        pos = np.searchsorted(want, vals)
-        pos_c = np.clip(pos, 0, len(want) - 1)
-        hit = want[pos_c] == vals
-        return batch.filter(pa.array(hit))
+        return batch.filter(pa.array(
+            id_membership_mask(batch.column("image_id"), want)))
 
     need = columns if columns is not None else ["image_id", "phash", "caption"]
     ds = read_images(fixture_dir, columns=need)

@@ -29,11 +29,14 @@ def _hash_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if pa.types.is_integer(col.type):
         return splitmix64(col.to_numpy(zero_copy_only=False)
                           .astype(np.int64).view(np.uint64))
-    import zlib
+    # strings need a full 64-bit digest: a crc32 pre-hash would cap the
+    # distinct space at 2^32 and saturate the estimator at scale
+    import hashlib
 
-    return splitmix64(np.array(
-        [zlib.crc32(str(v).encode()) for v in col.to_pylist()],
-        dtype=np.uint64))
+    return np.array(
+        [int.from_bytes(hashlib.blake2b(str(v).encode(),
+                                        digest_size=8).digest(), "little")
+         for v in col.to_pylist()], dtype=np.uint64)
 
 
 def hll_registers(h: np.ndarray, p: int) -> np.ndarray:

@@ -75,6 +75,19 @@ def _bucket_writer(out_dir: str):
     return write_bucket
 
 
+def salt_partition_ids(bucket: np.ndarray, phash: np.ndarray, n_salt: int,
+                       hot_arr: np.ndarray) -> np.ndarray:
+    """THE salt-assignment invariant, shared by write and append paths:
+    partition id = bucket * n_salt + (splitmix64(phash ^ 0x5A17) % n_salt
+    for hot buckets, else 0). Read paths assume exactly this mapping."""
+    from geomesa_ray.sources.fixtures import splitmix64
+
+    salt = (splitmix64(phash.view(np.uint64) ^ np.uint64(0x5A17))
+            % np.uint64(n_salt)).astype(np.int64)
+    salt = np.where(np.isin(bucket, hot_arr), salt, 0)
+    return bucket * np.int64(n_salt) + salt
+
+
 def bucket_counts(fixture_dir: str, cell_level: int,
                   bucket_level: int) -> dict[int, int]:
     """Per-bucket row histogram from a phash-only scan (the skew
@@ -128,7 +141,35 @@ def write_store(fixture_dir: str, out_dir: str,
         hist = bucket_counts(fixture_dir, cell_level, bucket_level)
         hot = {b for b, n in hist.items() if n > hot_rows_threshold}
 
+    # Resume guard: partition ids are only comparable across runs if the
+    # partitioning scheme is identical — a killed unsalted run resumed
+    # with salting (or different levels) would silently misattribute
+    # committed partitions. The scheme is committed BEFORE any partition
+    # writes; a mismatch on resume is an error, not silent data loss.
+    scheme = {"cell_level": cell_level, "bucket_level": bucket_level,
+              "salted": hot_rows_threshold is not None,
+              "n_salt": n_salt if hot_rows_threshold is not None else 1,
+              "hot_buckets": sorted(int(b) for b in hot)}
+    meta_path = os.path.join(out_dir, "meta.json")
+    if done and os.path.exists(meta_path):
+        prev = read_meta(out_dir)
+        for k, v in scheme.items():
+            if prev.get(k) != v:
+                raise ValueError(
+                    f"resume with different partitioning scheme: {k}={v} vs "
+                    f"committed {prev.get(k)}; rerun with the original "
+                    "parameters or use a fresh output dir")
+    elif done and not os.path.exists(meta_path):
+        raise ValueError(
+            f"{out_dir} has committed partitions but no meta.json (written "
+            "by pre-guard versions); use a fresh output dir")
+
     need = columns if columns is not None else ["image_id", "phash", "caption"]
+    # commit the scheme BEFORE any partition writes so killed runs carry it
+    _write_meta(out_dir, cell_level, bucket_level, need,
+                salted=scheme["salted"], n_salt=n_salt,
+                hot_buckets=scheme["hot_buckets"])
+
     # size read blocks to the cluster: the groupby(bucket) sort-shuffle
     # cost scales with block COUNT, not bytes — over-fragmented inputs
     # (Ray's default here: 147 blocks for 600k rows) made the shuffle 6x
@@ -141,30 +182,17 @@ def write_store(fixture_dir: str, out_dir: str,
     ds = ds.map_batches(add_bucket, batch_format="pyarrow",
                         fn_kwargs={"cell_level": cell_level,
                                    "bucket_level": bucket_level})
-    if hot:
+    if hot_rows_threshold is not None:
         hot_arr = np.array(sorted(hot), dtype=np.int64)
 
         def salt_buckets(batch: pa.Table) -> pa.Table:
-            from geomesa_ray.sources.fixtures import splitmix64
-
             b = batch.column("bucket").to_numpy(zero_copy_only=False)
             ph = batch.column("phash").to_numpy(zero_copy_only=False)
-            salt = (splitmix64(ph.view(np.uint64) ^ np.uint64(0x5A17))
-                    % np.uint64(n_salt)).astype(np.int64)
-            salt = np.where(np.isin(b, hot_arr), salt, 0)
+            pid = salt_partition_ids(b, ph, n_salt, hot_arr)
             batch = batch.drop_columns(["bucket"])
-            return batch.append_column(
-                "bucket", pa.array(b * np.int64(n_salt) + salt))
+            return batch.append_column("bucket", pa.array(pid))
 
         ds = ds.map_batches(salt_buckets, batch_format="pyarrow")
-    elif hot_rows_threshold is not None:
-        # uniform partition-id space even when nothing is hot
-        def scale_buckets(batch: pa.Table) -> pa.Table:
-            b = batch.column("bucket").to_numpy(zero_copy_only=False)
-            batch = batch.drop_columns(["bucket"])
-            return batch.append_column("bucket", pa.array(b * np.int64(n_salt)))
-
-        ds = ds.map_batches(scale_buckets, batch_format="pyarrow")
     if done:
         done_arr = pa.array(sorted(done), pa.int64())
 
@@ -179,9 +207,6 @@ def write_store(fixture_dir: str, out_dir: str,
     out = ds.groupby("bucket").map_groups(_bucket_writer(out_dir),
                                           batch_format="pyarrow")
     out.count()  # drive the pipeline; manifests are the durable output
-    _write_meta(out_dir, cell_level, bucket_level, need,
-                salted=hot_rows_threshold is not None, n_salt=n_salt,
-                hot_buckets=sorted(hot))
     manifests = completed_partitions(out_dir)
     return skew_stats(manifests)
 
@@ -241,16 +266,11 @@ def append_store(out_dir: str, new_images: pa.Table) -> dict:
         hot_arr = np.array(sorted(meta.get("hot_buckets", [])), dtype=np.int64)
 
         def salt(batch: pa.Table) -> pa.Table:
-            from geomesa_ray.sources.fixtures import splitmix64
-
             b = batch.column("bucket").to_numpy(zero_copy_only=False)
             ph = batch.column("phash").to_numpy(zero_copy_only=False)
-            s = (splitmix64(ph.view(np.uint64) ^ np.uint64(0x5A17))
-                 % np.uint64(n_salt)).astype(np.int64)
-            s = np.where(np.isin(b, hot_arr), s, 0)
+            pid = salt_partition_ids(b, ph, n_salt, hot_arr)
             batch = batch.drop_columns(["bucket"])
-            return batch.append_column("bucket",
-                                       pa.array(b * np.int64(n_salt) + s))
+            return batch.append_column("bucket", pa.array(pid))
 
         ds = ds.map_batches(salt, batch_format="pyarrow")
 

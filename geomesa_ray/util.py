@@ -69,6 +69,18 @@ def sum_by_keys(batch: pa.Table, key_cols: list[str], val_col: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def id_membership_mask(col, sorted_ids: np.ndarray) -> np.ndarray:
+    """Vectorized membership test of a string column against a SORTED
+    object-dtype id array (the shared record-lookup probe kernel)."""
+    if len(sorted_ids) == 0:
+        return np.zeros(len(col), dtype=bool)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = np.asarray(col.to_pylist(), dtype=object)
+    pos = np.clip(np.searchsorted(sorted_ids, vals), 0, len(sorted_ids) - 1)
+    return sorted_ids[pos] == vals
+
+
 def binary_column_to_matrix(col, nbytes: int) -> np.ndarray:
     """(n, nbytes) uint8 view of a binary column whose values all have
     length ``nbytes`` — zero-copy when the offsets are contiguous (the

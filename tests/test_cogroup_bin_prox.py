@@ -104,3 +104,24 @@ class TestProximity:
         b = ray.data.from_arrow(pa.table({"image_id": pa.array(["y", "z"])}))
         got = sorted(r["image_id"] for r in unique_union([a, b]).take_all())
         assert got == ["x", "y", "z"]
+
+
+class TestProximityIDL:
+    def test_cross_antimeridian_pairs_found(self, ray_session, tiny_fixtures):
+        """Regression: the lon prescreen must wrap at the date line."""
+        from geomesa_ray.geom.kernels import haversine_m
+        from geomesa_ray.pipelines.proximity import proximity_join
+
+        plon = np.array([179.8])
+        plat = np.array([0.0])
+        ds = proximity_join(tiny_fixtures, plon, plat, ["idl"], 500_000.0)
+        got = {r["image_id"] for r in ds.take_all()}
+        t = gen_images_table(6000)
+        lon, lat = phash_to_lonlat(t.column("phash").to_numpy())
+        d = haversine_m(lon, lat, 179.8, 0.0)
+        want = {t.column("image_id")[i].as_py()
+                for i in np.nonzero(d <= 500_000.0)[0]}
+        assert got == want
+        # at least one match must come from the west side of the line
+        west = [i for i in np.nonzero(d <= 500_000.0)[0] if lon[i] < 0]
+        assert west, "fixture should have a west-side neighbor for this probe"

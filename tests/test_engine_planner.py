@@ -235,3 +235,19 @@ class TestGmlExport:
         assert len(frags) == 5
         assert all("<gml:featureMember>" in g and "EPSG:4326" in g
                    for g in frags)
+
+
+class TestRecordWithAttr:
+    def test_record_strategy_with_attr_predicate(self, ray_session,
+                                                 tiny_fixtures):
+        """Regression: RECORD strategy + attr_eq must project the
+        attribute column before refining."""
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        spec = QuerySpec(ids=["img00000010", "img00000200"],
+                         attr_eq={"fmt": "raw"})
+        got = sorted(r["image_id"] for r in eng.query(spec)
+                     .select_columns(["image_id"]).take_all())
+        assert got == ["img00000010", "img00000200"]
+        # non-matching attribute filters everything
+        spec2 = QuerySpec(ids=["img00000010"], attr_eq={"fmt": "png"})
+        assert eng.query(spec2).count() == 0

@@ -79,6 +79,10 @@ class TestResume:
         parts = all_parts[: len(all_parts) // 2]
         for p in parts:
             shutil.copytree(os.path.join(ref_dir, p), os.path.join(store_dir, p))
+        # the scheme meta is committed before any partition writes, so a
+        # crashed run always carries it
+        shutil.copy(os.path.join(ref_dir, "meta.json"),
+                    os.path.join(store_dir, "meta.json"))
         mtimes = {p: os.path.getmtime(os.path.join(store_dir, p, "manifest.json"))
                   for p in parts}
 
@@ -226,3 +230,24 @@ write_store({fdir!r}, {store!r}, bucket_level=4)
         ids_a = sorted(r["image_id"] for r in read_store(store)
                        .select_columns(["image_id"]).take_all())
         assert len(ids_a) == 60000
+
+
+class TestSchemeGuard:
+    def test_resume_with_different_salting_raises(self, ray_session,
+                                                  tiny_fixtures, tmp_path):
+        import shutil as sh
+
+        ref = str(tmp_path / "a")
+        write_store(tiny_fixtures, ref)
+        # simulate crash: keep meta + some partitions
+        crashed = str(tmp_path / "b")
+        os.makedirs(crashed)
+        sh.copy(os.path.join(ref, "meta.json"), os.path.join(crashed, "meta.json"))
+        parts = sorted(p for p in os.listdir(ref) if p.startswith("part="))[:5]
+        for p in parts:
+            sh.copytree(os.path.join(ref, p), os.path.join(crashed, p))
+        with pytest.raises(ValueError, match="different partitioning scheme"):
+            write_store(tiny_fixtures, crashed, hot_rows_threshold=50, n_salt=4)
+        # same scheme resumes fine
+        stats = write_store(tiny_fixtures, crashed)
+        assert stats["rows"] == 6000
