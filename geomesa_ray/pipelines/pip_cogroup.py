@@ -46,7 +46,7 @@ from geomesa_ray.stages.encode import derive_and_encode
 COGROUP_CELL_LEVEL = 6  # coarse co-partition grid (4^6 = 4096 cells)
 
 
-def _region_cell_table(regions: pa.Table, cell_level: int) -> pa.Table:
+def _region_cell_table(regions: pa.Table, cell_level: int) -> tuple:
     """Explode regions to (cell, region ordinal) rows at the co-partition
     level (role of GeohashUtils.decomposeGeometry for writes)."""
     idx = build_region_index(regions, max_level=cell_level)

@@ -21,19 +21,32 @@ from geomesa_ray.sources.io import read_images
 from geomesa_ray.stages.derive import derive_geometry
 from geomesa_ray.util import resolve_broadcast
 
-METERS_PER_DEGREE_EQ = 111_320.0  # at the equator; lat-scaled below
+METERS_PER_DEGREE_LAT = 110_574.0  # meridian degree
 
 
 def proximity_join(fixture_dir: str, probes_lon: np.ndarray,
                    probes_lat: np.ndarray, probe_ids: list[str],
                    dist_m: float) -> ray.data.Dataset:
     """(probe_id, image_id, dist_m) for every image within dist_m of a
-    probe point (haversine-exact; bbox prescreen in degrees)."""
-    # degrees bound: worst-case lon shrink at high latitude (cap 85)
-    dlat = dist_m / METERS_PER_DEGREE_EQ
-    coslat = np.cos(np.radians(np.clip(np.abs(probes_lat), 0, 85.0)))
-    dlon = dist_m / (METERS_PER_DEGREE_EQ * np.maximum(coslat, 1e-3))
-    ref = ray.put((np.asarray(probes_lon), np.asarray(probes_lat),
+    probe point (haversine-exact refine; CONSERVATIVE bbox prescreen).
+
+    Prescreen bounds must be a superset of the true circle: the lat bound
+    uses the meridian degree with slop; the lon bound evaluates the
+    parallel's shrink at the WORST latitude the circle reaches (not the
+    probe's own latitude — a circle's max lon delta occurs poleward of
+    the center), with slop; circles reaching a pole drop the lon bound
+    entirely. Exactness comes from the haversine refine.
+    """
+    probes_lat = np.asarray(probes_lat, dtype=np.float64)
+    dlat = (dist_m / METERS_PER_DEGREE_LAT) * 1.05
+    worst_lat = np.minimum(np.abs(probes_lat) + dlat, 89.999)
+    near_pole = (np.abs(probes_lat) + dlat) >= 89.0
+    coslat = np.cos(np.radians(worst_lat))
+    dlon = np.where(
+        near_pole, 360.0,
+        np.minimum((dist_m / (METERS_PER_DEGREE_LAT * np.maximum(coslat, 1e-9)))
+                   * 1.05, 360.0))
+    ref = ray.put((np.asarray(probes_lon), probes_lat,
                    np.asarray(dlat), np.asarray(dlon), list(probe_ids)))
 
     def probe(batch: pa.Table) -> pa.Table:

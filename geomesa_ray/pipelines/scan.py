@@ -154,36 +154,29 @@ def scan_or(fixture_dir: str, queries: list[SpatialQuery],
         need = list(dict.fromkeys(need + columns))
     plans = [plan_query(q) for q in queries]
 
-    def arm_filter(i):
-        plan = plans[i]
-        exclude = queries[:i]
-
-        def fn(batch: pa.Table) -> pa.Table:
-            week = batch.column("week").to_numpy(zero_copy_only=False)
-            z3 = batch.column("z3").to_numpy(zero_copy_only=False)
+    def all_arms(batch: pa.Table) -> pa.Table:
+        # ONE pass: every arm's (coarse, exact, NOT-previous) filter is
+        # evaluated on the same derived batch; the disjoint rewrite means
+        # the per-arm outputs concatenate without dedup
+        week = batch.column("week").to_numpy(zero_copy_only=False)
+        z3 = batch.column("z3").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        dtg = batch.column("dtg_s").to_numpy(zero_copy_only=False)
+        keep_any = np.zeros(batch.num_rows, dtype=bool)
+        for i, plan in enumerate(plans):
             m = coarse_mask(plan, week, z3)
             if not m.any():
-                return batch.slice(0, 0)
-            sub = batch.filter(pa.array(m))
-            lon = sub.column("lon").to_numpy(zero_copy_only=False)
-            lat = sub.column("lat").to_numpy(zero_copy_only=False)
-            dtg = sub.column("dtg_s").to_numpy(zero_copy_only=False)
-            keep = exact_mask(plan.query, lon, lat, dtg)
-            for q in exclude:  # the NOT-previous-arms rewrite
+                continue
+            keep = m & exact_mask(plan.query, lon, lat, dtg)
+            for q in queries[:i]:  # the NOT-previous-arms rewrite
                 keep &= ~exact_mask(q, lon, lat, dtg)
-            return sub.filter(pa.array(keep))
+            keep_any |= keep
+        return batch.filter(pa.array(keep_any))
 
-        return fn
-
-    arms = []
-    for i in range(len(queries)):
-        ds = read_images(fixture_dir, columns=need)
-        ds = ds.map_batches(derive_and_encode, batch_format="pyarrow")
-        arms.append(ds.map_batches(arm_filter(i), batch_format="pyarrow"))
-    out = arms[0]
-    for a in arms[1:]:
-        out = out.union(a)
-    return out
+    ds = read_images(fixture_dir, columns=need)
+    ds = ds.map_batches(derive_and_encode, batch_format="pyarrow")
+    return ds.map_batches(all_arms, batch_format="pyarrow")
 
 
 def sample_cells(fixture_dir: str, permille: int = 100,

@@ -40,9 +40,18 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     return _rename(fp.groupby("fp").min("doc_id"), ["fp", "doc_id"])
 
 
+def _hash_token(t: str) -> int:
+    """63-bit token hash (two salted crc32 halves, masked into int64
+    range): collision probability ~2^-63 instead of crc32's 2^-32 — at
+    100k+ token vocabularies 32-bit collisions would corrupt the 'exact'
+    Jaccard oracle."""
+    b = t.encode()
+    return (zlib.crc32(b) | (zlib.crc32(b + b"#") << 32)) & 0x7FFFFFFFFFFFFFFF
+
+
 def _token_hashes(text: str) -> np.ndarray:
     toks = set(text.split())
-    return np.sort(np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.int64))
+    return np.sort(np.array([_hash_token(t) for t in toks], dtype=np.int64))
 
 
 _SHINGLE_MULT = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F),
@@ -60,7 +69,7 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
         return np.empty(0, dtype=np.int64)
     cache: dict[str, int] = {}
     th = np.fromiter(
-        (cache[t] if t in cache else cache.setdefault(t, zlib.crc32(t.encode()))
+        (cache[t] if t in cache else cache.setdefault(t, _hash_token(t))
          for t in toks), dtype=np.uint64, count=len(toks))
     if len(toks) < k:
         windows = th[None, :len(toks)]

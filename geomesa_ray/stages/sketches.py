@@ -29,14 +29,17 @@ def _hash_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if pa.types.is_integer(col.type):
         return splitmix64(col.to_numpy(zero_copy_only=False)
                           .astype(np.int64).view(np.uint64))
-    # strings need a full 64-bit digest: a crc32 pre-hash would cap the
-    # distinct space at 2^32 and saturate the estimator at scale
-    import hashlib
+    # strings need a full 64-bit digest: a bare crc32 pre-hash would cap
+    # the distinct space at 2^32 and saturate the estimator at scale.
+    # Two salted crc32 halves (cheap C loop) + splitmix finalizer give an
+    # effective 64-bit space without a per-row cryptographic hash.
+    import zlib
 
-    return np.array(
-        [int.from_bytes(hashlib.blake2b(str(v).encode(),
-                                        digest_size=8).digest(), "little")
-         for v in col.to_pylist()], dtype=np.uint64)
+    h = np.array(
+        [zlib.crc32(b) | (zlib.crc32(b + b"#") << 32)
+         for b in (str(v).encode() for v in col.to_pylist())],
+        dtype=np.uint64)
+    return splitmix64(h)
 
 
 def hll_registers(h: np.ndarray, p: int) -> np.ndarray:

@@ -146,10 +146,12 @@ def write_store(fixture_dir: str, out_dir: str,
     # with salting (or different levels) would silently misattribute
     # committed partitions. The scheme is committed BEFORE any partition
     # writes; a mismatch on resume is an error, not silent data loss.
+    need = columns if columns is not None else ["image_id", "phash", "caption"]
     scheme = {"cell_level": cell_level, "bucket_level": bucket_level,
               "salted": hot_rows_threshold is not None,
               "n_salt": n_salt if hot_rows_threshold is not None else 1,
-              "hot_buckets": sorted(int(b) for b in hot)}
+              "hot_buckets": sorted(int(b) for b in hot),
+              "columns": need}
     meta_path = os.path.join(out_dir, "meta.json")
     if done and os.path.exists(meta_path):
         prev = read_meta(out_dir)
@@ -164,7 +166,6 @@ def write_store(fixture_dir: str, out_dir: str,
             f"{out_dir} has committed partitions but no meta.json (written "
             "by pre-guard versions); use a fresh output dir")
 
-    need = columns if columns is not None else ["image_id", "phash", "caption"]
     # commit the scheme BEFORE any partition writes so killed runs carry it
     _write_meta(out_dir, cell_level, bucket_level, need,
                 salted=scheme["salted"], n_salt=n_salt,
@@ -247,6 +248,13 @@ def append_store(out_dir: str, new_images: pa.Table) -> dict:
     Upsert by ``image_id`` (new row wins), mirroring the reference's
     idempotent feature-id overwrite (``AccumuloFeatureWriter``), which
     also makes re-running an append a no-op.
+
+    INVARIANT: an image_id's phash (hence its derived location and
+    bucket) is immutable — true by construction here (phash is a content
+    hash and location derives from it). An upsert only looks for the old
+    row inside the bucket the NEW row maps to; changing an id's phash
+    would strand the old row in its previous bucket. Location-changing
+    updates require delete+append (not supported).
     """
     import ray
     import ray.data

@@ -125,3 +125,24 @@ class TestProximityIDL:
         # at least one match must come from the west side of the line
         west = [i for i in np.nonzero(d <= 500_000.0)[0] if lon[i] < 0]
         assert west, "fixture should have a west-side neighbor for this probe"
+
+    def test_polar_and_wide_circle_coverage(self, ray_session, tiny_fixtures):
+        """Regression: the lon prescreen must not under-cover — circles
+        near poles and mid-lat circles wider than the linear lon bound."""
+        from geomesa_ray.geom.kernels import haversine_m
+        from geomesa_ray.pipelines.proximity import proximity_join
+
+        plon = np.array([10.0, 0.0, -45.0])
+        plat = np.array([45.0, 87.0, -86.0])
+        dist = 600_000.0
+        ds = proximity_join(tiny_fixtures, plon, plat, ["m", "n", "s"], dist)
+        got = {(r["probe_id"], r["image_id"]) for r in ds.take_all()}
+        t = gen_images_table(6000)
+        lon, lat = phash_to_lonlat(t.column("phash").to_numpy())
+        ids = t.column("image_id").to_pylist()
+        want = set()
+        for p, pid in enumerate(["m", "n", "s"]):
+            d = haversine_m(lon, lat, plon[p], plat[p])
+            for i in np.nonzero(d <= dist)[0]:
+                want.add((pid, ids[i]))
+        assert got == want, f"missing={list(want - got)[:5]}"

@@ -251,3 +251,18 @@ class TestSchemeGuard:
         # same scheme resumes fine
         stats = write_store(tiny_fixtures, crashed)
         assert stats["rows"] == 6000
+
+    def test_resume_with_different_columns_raises(self, ray_session,
+                                                  tiny_fixtures, tmp_path):
+        import shutil as sh
+
+        ref = str(tmp_path / "c1")
+        write_store(tiny_fixtures, ref, columns=["image_id", "phash"])
+        crashed = str(tmp_path / "c2")
+        os.makedirs(crashed)
+        sh.copy(os.path.join(ref, "meta.json"), os.path.join(crashed, "meta.json"))
+        p = sorted(x for x in os.listdir(ref) if x.startswith("part="))[0]
+        sh.copytree(os.path.join(ref, p), os.path.join(crashed, p))
+        with pytest.raises(ValueError, match="different partitioning scheme"):
+            write_store(tiny_fixtures, crashed,
+                        columns=["image_id", "phash", "caption"])
