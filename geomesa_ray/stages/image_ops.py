@@ -65,12 +65,16 @@ class ImageStats:
         uniform_raw = (len(set(fmts)) == 1 and fmts[0] == "raw"
                        and len(np.unique(w)) == 1 and len(np.unique(h)) == 1)
         if uniform_raw:
-            nb = int(w[0]) * int(h[0]) * 3
-            m = binary_column_to_matrix(batch.column("bytes"), nb) \
-                .reshape(batch.num_rows, -1, 3).astype(np.float64)
-            means = m.mean(axis=1)  # (n, 3)
-            g = m.mean(axis=2)      # (n, h*w) grayscale
-            bits = (g > g.mean(axis=1, keepdims=True)).astype(np.uint64)[:, :64]
+            npx = int(w[0]) * int(h[0])
+            m = binary_column_to_matrix(batch.column("bytes"), npx * 3) \
+                .reshape(batch.num_rows, npx, 3)
+            # integer arithmetic end-to-end: no (n, hw, 3) float64
+            # materialization (8x the payload bytes); sums are exact
+            means = m.sum(axis=1, dtype=np.int64) / float(npx)  # (n, 3)
+            g3 = m.sum(axis=2, dtype=np.int64)  # (n, hw) gray*3
+            # g > mean(g)  <=>  hw * g3 > sum(g3)   (exact rationals)
+            total = g3.sum(axis=1)
+            bits = (g3[:, :64] * np.int64(npx) > total[:, None]).astype(np.uint64)
             weights = np.uint64(1) << np.arange(bits.shape[1], dtype=np.uint64)
             av = (bits * weights[None, :]).sum(axis=1, dtype=np.uint64)
             ahash = av.view(np.int64).tolist()
@@ -144,17 +148,24 @@ class ImageResize:
         })
 
 
-def image_stats(fixture_dir: str) -> ray.data.Dataset:
+def image_stats(fixture_dir: str, use_actors: bool = False) -> ray.data.Dataset:
+    """use_actors=True pins an actor pool — only pay the spawn cost when a
+    real codec with setup state replaces the raw fast path."""
     ds = read_images(fixture_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
-    return ds.map_batches(ImageStats, batch_format="pyarrow",
-                          concurrency=(1, 8), batch_size=1024)
+    if use_actors:
+        return ds.map_batches(ImageStats, batch_format="pyarrow",
+                              concurrency=(1, 8), batch_size=1024)
+    return ds.map_batches(ImageStats(), batch_format="pyarrow")
 
 
-def image_resize(fixture_dir: str, out_w: int = 4, out_h: int = 4) -> ray.data.Dataset:
+def image_resize(fixture_dir: str, out_w: int = 4, out_h: int = 4,
+                 use_actors: bool = False) -> ray.data.Dataset:
     ds = read_images(fixture_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
-    return ds.map_batches(ImageResize, fn_constructor_args=(out_w, out_h),
-                          batch_format="pyarrow", concurrency=(1, 8),
-                          batch_size=1024)
+    if use_actors:
+        return ds.map_batches(ImageResize, fn_constructor_args=(out_w, out_h),
+                              batch_format="pyarrow", concurrency=(1, 8),
+                              batch_size=1024)
+    return ds.map_batches(ImageResize(out_w, out_h), batch_format="pyarrow")
 
 
 class FrameSample:
