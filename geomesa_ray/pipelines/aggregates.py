@@ -140,6 +140,69 @@ def map_value_agg(sf_dir: str) -> ray.data.Dataset:
     return gather_combine(parts, lambda b: sum_by_keys(b, ["event_type"], "sum_k"))
 
 
+def shipping_revenue(sf_dir: str, cutoff: str = "1998-01-01") -> ray.data.Dataset:
+    """TPC-H Q3-flavoured join chain: revenue (integer cent-bp domain) of
+    lineitems shipped after the cutoff whose order was placed before it —
+    (l_orderkey, revenue_centbp). Broadcast semi-join on the filtered
+    order-key set + per-batch partial sums + one combine."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    cutoff_us = int(np.datetime64(cutoff, "us").astype(np.int64))
+    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                           columns=["o_orderkey", "o_orderdate"])
+    keys = orders.filter(
+        pc.less(orders.column("o_orderdate"),
+                pa.scalar(cutoff_us, pa.timestamp("us")))
+    ).column("o_orderkey").to_numpy()
+    ref = ray.put(np.sort(keys))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        okeys = resolve_broadcast(ref)
+        ship = batch.column("l_shipdate").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        m = ship > cutoff_us
+        if len(okeys):
+            pos = np.clip(np.searchsorted(okeys, ok), 0, len(okeys) - 1)
+            m &= okeys[pos] == ok
+        else:
+            m &= False
+        sel = np.nonzero(m)[0]
+        cents = np.round(batch.column("l_extendedprice")
+                         .to_numpy(zero_copy_only=False)[sel] * 100.0) \
+            .astype(np.int64)
+        disc = np.round(batch.column("l_discount")
+                        .to_numpy(zero_copy_only=False)[sel] * 100.0) \
+            .astype(np.int64)
+        rev = cents * (100 - disc)
+        uniq, sums = _sum_by_int_key(ok[sel], rev)
+        return pa.table({"l_orderkey": pa.array(uniq),
+                         "revenue_centbp": pa.array(sums)})
+
+    def final(batch: pa.Table) -> pa.Table:
+        uniq, sums = _sum_by_int_key(
+            batch.column("l_orderkey").to_numpy(zero_copy_only=False),
+            batch.column("revenue_centbp").to_numpy(zero_copy_only=False))
+        return pa.table({"l_orderkey": pa.array(uniq),
+                         "revenue_centbp": pa.array(sums)})
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_shipdate", "l_extendedprice",
+                             "l_discount"])
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+    return gather_combine(parts, final)
+
+
+def _sum_by_int_key(keys: np.ndarray, vals: np.ndarray):
+    order = np.argsort(keys, kind="stable")
+    k, v = keys[order], vals[order]
+    uniq, start = np.unique(k, return_index=True)
+    return uniq, np.add.reduceat(v, start) if len(v) else v
+
+
 def attr_record_join(sf_dir: str, size_below: int = 10) -> ray.data.Dataset:
     """Broadcast semi-join: lineitem rows whose part has p_size < N,
     emitting (l_orderkey, l_partkey, p_size)."""
