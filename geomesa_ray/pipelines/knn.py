@@ -107,7 +107,8 @@ def knn(fixture_dir: str, probes: pa.Table | None = None,
 
 
 def knn_indexed(store_dir: str, probes: pa.Table | None = None,
-                fixture_dir: str | None = None) -> pa.Table:
+                fixture_dir: str | None = None,
+                metric: str = "planar") -> pa.Table:
     """Index-pruned kNN over a SpatialStore: per-probe ring expansion on
     the bucket grid with the reference's termination rule — stop when the
     unread rings' minimum possible distance exceeds the kth-best distance
@@ -186,9 +187,12 @@ def knn_indexed(store_dir: str, probes: pa.Table | None = None,
             lat = t.column("lat").to_numpy()
             ids = t.column("image_id").to_pylist()
             for p in list(active):
-                dx = lon - plon[p]
-                dy = lat - plat[p]
-                d = (dx * dx) + (dy * dy)
+                if metric == "haversine":
+                    d = haversine_m(lon, lat, plon[p], plat[p])
+                else:
+                    dx = lon - plon[p]
+                    dy = lat - plat[p]
+                    d = (dx * dx) + (dy * dy)
                 k = int(pk[p])
                 if len(d) > k:
                     thresh = np.partition(d, k - 1)[k - 1]
@@ -204,12 +208,36 @@ def knn_indexed(store_dir: str, probes: pa.Table | None = None,
                     while cut < len(cand[p]) and cand[p][cut][0] == kd:
                         cut += 1
                     del cand[p][cut:]
-        # termination: unread rings are at distance >= ring * min_cell
-        bound = (ring * min_cell) ** 2
+        # termination (the reference's cell-min-dist > kth-dist rule):
+        # any unread point sits in a cell at chebyshev > ring, so it is
+        # at least ring cells away in lat OR in lon.
         for p in list(active):
             k = int(pk[p])
-            if len(cand[p]) >= k and cand[p][k - 1][0] <= bound:
-                active.discard(p)
+            if len(cand[p]) < k:
+                continue
+            kth = cand[p][k - 1][0]
+            if metric == "haversine":
+                # provable haversine lower bounds for unread points: from
+                # a = sin2(dphi/2) + cos*cos*sin2(dlam/2),
+                #   lat case:  d >= R * dphi_rad
+                #   lon case:  d >= 2R * cos(phi_worst) * sin(dlam_rad/2)
+                # (asin(x) >= x). Once rings wrap all of lon, only the
+                # lat bound applies. 0.999 slop absorbs float rounding.
+                R = 6_371_000.0
+                lat_bound_m = R * np.radians(ring * cell_h) * 0.999
+                if ring * 2 >= nx:
+                    bound = lat_bound_m
+                else:
+                    worst = min(abs(plat[p]) + (ring + 1) * cell_h, 89.999)
+                    dlam = min(ring * cell_w, 180.0)
+                    lon_bound_m = (2.0 * R * np.cos(np.radians(worst))
+                                   * np.sin(np.radians(dlam) / 2.0) * 0.999)
+                    bound = min(lat_bound_m, lon_bound_m)
+                if kth <= bound:
+                    active.discard(p)
+            else:
+                if kth <= (ring * min_cell) ** 2:
+                    active.discard(p)
         ring += 1
 
     out_p, out_i, out_r = [], [], []

@@ -72,3 +72,16 @@ class TestIndexedKnn:
             knn_mod.pq.read_table = orig
         assert len(out) == 3
         assert sum(calls) < 40, f"read {sum(calls)} partitions of 64"
+
+
+class TestIndexedHaversine:
+    def test_matches_full_scan_haversine(self, ray_session, tiny_fixtures,
+                                         tmp_path):
+        from geomesa_ray.state.store import write_store
+
+        store = str(tmp_path / "hstore")
+        write_store(tiny_fixtures, store)
+        got = knn_rows(knn_indexed(store, fixture_dir=tiny_fixtures,
+                                   metric="haversine"))
+        want = knn_rows(knn(tiny_fixtures, metric="haversine"))
+        assert got == want  # includes polar + near-IDL probes (fixture F3)
