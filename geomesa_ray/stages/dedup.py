@@ -167,13 +167,19 @@ class _MinHashSig:
 
 
 def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
-                      shingle_k: int = 3, threshold: float = 0.5) -> ray.data.Dataset:
+                      shingle_k: int = 3, threshold: float = 0.5,
+                      candidate_stage: str = "gather") -> ray.data.Dataset:
     """Near-dup pairs via MinHash + LSH banding, exactly verified.
 
-    Pipeline: signatures (actor pool, perms built once per actor) ->
-    (band, hash) groupby -> candidate pairs per bucket -> pair dedup
-    (groupby) -> exact shingle-Jaccard verification against a broadcast
-    shingle index -> (doc_id_a, doc_id_b, jaccard >= threshold).
+    Pipeline: signatures -> band rows -> candidate pairs -> exact
+    shingle-Jaccard verification against a broadcast shingle index ->
+    (doc_id_a, doc_id_b, jaccard >= threshold).
+
+    ``candidate_stage``: "gather" (default) extracts bucket-collision
+    pairs in one vectorized combine over the skinny band table — fastest
+    while the table fits one task. "groupby" shuffles by band_id and runs
+    the SAME run-detection kernel per band partition — the 10^12-doc path
+    (both produce identical pairs; equality is tested).
     """
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     sig = _MinHashSig(num_perm, bands, shingle_k)  # tiny state: captured
@@ -211,7 +217,18 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
 
     from geomesa_ray.util import gather_combine
 
-    cand = gather_combine(band_rows, bucket_pairs)
+    if candidate_stage == "groupby":
+        # distributed: one partition per band, same kernel per partition
+        # (pairs only form within a (band_id, band_hash) bucket, so
+        # partitioning by band_id is lossless). A pair found by several
+        # bands is emitted once per band -> dedup with a built-in
+        # groupby.count (no per-group UDF) before verification.
+        cand = band_rows.groupby("band_id").map_groups(
+            bucket_pairs, batch_format="pyarrow")
+        cand = cand.groupby(["doc_id_a", "doc_id_b"]).count() \
+            .select_columns(["doc_id_a", "doc_id_b"])
+    else:
+        cand = gather_combine(band_rows, bucket_pairs)
 
     # broadcast shingle index (small side here; at 10^12 scale this becomes
     # a re-join of shingle sets by doc_id instead of a broadcast)

@@ -333,3 +333,14 @@ class TestHLL:
                             hll_registers(h[50000:], 12))
         assert (whole == merged).all()  # sketches are exactly mergeable
         assert abs(hll_estimate(whole) - 100000) / 100000 < 0.05
+
+
+class TestLSHDistributedCandidates:
+    def test_groupby_path_equals_gather_path(self, ray_session):
+        from geomesa_ray.stages.dedup import minhash_lsh_pairs
+
+        a = {(r["doc_id_a"], r["doc_id_b"]) for r in
+             minhash_lsh_pairs(SF, candidate_stage="gather").take_all()}
+        b = {(r["doc_id_a"], r["doc_id_b"]) for r in
+             minhash_lsh_pairs(SF, candidate_stage="groupby").take_all()}
+        assert a == b
