@@ -168,18 +168,18 @@ class _MinHashSig:
 
 def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
                       shingle_k: int = 3, threshold: float = 0.5,
-                      candidate_stage: str = "gather") -> ray.data.Dataset:
+                      candidate_stage: str = "groupby") -> ray.data.Dataset:
     """Near-dup pairs via MinHash + LSH banding, exactly verified.
 
     Pipeline: signatures -> band rows -> candidate pairs -> exact
     shingle-Jaccard verification against a broadcast shingle index ->
     (doc_id_a, doc_id_b, jaccard >= threshold).
 
-    ``candidate_stage``: "gather" (default) extracts bucket-collision
-    pairs in one vectorized combine over the skinny band table — fastest
-    while the table fits one task. "groupby" shuffles by band_id and runs
-    the SAME run-detection kernel per band partition — the 10^12-doc path
-    (both produce identical pairs; equality is tested).
+    ``candidate_stage``: "groupby" (default) shuffles by band_id and runs
+    the run-detection kernel per band partition — the 10^12-doc path, and
+    already faster than the single-task "gather" combine from ~5k docs up
+    (measured 1.5s vs 3.0s at sf0.1). Both produce identical pairs
+    (equality is tested).
     """
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     sig = _MinHashSig(num_perm, bands, shingle_k)  # tiny state: captured
