@@ -160,16 +160,13 @@ def shipping_revenue(sf_dir: str, cutoff: str = "1998-01-01") -> ray.data.Datase
     ref = ray.put(np.sort(keys))
 
     def partial(batch: pa.Table) -> pa.Table:
+        from geomesa_ray.util import sorted_membership
+
         okeys = resolve_broadcast(ref)
         ship = batch.column("l_shipdate").cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
         ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
-        m = ship > cutoff_us
-        if len(okeys):
-            pos = np.clip(np.searchsorted(okeys, ok), 0, len(okeys) - 1)
-            m &= okeys[pos] == ok
-        else:
-            m &= False
+        m = (ship > cutoff_us) & sorted_membership(ok, okeys)
         sel = np.nonzero(m)[0]
         cents = np.round(batch.column("l_extendedprice")
                          .to_numpy(zero_copy_only=False)[sel] * 100.0) \
@@ -220,13 +217,11 @@ def attr_record_join(sf_dir: str, size_below: int = 10) -> ray.data.Dataset:
     ref = ray.put((keys[order], sizes[order]))
 
     def probe(batch: pa.Table) -> pa.Table:
+        from geomesa_ray.util import sorted_membership
+
         keys_s, sizes_s = resolve_broadcast(ref)
         pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
-        if len(keys_s) == 0:
-            sel = np.empty(0, dtype=np.int64)
-        else:
-            pos = np.clip(np.searchsorted(keys_s, pk), 0, len(keys_s) - 1)
-            sel = np.nonzero(keys_s[pos] == pk)[0]
+        sel = np.nonzero(sorted_membership(pk, keys_s))[0]
         pos_sel = np.searchsorted(keys_s, pk[sel]) if len(keys_s) else sel
         return pa.table({
             "l_orderkey": batch.column("l_orderkey").take(pa.array(sel)),

@@ -186,9 +186,20 @@ def knn_indexed(store_dir: str, probes: pa.Table | None = None,
             lon = t.column("lon").to_numpy()
             lat = t.column("lat").to_numpy()
             ids = t.column("image_id").to_pylist()
+            if metric == "haversine":
+                # convert the batch to radians ONCE, not once per probe
+                lonr = np.radians(lon)
+                latr = np.radians(lat)
+                coslat = np.cos(latr)
+                plonr = np.radians(plon)
+                platr = np.radians(plat)
+                cosplat = np.cos(platr)
             for p in list(active):
                 if metric == "haversine":
-                    d = haversine_m(lon, lat, plon[p], plat[p])
+                    a = (np.sin((latr - platr[p]) / 2.0) ** 2
+                         + coslat * cosplat[p]
+                         * np.sin((lonr - plonr[p]) / 2.0) ** 2)
+                    d = 2.0 * 6_371_000.0 * np.arcsin(np.sqrt(a))
                 else:
                     dx = lon - plon[p]
                     dy = lat - plat[p]

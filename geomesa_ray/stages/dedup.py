@@ -186,13 +186,12 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     band_rows = docs.map_batches(sig.__call__, batch_format="pyarrow",
                                  batch_size=65536)
 
-    # Candidate pairs: the band table is SKINNY (doc_id, band_id, hash =
-    # 24 B/row regardless of doc size), so bucket-collision pairs are
-    # extracted in one vectorized combine over the sorted keys. Ray's
-    # groupby().map_groups here would invoke the UDF once per bucket
-    # (~one bucket per doc x band -> 5 s of per-group overhead at 5k
-    # docs). At 10^12-doc scale, replace the single combine with
-    # sort(band_key) + the same run-detection kernel per sorted block.
+    # Candidate pairs form only within identical (band_id, band_hash)
+    # buckets. The kernel below extracts them VECTORIZED over however
+    # many buckets land in its input (sorted keys + run detection) —
+    # never one UDF call per bucket (that costs ~5 s of per-group
+    # overhead at just 5k docs). The two candidate_stage modes differ
+    # only in how rows are routed to kernel invocations.
     def bucket_pairs(batch: pa.Table) -> pa.Table:
         bid = batch.column("band_id").to_numpy(zero_copy_only=False)
         bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
@@ -218,13 +217,25 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     from geomesa_ray.util import gather_combine
 
     if candidate_stage == "groupby":
-        # distributed: one partition per band, same kernel per partition
-        # (pairs only form within a (band_id, band_hash) bucket, so
-        # partitioning by band_id is lossless). A pair found by several
-        # bands is emitted once per band -> dedup with a built-in
-        # groupby.count (no per-group UDF) before verification.
-        cand = band_rows.groupby("band_id").map_groups(
-            bucket_pairs, batch_format="pyarrow")
+        # distributed: route whole (band_id, band_hash) buckets to
+        # partitions via a 256-way lossless hash of the bucket key —
+        # parallelism and per-task memory are bounded by the partition
+        # count, not by `bands` (grouping by band_id alone would cap at
+        # 16 tasks each holding a full band of the corpus). A pair found
+        # by several bands is emitted once per band -> dedup with a
+        # built-in groupby.count (no per-group UDF) before verification.
+        from geomesa_ray.sources.fixtures import splitmix64
+
+        def add_part(batch: pa.Table) -> pa.Table:
+            bid = batch.column("band_id").to_numpy(zero_copy_only=False)
+            bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
+            key = ((bid << np.int64(33)) | bh).view(np.uint64)
+            part = (splitmix64(key) % np.uint64(256)).astype(np.int64)
+            return batch.append_column("band_part", pa.array(part))
+
+        cand = band_rows.map_batches(add_part, batch_format="pyarrow") \
+            .groupby("band_part").map_groups(bucket_pairs,
+                                             batch_format="pyarrow")
         cand = cand.groupby(["doc_id_a", "doc_id_b"]).count() \
             .select_columns(["doc_id_a", "doc_id_b"])
     else:

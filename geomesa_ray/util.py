@@ -69,16 +69,23 @@ def sum_by_keys(batch: pa.Table, key_cols: list[str], val_col: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def sorted_membership(vals: np.ndarray, sorted_keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``vals`` in a SORTED key array
+    (searchsorted + clip + equality — THE shared semi-join probe)."""
+    if len(sorted_keys) == 0:
+        return np.zeros(len(vals), dtype=bool)
+    pos = np.clip(np.searchsorted(sorted_keys, vals), 0, len(sorted_keys) - 1)
+    return sorted_keys[pos] == vals
+
+
 def id_membership_mask(col, sorted_ids: np.ndarray) -> np.ndarray:
-    """Vectorized membership test of a string column against a SORTED
-    object-dtype id array (the shared record-lookup probe kernel)."""
-    if len(sorted_ids) == 0:
-        return np.zeros(len(col), dtype=bool)
+    """String-column wrapper over :func:`sorted_membership`."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if len(sorted_ids) == 0:
+        return np.zeros(len(col), dtype=bool)
     vals = np.asarray(col.to_pylist(), dtype=object)
-    pos = np.clip(np.searchsorted(sorted_ids, vals), 0, len(sorted_ids) - 1)
-    return sorted_ids[pos] == vals
+    return sorted_membership(vals, sorted_ids)
 
 
 def binary_column_to_matrix(col, nbytes: int) -> np.ndarray:
