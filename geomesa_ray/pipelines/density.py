@@ -35,8 +35,12 @@ def _snap(vals: np.ndarray, lo: float, hi: float, n: int) -> np.ndarray:
 
 
 def density(fixture_dir: str, bbox=(-180.0, 180.0, -90.0, 90.0),
-            width: int = 360, height: int = 180) -> ray.data.Dataset:
-    """(px, py, weight) — count of images per grid pixel over the bbox."""
+            width: int = 360, height: int = 180,
+            weighted: bool = False) -> ray.data.Dataset:
+    """(px, py, weight) — per-pixel aggregate over the bbox: row count, or
+    with ``weighted`` the sum of an integer per-row weight (phash & 15 —
+    the reference's weight-attribute density, ``Z3DensityIterator`` weight
+    option, in an exactly-SQL-reproducible integer domain)."""
     x0, x1, y0, y1 = bbox
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -45,7 +49,13 @@ def density(fixture_dir: str, bbox=(-180.0, 180.0, -90.0, 90.0),
         m = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
         px = _snap(lon[m], x0, x1, width)
         py = _snap(lat[m], y0, y1, height)
-        uniq, cnt = np.unique(py * width + px, return_counts=True)
+        flat = py * width + px
+        if weighted:
+            w = (batch.column("phash").to_numpy(zero_copy_only=False)[m]
+                 & np.int64(15))
+            uniq, sums = unique_flat_sum(flat, w)
+            return pa.table({"pix": pa.array(uniq), "weight": pa.array(sums)})
+        uniq, cnt = np.unique(flat, return_counts=True)
         return pa.table({"pix": pa.array(uniq),
                          "weight": pa.array(cnt.astype(np.int64))})
 
