@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Quickstart: the engine's main surfaces in one script.
+
+Run: python examples/quickstart.py
+"""
+
+import os
+import sys
+import tempfile
+
+import numpy as np
+import ray
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ray.init(address="local", num_cpus=8, include_dashboard=False,
+         log_to_driver=False)
+
+from geomesa_ray.engine import GeoMesaRayEngine  # noqa: E402
+from geomesa_ray.planner import QuerySpec, Strategy  # noqa: E402
+from geomesa_ray.pipelines.scan import SpatialQuery  # noqa: E402
+from geomesa_ray.sources.fixtures import ensure_fixtures  # noqa: E402
+
+# 1. A corpus: image+caption parquet with phash-derived geometry
+corpus = ensure_fixtures("/root/testdata/sf0.001")
+eng = GeoMesaRayEngine(corpus)
+
+# 2. Ingest into the spatial store (cell-bucketed, sorted, manifested)
+stats = eng.ingest_store(tempfile.mkdtemp(prefix="quickstart_store_"))
+print(f"ingested {stats['rows']} rows into {stats['partitions']} partitions "
+      f"(skew {stats['skew_factor']:.2f})")
+
+# 3. Strategy-decided queries (record / attribute / z3 / st)
+print("by ids:", eng.query(QuerySpec(ids=["img00000010", "img00000042"]))
+      .count(), "rows")
+print("bbox+time:",
+      eng.query(QuerySpec(bbox=(-10, 25, -5, 30),
+                          interval_s=(1704067200, 1704067200 + 7 * 86400)))
+      .count(), "rows  (strategy:",
+      Strategy.Z3.value + ", store-pruned + rowgroup-pushdown)")
+
+# 4. Analytic processes
+import pyarrow.parquet as pq  # noqa: E402
+
+regions = pq.read_table(f"{corpus}/regions.parquet")
+print("PIP join:", eng.pip_join(regions).count(), "pairs")
+print("kNN (indexed, geodesic):", len(eng.knn_indexed(metric="haversine")), "rows")
+print("density grid:", eng.density().count(), "pixels")
+print("tiles:", eng.tiles(level=8).count(), "assignments")
+
+# 5. Proximity + sorted export
+print("within 300 km of (10, 45):",
+      eng.proximity(np.array([10.0]), np.array([45.0]), ["p"], 3e5).count())
+print("sorted export:",
+      eng.sorted_export(SpatialQuery(-60, 60, -60, 60)).count(), "rows")
+
+ray.shutdown()

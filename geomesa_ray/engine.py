@@ -138,13 +138,15 @@ class GeoMesaRayEngine:
 
         return knn(self.fixture_dir, probes, **kw)
 
-    def knn_indexed(self, probes: pa.Table | None = None) -> pa.Table:
+    def knn_indexed(self, probes: pa.Table | None = None,
+                    metric: str = "planar") -> pa.Table:
         """Index-pruned kNN (requires ingest_store first)."""
         from geomesa_ray.pipelines.knn import knn_indexed
 
         if self.store_dir is None:
             raise ValueError("ingest_store(...) first: indexed kNN reads the store")
-        return knn_indexed(self.store_dir, probes, fixture_dir=self.fixture_dir)
+        return knn_indexed(self.store_dir, probes, fixture_dir=self.fixture_dir,
+                           metric=metric)
 
     def append(self, new_images: pa.Table) -> dict:
         """Incremental upsert into the store (affected buckets only)."""
