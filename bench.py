@@ -33,7 +33,11 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-                 log_to_driver=False)
+                 log_to_driver=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False  # keep stdout to the one JSON line
     from geomesa_ray.pipelines.flagship import flagship
     from geomesa_ray.sources.fixtures import ensure_fixtures, rows_for_sf
 
