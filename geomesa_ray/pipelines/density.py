@@ -97,34 +97,48 @@ def temporal_density_images(fixture_dir: str, buckets: int = 96) -> ray.data.Dat
     return gather_combine(parts, final)
 
 
-def user_window_counts(sf_dir: str, window_s: int = 86400) -> ray.data.Dataset:
+def user_window_counts(sf_dir: str, window_s: int = 86400,
+                       n_parts: int = 64) -> ray.data.Dataset:
     """Per-key tumbling-window counts over the events stream table:
     (user_id, window_start, cnt). The batch expression of a streaming
     keyed window (ray_guide 'streaming-shaped workloads': ordered log +
     GROUP BY key, floor(ts/size)); watermarks are unnecessary in batch —
-    late data is simply present. Bounded keys x windows -> per-batch
-    combiner + single combine."""
+    late data is simply present.
+
+    Per-batch combiner, then a hash-bucketed groupby merge: user
+    cardinality is input-proportional (NOT bounded), so the final merge
+    shuffles by ``hash(user_id) % n_parts`` and each of the ``n_parts``
+    tasks merges only its bucket — no single-task combine, no driver
+    state. Keys stay as (user_id, window_start) column pairs (a packed
+    scalar key would wrap for user_id >= 2^31)."""
+    from geomesa_ray.sources.fixtures import splitmix64
+    from geomesa_ray.util import unique_rows_sum
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         uid = batch.column("user_id").to_numpy(zero_copy_only=False)
         win = (ts // (window_s * 1_000_000)) * window_s
-        key = uid * np.int64(1 << 32) + (win // window_s)
-        uniq, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
-        first = np.zeros(len(uniq), dtype=np.int64)
-        first[inv] = np.arange(len(key))
+        (u, w), cnt = unique_rows_sum([uid, win],
+                                      np.ones(len(uid), dtype=np.int64))
+        part = (splitmix64(u.view(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
         return pa.table({
-            "user_id": pa.array(uid[first]),
-            "window_start": pa.array(win[first]),
-            "cnt": pa.array(cnt.astype(np.int64)),
+            "user_id": pa.array(u),
+            "window_start": pa.array(w),
+            "cnt": pa.array(cnt),
+            "part": pa.array(part),
         })
 
-    from geomesa_ray.util import gather_combine, sum_by_keys
+    def merge(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        win = group.column("window_start").to_numpy(zero_copy_only=False)
+        cnt = group.column("cnt").to_numpy(zero_copy_only=False)
+        (u, w), s = unique_rows_sum([uid, win], cnt)
+        return pa.table({"user_id": pa.array(u), "window_start": pa.array(w),
+                         "cnt": pa.array(s)})
 
     ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    return gather_combine(
-        parts, lambda b: sum_by_keys(b, ["user_id", "window_start"], "cnt"))
+    return parts.groupby("part").map_groups(merge, batch_format="pyarrow")
 
 
 def temporal_density(sf_dir: str, t0_us: int, t1_us: int,

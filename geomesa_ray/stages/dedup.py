@@ -168,12 +168,17 @@ class _MinHashSig:
 
 def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
                       shingle_k: int = 3, threshold: float = 0.5,
-                      candidate_stage: str = "groupby") -> ray.data.Dataset:
+                      candidate_stage: str = "groupby",
+                      join_partitions: int | None = None) -> ray.data.Dataset:
     """Near-dup pairs via MinHash + LSH banding, exactly verified.
 
     Pipeline: signatures -> band rows -> candidate pairs -> exact
-    shingle-Jaccard verification against a broadcast shingle index ->
-    (doc_id_a, doc_id_b, jaccard >= threshold).
+    shingle-Jaccard verification by RE-JOINING the candidate pairs with
+    the distributed per-doc shingle sets (two hash joins on doc_id) ->
+    (doc_id_a, doc_id_b, jaccard >= threshold). No stage materializes
+    the corpus on the driver: verification streams through the same
+    shuffle machinery as the candidate stage, so the op holds at
+    10^12-doc scale (``join_partitions`` sizes the join shuffle).
 
     ``candidate_stage``: "groupby" (default) shuffles by band_id and runs
     the run-detection kernel per band partition — the 10^12-doc path, and
@@ -241,38 +246,53 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     else:
         cand = gather_combine(band_rows, bucket_pairs)
 
-    # broadcast shingle index (small side here; at 10^12 scale this becomes
-    # a re-join of shingle sets by doc_id instead of a broadcast)
-    import os
-    import pyarrow.parquet as pq
+    # Verification re-join (no driver materialization): shingle sets live
+    # in a distributed (doc_id, sh) table; candidate pairs hash-join
+    # against it once per side. Pairs are the small side (dedup output
+    # scale), shingles ship through the shuffle exactly once per side.
+    # Shingle sets travel as packed int64 bytes (Acero hash joins reject
+    # list-typed payload columns). Each join spins up ``num_partitions``
+    # aggregator actors; sized to the cluster so two chained joins never
+    # starve the map tasks (32 aggregators deadlock a 4-cpu session).
+    if join_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        join_partitions = max(2, cpus // 4)
 
-    dt = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                       columns=["doc_id", "text"])
-    index = {d: _shingle_hashes(t, shingle_k)
-             for d, t in zip(dt.column("doc_id").to_pylist(),
-                             dt.column("text").to_pylist())}
-    from geomesa_ray.util import resolve_broadcast
+    def tokenize_sh(batch: pa.Table) -> pa.Table:
+        sh = [_shingle_hashes(t, shingle_k).tobytes()
+              for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "sh": pa.array(sh, pa.binary())})
 
-    ref = ray.put(index)
+    tok = docs.map_batches(tokenize_sh, batch_format="pyarrow",
+                           batch_size=65536)
+    tok_a = _rename(tok, ["doc_id_a", "sh_a"])
+    tok_b = _rename(tok, ["doc_id_b", "sh_b"])
+    j = cand.join(tok_a, "inner", num_partitions=join_partitions,
+                  on=("doc_id_a",))
+    j = j.join(tok_b, "inner", num_partitions=join_partitions,
+               on=("doc_id_b",))
 
     def verify(batch: pa.Table) -> pa.Table:
-        idx = resolve_broadcast(ref)
-        a = batch.column("doc_id_a").to_pylist()
-        b = batch.column("doc_id_b").to_pylist()
+        a = batch.column("doc_id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_id_b").to_numpy(zero_copy_only=False)
+        sh_a = batch.column("sh_a").to_pylist()
+        sh_b = batch.column("sh_b").to_pylist()
         jac = np.zeros(len(a))
         for i in range(len(a)):
-            sa, sb = idx[a[i]], idx[b[i]]
+            sa = np.frombuffer(sh_a[i], dtype=np.int64)
+            sb = np.frombuffer(sh_b[i], dtype=np.int64)
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
             jac[i] = inter / union if union else 0.0
         keep = jac >= threshold
         return pa.table({
-            "doc_id_a": pa.array(np.asarray(a)[keep], pa.int64()),
-            "doc_id_b": pa.array(np.asarray(b)[keep], pa.int64()),
+            "doc_id_a": pa.array(a[keep], pa.int64()),
+            "doc_id_b": pa.array(b[keep], pa.int64()),
             "jaccard": pa.array(jac[keep]),
         })
 
-    return cand.map_batches(verify, batch_format="pyarrow", batch_size=65536)
+    return j.map_batches(verify, batch_format="pyarrow", batch_size=65536)
 
 
 def dedup_clusters(pairs_ds: ray.data.Dataset,
@@ -394,9 +414,10 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
         b = np.concatenate(out_b)
         h = np.concatenate(out_h)
         trip = np.unique(np.stack([a, b, h], axis=1), axis=0)
-        # one row per pair (hamming is identical across bands for a pair)
-        pair_key = trip[:, 0] * np.int64(1 << 32) + trip[:, 1]
-        _, first = np.unique(pair_key, return_index=True)
+        # one row per pair (hamming is identical across bands for a pair);
+        # dedup on the 2-column pair array — a packed scalar key would
+        # wrap/collide for doc_id >= 2^31
+        _, first = np.unique(trip[:, :2], axis=0, return_index=True)
         trip = trip[first]
         return pa.table({"doc_id_a": pa.array(trip[:, 0]),
                          "doc_id_b": pa.array(trip[:, 1]),

@@ -188,30 +188,64 @@ def topk_cosine_ivf(sf_dir: str, num_queries: int = 8, k: int = 10,
 
 def embed_neardup(sf_dir: str, tau: float = 0.35) -> ray.data.Dataset:
     """(vec_id_a, vec_id_b, cos): embedding pairs with cosine >= tau,
-    a < b. The comparison side is broadcast (small at this scale; the
-    10^12-row path buckets by coarse quantizer first)."""
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                      columns=["vec_id", "embedding"])
-    all_ids = t.column("vec_id").to_numpy()
-    m = _normalize(_embedding_matrix(t))
-    from geomesa_ray.util import resolve_broadcast
+    a < b — EXACT, via a distributed block-pair self-join.
 
-    ref = ray.put((all_ids, m))
+    All-pairs cosine is intrinsically O(N^2) compute; the scale question
+    is data movement. Shape: normalize each block once, pin the blocks in
+    the object store as refs (``to_arrow_refs`` — never collected on the
+    driver), then fan out one task per (block_i, block_j) pair, i <= j.
+    Each task resolves exactly two blocks (worker-cached, zero-copy
+    plasma reads on the same node) and does one cross matmul — no
+    full-matrix broadcast, no driver materialization, per-task memory
+    O(block^2 bits + 2 blocks). An unordered vector pair meets in exactly
+    one task (triu within the diagonal block), so no output dedup."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        ids, mat = resolve_broadcast(ref)
-        x = _normalize(_embedding_matrix(batch))
-        vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        sims = x @ mat.T  # (B, N)
-        bi, ni = np.nonzero(sims >= tau)
-        a = vids[bi]
-        b = ids[ni]
-        keep = a < b  # dedup + drop self
+    def pack(batch: pa.Table) -> pa.Table:
+        m = _normalize(_embedding_matrix(batch))
         return pa.table({
-            "vec_id_a": pa.array(a[keep]),
-            "vec_id_b": pa.array(b[keep]),
-            "cos": pa.array(sims[bi[keep], ni[keep]]),
+            "vec_id": batch.column("vec_id"),
+            "embedding": pa.array(m.tolist(), pa.list_(pa.float64())),
         })
 
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return ds.map_batches(pairs, batch_format="pyarrow", batch_size=65536)
+    blocks = ds.map_batches(pack, batch_format="pyarrow",
+                            batch_size=65536).to_arrow_refs()
+    nb = len(blocks)
+    items = [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)]
+    work = ray.data.from_items(items, override_num_blocks=len(items))
+
+    from geomesa_ray.util import resolve_broadcast
+
+    empty = pa.table({"vec_id_a": pa.array([], pa.int64()),
+                      "vec_id_b": pa.array([], pa.int64()),
+                      "cos": pa.array([], pa.float64())})
+
+    def compare(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_c = [], [], []
+        for i, j in zip(batch.column("i").to_pylist(),
+                        batch.column("j").to_pylist()):
+            ti = resolve_broadcast(blocks[i])
+            tj = ti if j == i else resolve_broadcast(blocks[j])
+            mi = _embedding_matrix(ti)
+            mj = mi if j == i else _embedding_matrix(tj)
+            ids_i = ti.column("vec_id").to_numpy()
+            ids_j = tj.column("vec_id").to_numpy()
+            sims = mi @ mj.T
+            hit = sims >= tau
+            if i == j:
+                hit = np.triu(hit, 1)  # each unordered pair once, no self
+            ii, jj = np.nonzero(hit)
+            if len(ii) == 0:
+                continue
+            out_a.append(np.minimum(ids_i[ii], ids_j[jj]))
+            out_b.append(np.maximum(ids_i[ii], ids_j[jj]))
+            out_c.append(sims[ii, jj])
+        if not out_a:
+            return empty
+        return pa.table({
+            "vec_id_a": pa.array(np.concatenate(out_a)),
+            "vec_id_b": pa.array(np.concatenate(out_b)),
+            "cos": pa.array(np.concatenate(out_c)),
+        })
+
+    return work.map_batches(compare, batch_format="pyarrow", batch_size=None)

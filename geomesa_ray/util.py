@@ -111,3 +111,22 @@ def unique_flat_sum(flat: np.ndarray, weights: np.ndarray):
     w = weights[order]
     uniq, start = np.unique(f, return_index=True)
     return uniq, np.add.reduceat(w, start)
+
+
+def unique_rows_sum(keys: list[np.ndarray], weights: np.ndarray):
+    """Group rows by MULTI-column integer keys (lexsort + run detection);
+    returns ([unique key columns], summed weights), sorted by key tuple.
+    Never packs keys into one scalar — packed int64 keys wrap for ids
+    >= 2^31 and collide for ids >= 2^32."""
+    n = len(weights)
+    if n == 0:
+        return [k[:0] for k in keys], weights[:0]
+    order = np.lexsort(tuple(reversed(keys)))  # keys[0] = primary
+    ks = [k[order] for k in keys]
+    w = weights[order]
+    new = np.zeros(n, dtype=bool)
+    new[0] = True
+    for k in ks:
+        new[1:] |= k[1:] != k[:-1]
+    start = np.nonzero(new)[0]
+    return [k[start] for k in ks], np.add.reduceat(w, start)
