@@ -92,6 +92,9 @@ def haversine_m(lon1, lat1, lon2, lat2):
     dlon = lon2 - lon1
     dlat = lat2 - lat1
     a = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
+    # float rounding can push a just past 1 for near-antipodal pairs;
+    # unclipped that yields NaN (silently dropped by d <= thresh filters)
+    a = np.clip(a, 0.0, 1.0)
     return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(a))
 
 

@@ -27,12 +27,13 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+import ray
 import ray.data
 
 from geomesa_ray.geom.kernels import haversine_m
 from geomesa_ray.sources.io import read_images
 from geomesa_ray.stages.derive import derive_geometry
-from geomesa_ray.util import gather_combine
+from geomesa_ray.util import gather_combine, resolve_broadcast
 
 
 def knn(fixture_dir: str, probes: pa.Table | None = None,
@@ -115,11 +116,14 @@ def knn_indexed(store_dir: str, probes: pa.Table | None = None,
     (``KNNQuery.scala:56-81`` spiral + ``GeoHashSpiral`` enumeration,
     re-expressed as batched ring reads).
 
-    Each iteration does ONE pruned distributed read of the newly-needed
-    partitions for all still-active probes (never re-reading a bucket),
-    and a broadcast vectorized distance pass; candidate state is
-    O(probes x k) on the driver. Exactly matches the full-scan planar
-    ``knn()`` (verified in tests). Returns an arrow Table.
+    Each iteration does ONE pruned DISTRIBUTED ``ray.data.read_parquet``
+    of the newly-needed partitions for all still-active probes (never
+    re-reading a bucket, partitions never loaded on the driver), and each
+    read batch runs ONE vectorized (active-probes x rows) distance pass
+    that emits per-probe partial top-k rows — the driver only merges the
+    bounded O(active x k x n_blocks) partials into array-based candidate
+    state. Exactly matches the full-scan planar ``knn()`` (verified in
+    tests, incl. a 10^3-probe run). Returns an arrow Table.
     """
     import os
 
@@ -147,8 +151,10 @@ def knn_indexed(store_dir: str, probes: pa.Table | None = None,
     px, py = lonlat_to_xy(plon, plat, blevel, blevel)
     existing = {int(b) for b in completed_partitions(store_dir)}
 
-    # per-probe candidate state: (dist, image_id) lists kept at <= k
-    cand: list[list] = [[] for _ in range(npr)]
+    # per-probe candidate state: parallel (dist, image_id) ARRAYS kept at
+    # <= k (+ kth-distance ties) — no per-probe Python tuple lists
+    cand_d: list[np.ndarray] = [np.empty(0)] * npr
+    cand_i: list[np.ndarray] = [np.empty(0, dtype=object)] * npr
     read_buckets: set[int] = set()
     active = set(range(npr))
     ring = 0
@@ -182,51 +188,81 @@ def knn_indexed(store_dir: str, probes: pa.Table | None = None,
         if new:
             paths = [os.path.join(store_dir, f"part={b}", "data.parquet")
                      for b in sorted(new)]
-            t = pq.read_table(paths, columns=["image_id", "lon", "lat"])
-            lon = t.column("lon").to_numpy()
-            lat = t.column("lat").to_numpy()
-            ids = t.column("image_id").to_pylist()
-            if metric == "haversine":
-                # convert the batch to radians ONCE, not once per probe
-                lonr = np.radians(lon)
-                latr = np.radians(lat)
-                coslat = np.cos(latr)
-                plonr = np.radians(plon)
-                platr = np.radians(plat)
-                cosplat = np.cos(platr)
-            for p in list(active):
+            act = np.array(sorted(active), dtype=np.int64)
+            ref = ray.put((plon[act], plat[act],
+                           pk[act].astype(np.int64)))
+
+            def ring_partial(batch: pa.Table) -> pa.Table:
+                alon, alat, apk = resolve_broadcast(ref)
+                lon = batch.column("lon").to_numpy(zero_copy_only=False)
+                lat = batch.column("lat").to_numpy(zero_copy_only=False)
                 if metric == "haversine":
-                    a = (np.sin((latr - platr[p]) / 2.0) ** 2
-                         + coslat * cosplat[p]
-                         * np.sin((lonr - plonr[p]) / 2.0) ** 2)
-                    d = 2.0 * 6_371_000.0 * np.arcsin(np.sqrt(a))
+                    d = haversine_m(lon[None, :], lat[None, :],
+                                    alon[:, None], alat[:, None])
                 else:
-                    dx = lon - plon[p]
-                    dy = lat - plat[p]
-                    d = (dx * dx) + (dy * dy)
+                    dx = lon[None, :] - alon[:, None]
+                    dy = lat[None, :] - alat[:, None]
+                    d = (dx * dx) + (dy * dy)  # (A, B)
+                n = len(lon)
+                out_a, out_i, out_d = [], [], []
+                for ai in range(len(alon)):
+                    da = d[ai]
+                    k = int(apk[ai])
+                    if n > k:
+                        thresh = np.partition(da, k - 1)[k - 1]
+                        sel = np.nonzero(da <= thresh)[0]
+                    else:
+                        sel = np.arange(n)
+                    out_a.append(np.full(len(sel), ai, dtype=np.int64))
+                    out_i.append(sel)
+                    out_d.append(da[sel])
+                ids_col = batch.column("image_id")
+                if isinstance(ids_col, pa.ChunkedArray):
+                    ids_col = ids_col.combine_chunks()
+                return pa.table({
+                    "aidx": pa.array(np.concatenate(out_a)),
+                    "image_id": ids_col.take(pa.array(np.concatenate(out_i))),
+                    "dist": pa.array(np.concatenate(out_d)),
+                })
+
+            parts = ray.data.read_parquet(
+                paths, columns=["image_id", "lon", "lat"]
+            ).map_batches(ring_partial, batch_format="pyarrow",
+                          batch_size=65536)
+            t = pa.concat_tables(ray.get(parts.to_arrow_refs()))
+            aidx = t.column("aidx").to_numpy(zero_copy_only=False)
+            dist = t.column("dist").to_numpy(zero_copy_only=False)
+            ids = np.asarray(t.column("image_id").to_pylist(), dtype=object)
+            # group the bounded partials by probe and merge into the
+            # candidate arrays (sort by (dist, id), keep k + kth ties)
+            order = np.argsort(aidx, kind="stable")
+            aidx, dist, ids = aidx[order], dist[order], ids[order]
+            starts = np.searchsorted(aidx, np.arange(len(act) + 1))
+            for ai in range(len(act)):
+                s, e = starts[ai], starts[ai + 1]
+                if s == e:
+                    continue
+                p = int(act[ai])
                 k = int(pk[p])
-                if len(d) > k:
-                    thresh = np.partition(d, k - 1)[k - 1]
-                    sel = np.nonzero(d <= thresh)[0]
-                else:
-                    sel = np.arange(len(d))
-                cand[p].extend((float(d[i]), ids[i]) for i in sel)
-                cand[p].sort()
-                if len(cand[p]) > k:
-                    # keep the top k plus every tie at the kth distance
-                    kd = cand[p][k - 1][0]
+                md = np.concatenate([cand_d[p], dist[s:e]])
+                mi = np.concatenate([cand_i[p], ids[s:e]])
+                o = np.lexsort((mi, md))
+                md, mi = md[o], mi[o]
+                if len(md) > k:
+                    kd = md[k - 1]
                     cut = k
-                    while cut < len(cand[p]) and cand[p][cut][0] == kd:
+                    while cut < len(md) and md[cut] == kd:
                         cut += 1
-                    del cand[p][cut:]
+                    md, mi = md[:cut], mi[:cut]
+                cand_d[p], cand_i[p] = md, mi
         # termination (the reference's cell-min-dist > kth-dist rule):
         # any unread point sits in a cell at chebyshev > ring, so it is
         # at least ring cells away in lat OR in lon.
         for p in list(active):
             k = int(pk[p])
-            if len(cand[p]) < k:
+            if len(cand_d[p]) < k:
                 continue
-            kth = cand[p][k - 1][0]
+            kth = float(cand_d[p][k - 1])
             if metric == "haversine":
                 # provable haversine lower bounds for unread points: from
                 # a = sin2(dphi/2) + cos*cos*sin2(dlam/2),
@@ -236,10 +272,13 @@ def knn_indexed(store_dir: str, probes: pa.Table | None = None,
                 # lat bound applies. 0.999 slop absorbs float rounding.
                 R = 6_371_000.0
                 lat_bound_m = R * np.radians(ring * cell_h) * 0.999
-                if ring * 2 >= nx:
+                worst = abs(plat[p]) + (ring + 1) * cell_h
+                if ring * 2 >= nx or worst >= 90.0:
+                    # lon wrapped, or candidates can lie poleward of the
+                    # worst-case latitude (cos -> 0): the lon bound gives
+                    # no information — only the lat bound applies
                     bound = lat_bound_m
                 else:
-                    worst = min(abs(plat[p]) + (ring + 1) * cell_h, 89.999)
                     dlam = min(ring * cell_w, 180.0)
                     lon_bound_m = (2.0 * R * np.cos(np.radians(worst))
                                    * np.sin(np.radians(dlam) / 2.0) * 0.999)
@@ -253,11 +292,11 @@ def knn_indexed(store_dir: str, probes: pa.Table | None = None,
 
     out_p, out_i, out_r = [], [], []
     for p in range(npr):
-        top = sorted(cand[p])[: int(pk[p])]
-        for r, (_, iid) in enumerate(top, 1):
+        take = min(int(pk[p]), len(cand_d[p]))  # arrays already sorted
+        for r in range(take):
             out_p.append(pids[p])
-            out_i.append(iid)
-            out_r.append(r)
+            out_i.append(cand_i[p][r])
+            out_r.append(r + 1)
     return pa.table({"probe_id": pa.array(out_p, pa.string()),
                      "image_id": pa.array(out_i, pa.string()),
                      "knn_rank": pa.array(out_r, pa.int64())})

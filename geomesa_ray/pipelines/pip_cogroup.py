@@ -14,9 +14,13 @@ prefix (``IndexSchema.scala:108-113`` ``%999#r``, 4-bit murmur shard in
    ``salt = mix(phash) % n_salt``; each REGION covering a hot cell is
    replicated to every salt — exactness is preserved because a
    (point, region) pair still meets in exactly one (cell, salt) bucket.
-3. Regions explode to one row per covering cell (``flat_map`` role);
-   both sides shuffle by (cell, salt); ``groupby.map_groups`` refines
-   with the same exact kernels as the broadcast join.
+3. Regions explode to one row per covering cell (``flat_map`` role),
+   each row CARRYING its region's serialized geometry payload — the
+   refine task holds only its own group's geometries, never the full
+   region index (which would defeat the purpose of this path: region
+   sets too large to broadcast). Both sides shuffle by (cell, salt);
+   ``groupby.map_groups`` refines with the same exact kernels as the
+   broadcast join.
 4. A point's cell may be covered by a region whose polygon does not
    contain it — the exact test filters; a pair can never meet twice
    (one cell per point, region rows deduped per cell), so no output
@@ -35,10 +39,7 @@ import pyarrow as pa
 
 import ray.data
 
-from geomesa_ray.pipelines.pip_join import (
-    build_region_index,
-    refine_candidates,
-)
+from geomesa_ray.pipelines.pip_join import build_region_index
 from geomesa_ray.sources.fixtures import splitmix64
 from geomesa_ray.sources.io import read_images
 from geomesa_ray.stages.encode import derive_and_encode
@@ -93,9 +94,21 @@ def pip_join_cogroup(fixture_dir: str, regions: pa.Table,
                      hot_threshold: int = 50_000,
                      n_salt: int = 8) -> ray.data.Dataset:
     """(image_id, region_id) via explicit (cell, salt) co-partitioning."""
+    import pickle
+
     region_cells, idx = _region_cell_table(regions, cell_level)
     rc_cell = region_cells.column("cell").to_numpy()
     shift = 2 * (full_level - cell_level)
+
+    # per-region serialized geometry payload — travels on the region side
+    # of the shuffle, one copy per exploded (cell, salt) row
+    payloads = [
+        pickle.dumps((idx.region_ids[i], idx.kinds[i],
+                      tuple(float(v) for v in idx.bbox[i]),
+                      int(idx.t_start_s[i]), int(idx.t_end_s[i]),
+                      idx.polys[i]))
+        for i in range(len(idx.region_ids))
+    ]
 
     pts = read_images(fixture_dir, columns=["image_id", "phash"])
     pts = pts.map_batches(derive_and_encode, batch_format="pyarrow",
@@ -123,17 +136,20 @@ def pip_join_cogroup(fixture_dir: str, regions: pa.Table,
             "lon": batch.column("lon"),
             "lat": batch.column("lat"),
             "dtg_s": batch.column("dtg_s"),
+            "geom": pa.array([b""] * len(cell), pa.binary()),
         })
 
-    # region side: replicate hot-cell rows to every salt
+    # region side: replicate hot-cell rows to every salt, geometry aboard
     rcells = []
     rords = []
+    rgeoms = []
     rc_ord = region_cells.column("ord").to_numpy()
     for c, o in zip(rc_cell.tolist(), rc_ord.tolist()):
         salts = range(n_salt) if c in hot else (0,)
         for s in salts:
             rcells.append(c * n_salt + s)
             rords.append(o)
+            rgeoms.append(payloads[o])
     region_rows = pa.table({
         "ckey": pa.array(rcells, pa.int64()),
         "side": pa.array(np.ones(len(rcells), dtype=np.int8)),
@@ -142,14 +158,17 @@ def pip_join_cogroup(fixture_dir: str, regions: pa.Table,
         "lon": pa.array(np.zeros(len(rcells))),
         "lat": pa.array(np.zeros(len(rcells))),
         "dtg_s": pa.array(np.zeros(len(rcells), dtype=np.int64)),
+        "geom": pa.array(rgeoms, pa.binary()),
     })
 
     both = pts.map_batches(key_points, batch_format="pyarrow") \
         .union(ray.data.from_arrow(region_rows))
 
-    region_ids = idx.region_ids
-
     def cogroup_refine(group: pa.Table) -> pa.Table:
+        import pickle as _pickle
+
+        from geomesa_ray.geom.kernels import points_in_polygon
+
         side = group.column("side").to_numpy(zero_copy_only=False)
         pts_t = group.filter(pa.array(side == 0))
         regs = group.filter(pa.array(side == 1))
@@ -159,21 +178,35 @@ def pip_join_cogroup(fixture_dir: str, regions: pa.Table,
         lon = pts_t.column("lon").to_numpy(zero_copy_only=False)
         lat = pts_t.column("lat").to_numpy(zero_copy_only=False)
         dtg = pts_t.column("dtg_s").to_numpy(zero_copy_only=False)
-        ords = np.unique(regs.column("ord").to_numpy(zero_copy_only=False))
-        pairs_p, pairs_o = [], []
-        for o in ords:
-            pairs_p.append(np.arange(pts_t.num_rows, dtype=np.int64))
-            pairs_o.append(np.full(pts_t.num_rows, o, dtype=np.int32))
-        pts_i = np.concatenate(pairs_p)
-        ords_i = np.concatenate(pairs_o)
-        keep_p, keep_o = refine_candidates(idx, pts_i, ords_i, lon, lat, dtg)
+        rords = regs.column("ord").to_numpy(zero_copy_only=False)
+        geoms = regs.column("geom").to_pylist()
+        # a region may reach this cell via two IDL parts — test it once
+        _, first = np.unique(rords, return_index=True)
         ids = pts_t.column("image_id")
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        rid = np.asarray(region_ids, dtype=object)[keep_o]
+        out_p, out_r = [], []
+        for gi in first:
+            rid, kind, bbox, ts, te, polys = _pickle.loads(geoms[gi])
+            ok = (dtg >= ts) & (dtg <= te)
+            if kind == "box":
+                ok &= ((lon >= bbox[0]) & (lon <= bbox[1])
+                       & (lat >= bbox[2]) & (lat <= bbox[3]))
+            else:
+                inside = np.zeros(len(lon), dtype=bool)
+                for poly in polys:
+                    inside |= points_in_polygon(lon, lat, poly)
+                ok &= inside
+            sel = np.nonzero(ok)[0]
+            if len(sel):
+                out_p.append(sel)
+                out_r.extend([rid] * len(sel))
+        if not out_p:
+            return pa.table({"image_id": pa.array([], pa.string()),
+                             "region_id": pa.array([], pa.string())})
         return pa.table({
-            "image_id": ids.take(pa.array(keep_p)),
-            "region_id": pa.array(rid.tolist(), pa.string()),
+            "image_id": ids.take(pa.array(np.concatenate(out_p))),
+            "region_id": pa.array(out_r, pa.string()),
         })
 
     return both.groupby("ckey").map_groups(cogroup_refine, batch_format="pyarrow")

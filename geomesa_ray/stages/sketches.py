@@ -23,16 +23,51 @@ from geomesa_ray.sources.fixtures import splitmix64
 from geomesa_ray.util import gather_combine
 
 
+_POLY_P = np.uint64(1099511628211)  # FNV-1a prime (odd, full-period mod 2^64)
+
+
+def _hash_string_array(col: pa.Array) -> np.ndarray:
+    """Vectorized 64-bit digests of a string column: segmented polynomial
+    hash straight over the Arrow UTF-8 data buffer (byte * P^position,
+    summed per string via a cumsum difference), splitmix-finalized. No
+    per-row Python — the only loop is O(max string length) building the
+    power table. Strings need the full 64-bit space: a crc32 pre-hash
+    would cap distincts at 2^32 and saturate the estimator at scale."""
+    off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    n = len(col)
+    offs = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
+        col.offset:col.offset + n + 1].astype(np.int64)
+    lens = offs[1:] - offs[:-1]
+    len_mix = splitmix64(lens.astype(np.uint64) ^ np.uint64(0xA5A5A5A5))
+    if int(lens.sum()) == 0:
+        return splitmix64(len_mix)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    d = data[offs[0]:offs[-1]].astype(np.uint64)
+    starts_rel = offs[:-1] - offs[0]
+    pos = np.arange(len(d), dtype=np.int64) - np.repeat(starts_rel, lens)
+    e = np.repeat(lens, lens) - 1 - pos  # exponent: high byte first
+    maxlen = int(lens.max())
+    pows = np.empty(maxlen, dtype=np.uint64)
+    pows[0] = 1
+    with np.errstate(over="ignore"):
+        for i in range(1, maxlen):
+            pows[i] = pows[i - 1] * _POLY_P
+        terms = d * pows[e]
+    csum = np.concatenate([np.zeros(1, np.uint64),
+                           np.cumsum(terms, dtype=np.uint64)])
+    tot = csum[offs[1:] - offs[0]] - csum[starts_rel]
+    return splitmix64(tot ^ len_mix)
+
+
 def _hash_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_integer(col.type):
         return splitmix64(col.to_numpy(zero_copy_only=False)
                           .astype(np.int64).view(np.uint64))
-    # strings need a full 64-bit digest: a bare crc32 pre-hash would cap
-    # the distinct space at 2^32 and saturate the estimator at scale.
-    # Two salted crc32 halves (cheap C loop) + splitmix finalizer give an
-    # effective 64-bit space without a per-row cryptographic hash.
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        return _hash_string_array(col)
+    # fallback for exotic types: per-row repr digest (not a hot path)
     import zlib
 
     h = np.array(

@@ -55,23 +55,48 @@ class TestIndexedKnn:
             "lat": pa.array([45.0]), "k": pa.array([3], pa.int32()),
             "max_dist_m": pa.array([1e7]),
         })
-        # instrument: count parquet reads via monkeypatched pq.read_table
+        # instrument: count partition reads via the distributed reader
         import geomesa_ray.pipelines.knn as knn_mod
 
         calls = []
-        orig = knn_mod.pq.read_table
+        orig = knn_mod.ray.data.read_parquet
 
         def spy(paths, **kw):
             calls.append(len(paths) if isinstance(paths, list) else 1)
             return orig(paths, **kw)
 
-        knn_mod.pq.read_table = spy
+        knn_mod.ray.data.read_parquet = spy
         try:
             out = knn_indexed(store, probes=probes)
         finally:
-            knn_mod.pq.read_table = orig
+            knn_mod.ray.data.read_parquet = orig
         assert len(out) == 3
-        assert sum(calls) < 40, f"read {sum(calls)} partitions of 64"
+        assert 0 < sum(calls) < 40, f"read {sum(calls)} partitions of 64"
+
+
+class TestIndexedKnnManyProbes:
+    def test_thousand_probes_match_full_scan(self, ray_session, tiny_fixtures,
+                                             tmp_path):
+        """10^3 probes through the distributed ring reader — exact match
+        with the full-scan pipeline, partitions never driver-loaded."""
+        import pyarrow as pa
+
+        from geomesa_ray.state.store import write_store
+
+        store = str(tmp_path / "store1k")
+        write_store(tiny_fixtures, store)
+        rng = np.random.default_rng(7)
+        n = 1000
+        probes = pa.table({
+            "probe_id": pa.array([f"q{i:04d}" for i in range(n)]),
+            "lon": pa.array(rng.uniform(-179.0, 179.0, n)),
+            "lat": pa.array(rng.uniform(-85.0, 85.0, n)),
+            "k": pa.array(rng.integers(1, 6, n), pa.int32()),
+            "max_dist_m": pa.array(np.full(n, 1e7)),
+        })
+        got = knn_rows(knn_indexed(store, probes=probes))
+        want = knn_rows(knn(tiny_fixtures, probes=probes, metric="planar"))
+        assert got == want
 
 
 class TestIndexedHaversine:
