@@ -157,6 +157,190 @@ def _hash_mod(batch, a, mod):
     return pa.array((h % np.uint64(mod)).astype(np.int64))
 
 
+@register("subtract")
+def _subtract(batch, a, b):
+    return pc.subtract(_col(batch, a), _col(batch, b))
+
+
+@register("divide")
+def _divide(batch, a, b):
+    return pc.divide(_col(batch, a), _col(batch, b))
+
+
+@register("mod")
+def _mod(batch, a, b):
+    va = _col(batch, a).to_numpy(zero_copy_only=False)
+    return pa.array(va % _col(batch, b))
+
+
+@register("abs")
+def _abs(batch, a):
+    return pc.abs(_col(batch, a))
+
+
+@register("negate")
+def _negate(batch, a):
+    return pc.negate(_col(batch, a))
+
+
+@register("min")
+def _min(batch, a, b):
+    return pc.min_element_wise(_col(batch, a), _col(batch, b))
+
+
+@register("max")
+def _max(batch, a, b):
+    return pc.max_element_wise(_col(batch, a), _col(batch, b))
+
+
+@register("toLong")
+def _to_long(batch, a):
+    return _col(batch, a).cast(pa.int64())
+
+
+@register("toBoolean")
+def _to_boolean(batch, a):
+    c = _col(batch, a)
+    if pa.types.is_string(c.type):
+        return pc.equal(pc.utf8_lower(c), "true")
+    return c.cast(pa.bool_())
+
+
+@register("replace")
+def _replace(batch, a, pattern, replacement):
+    return pc.replace_substring(_col(batch, a), pattern=pattern,
+                                replacement=replacement)
+
+
+@register("indexOf")
+def _index_of(batch, a, needle):
+    return pc.find_substring(_col(batch, a), pattern=needle).cast(pa.int64())
+
+
+@register("padLeft")
+def _pad_left(batch, a, width, fill):
+    return pc.utf8_lpad(_col(batch, a), width, padding=fill)
+
+
+@register("emptyToNull")
+def _empty_to_null(batch, a):
+    c = _col(batch, a)
+    return pc.if_else(pc.equal(c, ""), pa.scalar(None, c.type), c)
+
+
+@register("regexExtract")
+def _regex_extract(batch, a, pattern):
+    """First capture-group match (RE2 — identical to DuckDB
+    regexp_extract(col, pattern, 1)). Arrow requires named groups; an
+    unnamed first group is converted, no group wraps the whole pattern."""
+    import re as _re
+
+    if "(?P<" not in pattern:
+        if "(" in pattern:
+            pattern = _re.sub(r"\((?!\?)", "(?P<g>", pattern, count=1)
+        else:
+            pattern = f"(?P<g>{pattern})"
+    s = pc.extract_regex(_col(batch, a), pattern=pattern)
+    field = s.type[0].name
+    return pc.struct_field(s, field)
+
+
+# ---- collection types (SimpleFeatureTypes.scala:206-213 List[T]/Map[K,V];
+# Transformers.scala:495-551 parseList/parseMap) — REAL arrow list/map
+# columns, built vectorized from delimited strings
+
+
+@register("parseList")
+def _parse_list(batch, a, delim=",", value_type="string"):
+    """'a,b,c' -> list<T> (pc.split_pattern, then an element-wise cast);
+    empty/null input -> null (the reference's converters likewise null
+    out unparseable attributes)."""
+    c = _col(batch, a)
+    c = pc.if_else(pc.equal(c, ""), pa.scalar(None, pa.string()), c)
+    lst = pc.split_pattern(c, pattern=delim)
+    if value_type == "int":
+        return lst.cast(pa.list_(pa.int64()))
+    if value_type == "double":
+        return lst.cast(pa.list_(pa.float64()))
+    return lst
+
+
+@register("parseMap")
+def _parse_map(batch, a, entry_delim=",", kv_delim="->",
+               value_type="int"):
+    """'k1->v1,k2->v2' -> map<string, T>, fully vectorized: split entries,
+    flatten, split k/v, rebuild with the original list offsets."""
+    c = _col(batch, a)
+    c = pc.if_else(pc.equal(c, ""), pa.scalar(None, pa.string()), c)
+    entries = pc.split_pattern(c, pattern=entry_delim)
+    if isinstance(entries, pa.ChunkedArray):
+        entries = entries.combine_chunks()
+    flat = pc.list_flatten(entries)
+    kv = pc.split_pattern(flat, pattern=kv_delim, max_splits=1)
+    keys = pc.list_element(kv, 0)
+    vals = pc.list_element(kv, 1)
+    if value_type == "int":
+        vals = vals.cast(pa.int64())
+    elif value_type == "double":
+        vals = vals.cast(pa.float64())
+    return pa.MapArray.from_arrays(entries.offsets, keys, vals)
+
+
+@register("jsonMap")
+def _json_map(batch, a, value_type="int"):
+    """JSON object string -> map<string, T> (per-record json parse — the
+    converter path; the reference's JSON converter is likewise
+    per-record, ``geomesa-convert-json``)."""
+    import json
+
+    vt = pa.int64() if value_type == "int" else (
+        pa.float64() if value_type == "double" else pa.string())
+    offsets = [0]
+    keys: list = []
+    vals: list = []
+    for v in _col(batch, a).to_pylist():
+        obj = json.loads(v) if v else {}
+        for k, val in obj.items():
+            keys.append(k)
+            vals.append(val)
+        offsets.append(len(keys))
+    return pa.MapArray.from_arrays(pa.array(offsets, pa.int32()),
+                                   pa.array(keys, pa.string()),
+                                   pa.array(vals, vt))
+
+
+@register("listItem")
+def _list_item(batch, a, i):
+    return pc.list_element(_col(batch, a), i)
+
+
+@register("listSize")
+def _list_size(batch, a):
+    return pc.list_value_length(_col(batch, a)).cast(pa.int64())
+
+
+@register("mapValue")
+def _map_value(batch, a, key):
+    """map lookup by key -> value (null when absent), vectorized over the
+    flattened entries."""
+    m = _col(batch, a)
+    if isinstance(m, pa.ChunkedArray):
+        m = m.combine_chunks()
+    keys = m.keys
+    items = m.items
+    hit = pc.equal(keys, key).to_numpy(zero_copy_only=False)
+    offs = m.offsets.to_numpy(zero_copy_only=False)
+    n = len(m)
+    out_idx = np.full(n, -1, dtype=np.int64)
+    hit_pos = np.nonzero(hit)[0]
+    row_of = np.searchsorted(offs[1:], hit_pos, side="right")
+    out_idx[row_of] = hit_pos  # last match per row wins (dup keys rare)
+    valid = out_idx >= 0
+    taken = items.take(pa.array(np.where(valid, out_idx, 0)))
+    return pc.if_else(pa.array(valid), taken,
+                      pa.scalar(None, items.type))
+
+
 # ---- geometry constructors (point/wkt family)
 
 @register("point_wkt")

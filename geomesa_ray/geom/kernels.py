@@ -85,6 +85,53 @@ def points_in_polygon(lon, lat, poly: Polygon) -> np.ndarray:
     return inside
 
 
+def points_in_rings(lon, lat, rings: list[Polygon]) -> np.ndarray:
+    """Even-odd containment over a ring SET (shell + holes): XOR of the
+    per-ring crossing parities — a point inside the shell but inside a
+    hole flips back to outside. This is exactly JTS's even-odd semantics
+    for polygons with interior rings (the reference accepts any such
+    geometry, ``process/query/QueryProcess.scala:24-35``).
+
+    ``rings[0]`` is the shell; its bbox prescreens the batch (holes lie
+    inside the shell by construction)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    if not rings:
+        return np.zeros(lon.shape, dtype=bool)
+    inside = points_in_polygon(lon, lat, rings[0])
+    for hole in rings[1:]:
+        inside ^= points_in_polygon(lon, lat, hole)
+    return inside
+
+
+def dist_sq_to_polyline_deg(lon, lat, xs, ys) -> np.ndarray:
+    """Min squared planar distance (degrees^2) from each point to a
+    polyline — vectorized over points, looping only the (few) segments.
+    The corridor (buffered-LineString) containment kernel: the role of
+    JTS ``geometry.buffer(d)`` in tube/corridor queries
+    (``process/tube/TubeBuilder.scala:30-185``), in the planar-degree
+    metric the fixture corridors use."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    best = np.full(lon.shape, np.inf)
+    for i in range(len(xs) - 1):
+        ax, ay = xs[i], ys[i]
+        bx, by = xs[i + 1], ys[i + 1]
+        dx, dy = bx - ax, by - ay
+        seg_len_sq = dx * dx + dy * dy
+        if seg_len_sq == 0.0:
+            t = np.zeros(lon.shape)
+        else:
+            t = np.clip(((lon - ax) * dx + (lat - ay) * dy) / seg_len_sq,
+                        0.0, 1.0)
+        ex = lon - (ax + t * dx)
+        ey = lat - (ay + t * dy)
+        best = np.minimum(best, ex * ex + ey * ey)
+    return best
+
+
 def haversine_m(lon1, lat1, lon2, lat2):
     """Great-circle distance in meters, vectorized (broadcasting)."""
     lon1, lat1, lon2, lat2 = (np.radians(np.asarray(a, dtype=np.float64))

@@ -97,6 +97,23 @@ def cell_encode_sql(images_from: str, level: int, extra_cols: str = "image_id",
     )
 
 
+RAD_CONST = "0.017453292519943295"  # double nearest to pi/180 (np.radians)
+
+
+def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """Haversine meters with the EXACT operation order of
+    geom.kernels.haversine_m (incl. the [0,1] clip before asin), so the
+    same libm on the same box produces bit-identical doubles."""
+    r1lon, r1lat = f"({lon1} * {RAD_CONST})", f"({lat1} * {RAD_CONST})"
+    r2lon, r2lat = f"({lon2} * {RAD_CONST})", f"({lat2} * {RAD_CONST})"
+    sdlat = f"sin(({r2lat} - {r1lat}) / 2.0)"
+    sdlon = f"sin(({r2lon} - {r1lon}) / 2.0)"
+    a = (f"(({sdlat} * {sdlat}) + ((cos({r1lat}) * cos({r2lat})) "
+         f"* ({sdlon} * {sdlon})))")
+    return (f"(2.0 * 6371000.0 * asin(sqrt(LEAST(GREATEST({a}, 0.0), "
+            f"1.0))))")
+
+
 def images_rel(fixture_dir: str) -> str:
     return f"read_parquet('{fixture_dir}/images.parquet')"
 

@@ -27,20 +27,25 @@ import ray
 import ray.data
 
 from geomesa_ray.sources.io import read_table
-from geomesa_ray.util import gather_combine, resolve_broadcast, sum_by_keys
+from geomesa_ray.util import gather_combine, resolve_broadcast
 
 
 def _counted(ds: ray.data.Dataset, key_cols: list[str]) -> ray.data.Dataset:
-    """Partial per-batch counts + single final combine -> (keys..., cnt)."""
+    """Partial per-batch counts + single final combine -> (keys..., cnt).
+    Both stages are ``pa.Table.group_by`` — no per-batch pandas
+    round-trip (the partial runs on every block of the input)."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(key_cols).to_pandas()
-        out = df.groupby(key_cols, as_index=False).size().rename(
-            columns={"size": "cnt"})
-        return pa.Table.from_pandas(out, preserve_index=False)
+        out = batch.select(key_cols).group_by(key_cols).aggregate(
+            [([], "count_all")])
+        return out.rename_columns([*key_cols, "cnt"])
+
+    def final(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(key_cols).aggregate([("cnt", "sum")])
+        return out.rename_columns([*key_cols, "cnt"])
 
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    return gather_combine(parts, lambda b: sum_by_keys(b, key_cols, "cnt"))
+    return gather_combine(parts, final)
 
 
 def unique_values(sf_dir: str, table: str, col: str) -> ray.data.Dataset:
@@ -92,52 +97,67 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
     linestatus): row count, sum quantity, revenue in cent-bp =
     round(price*100) * (100 - round(discount*100))."""
 
+    keys = ["l_returnflag", "l_linestatus"]
+
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        qty = df["l_quantity"].to_numpy()
-        cents = np.round(df["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
-        disc = np.round(df["l_discount"].to_numpy() * 100.0).astype(np.int64)
-        df2 = df[["l_returnflag", "l_linestatus"]].copy()
-        df2["cnt"] = 1
-        df2["sum_qty"] = qty.astype(np.int64)
-        df2["revenue_centbp"] = cents * (100 - disc)
-        out = df2.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        cents = np.round(batch.column("l_extendedprice")
+                         .to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        disc = np.round(batch.column("l_discount")
+                        .to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        t = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "cnt": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "sum_qty": pa.array(qty.astype(np.int64)),
+            "revenue_centbp": pa.array(cents * (100 - disc)),
+        })
+        out = t.group_by(keys).aggregate(
+            [("cnt", "sum"), ("sum_qty", "sum"), ("revenue_centbp", "sum")])
+        return out.rename_columns([*keys, "cnt", "sum_qty", "revenue_centbp"])
+
+    def final(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(keys).aggregate(
+            [("cnt", "sum"), ("sum_qty", "sum"), ("revenue_centbp", "sum")])
+        return out.rename_columns([*keys, "cnt", "sum_qty", "revenue_centbp"])
 
     ds = read_table(sf_dir, "lineitem",
                     columns=["l_returnflag", "l_linestatus", "l_quantity",
                              "l_extendedprice", "l_discount"])
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=131072)
-
-    def final(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        out = df.groupby(["l_returnflag", "l_linestatus"], as_index=False,
-                         sort=True).sum()
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    from geomesa_ray.util import gather_combine
-
     return gather_combine(parts, final)
 
 
 def map_value_agg(sf_dir: str) -> ray.data.Dataset:
     """Map-value aggregation (``MapAggregatingIterator.scala:32-79``
-    analog): merge the events' props map {k: int} elementwise per
-    event_type — (event_type, sum_k). JSON value extracted with an RE2
-    regex, same engine DuckDB uses."""
-    import pyarrow.compute as pc
+    analog) over a REAL ``map<string, int64>`` column: the events' props
+    JSON parses into an arrow map (converter fn ``jsonMap``,
+    SimpleFeatureTypes.scala:206-213 Map[K,V] attribute), entries explode
+    and merge elementwise per event_type -> (event_type, key, sum_val).
+    DuckDB oracle builds the same MAP and unnests it."""
+    from geomesa_ray.functions.registry import FUNCTIONS
 
     def partial(batch: pa.Table) -> pa.Table:
-        v = pc.extract_regex(batch.column("props"), r'"k": (?P<v>\d+)')
-        vals = pc.struct_field(v, "v").cast(pa.int64())
-        df = batch.select(["event_type"]).to_pandas()
-        df["sum_k"] = vals.to_numpy(zero_copy_only=False)
-        out = df.groupby(["event_type"], as_index=False).sum()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        m = FUNCTIONS["jsonMap"](batch, "col:props")
+        offs = m.offsets.to_numpy(zero_copy_only=False)
+        counts = np.diff(offs)
+        et = batch.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        rep = pa.array(np.repeat(np.arange(len(counts)), counts))
+        t = pa.table({"event_type": et.take(rep),
+                      "key": m.keys, "val": m.items})
+        out = t.group_by(["event_type", "key"]).aggregate([("val", "sum")])
+        return out.rename_columns(["event_type", "key", "sum_val"])
+
+    def final(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(["event_type", "key"]).aggregate(
+            [("sum_val", "sum")])
+        return out.rename_columns(["event_type", "key", "sum_val"])
 
     ds = read_table(sf_dir, "events", columns=["event_type", "props"])
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=131072)
-    return gather_combine(parts, lambda b: sum_by_keys(b, ["event_type"], "sum_k"))
+    return gather_combine(parts, final)
 
 
 def shipping_revenue(sf_dir: str, cutoff: str = "1998-01-01") -> ray.data.Dataset:

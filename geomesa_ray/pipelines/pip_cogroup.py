@@ -106,7 +106,7 @@ def pip_join_cogroup(fixture_dir: str, regions: pa.Table,
         pickle.dumps((idx.region_ids[i], idx.kinds[i],
                       tuple(float(v) for v in idx.bbox[i]),
                       int(idx.t_start_s[i]), int(idx.t_end_s[i]),
-                      idx.polys[i]))
+                      idx.polys[i], idx.lines[i], float(idx.line_buf[i])))
         for i in range(len(idx.region_ids))
     ]
 
@@ -167,7 +167,10 @@ def pip_join_cogroup(fixture_dir: str, regions: pa.Table,
     def cogroup_refine(group: pa.Table) -> pa.Table:
         import pickle as _pickle
 
-        from geomesa_ray.geom.kernels import points_in_polygon
+        from geomesa_ray.geom.kernels import (
+            dist_sq_to_polyline_deg,
+            points_in_rings,
+        )
 
         side = group.column("side").to_numpy(zero_copy_only=False)
         pts_t = group.filter(pa.array(side == 0))
@@ -187,15 +190,18 @@ def pip_join_cogroup(fixture_dir: str, regions: pa.Table,
             ids = ids.combine_chunks()
         out_p, out_r = [], []
         for gi in first:
-            rid, kind, bbox, ts, te, polys = _pickle.loads(geoms[gi])
+            rid, kind, bbox, ts, te, polys, line, buf = _pickle.loads(geoms[gi])
             ok = (dtg >= ts) & (dtg <= te)
             if kind == "box":
                 ok &= ((lon >= bbox[0]) & (lon <= bbox[1])
                        & (lat >= bbox[2]) & (lat <= bbox[3]))
+            elif kind == "line":
+                xs, ys = line
+                ok &= dist_sq_to_polyline_deg(lon, lat, xs, ys) <= buf * buf
             else:
                 inside = np.zeros(len(lon), dtype=bool)
-                for poly in polys:
-                    inside |= points_in_polygon(lon, lat, poly)
+                for rings in polys:
+                    inside |= points_in_rings(lon, lat, rings)
                 ok &= inside
             sel = np.nonzero(ok)[0]
             if len(sel):

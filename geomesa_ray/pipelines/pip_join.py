@@ -43,8 +43,13 @@ import ray
 import ray.data
 
 from geomesa_ray.curve.sfc import Z2Grid
-from geomesa_ray.geom.kernels import Polygon, split_idl_polygon
-from geomesa_ray.geom.wkt import parse_wkt_polygon
+from geomesa_ray.geom.kernels import (
+    Polygon,
+    dist_sq_to_polyline_deg,
+    points_in_rings,
+    split_idl_polygon,
+)
+from geomesa_ray.geom.wkt import parse_wkt_geometry
 from geomesa_ray.sources.io import read_images
 from geomesa_ray.stages.encode import DEFAULT_CELL_LEVEL, derive_and_encode
 
@@ -59,11 +64,18 @@ class RegionIndex:
     # per indexed level: sorted cell keys + CSR offsets into region ordinals
     levels: dict  # level -> (cells:int64[], offsets:int32[], ordinals:int32[])
     region_ids: list
-    kinds: list           # 'box' | 'poly'
+    kinds: list           # 'box' | 'poly' | 'multipoly' | 'line'
     bbox: np.ndarray      # [n, 4] lon_min, lon_max, lat_min, lat_max
     t_start_s: np.ndarray
     t_end_s: np.ndarray
-    polys: list           # list[list[Polygon]] (IDL-split); [] for boxes
+    # areal geometry: list of RING SETS per region (each ring set =
+    # [shell, hole, ...]; 'poly' gets one set per IDL part, 'multipoly'
+    # one per member polygon); [] for boxes and lines
+    polys: list
+    # corridor geometry: (xs, ys) polyline vertices per region (None for
+    # non-line kinds) + per-region buffer half-width in degrees
+    lines: list = None
+    line_buf: np.ndarray = None
 
     def lookup(self, cell: np.ndarray):
         """cell (at max_level) -> candidate (point_idx, region_ordinal) pairs."""
@@ -90,11 +102,28 @@ class RegionIndex:
         return np.concatenate(pts_all), np.concatenate(ords_all)
 
 
-def region_polys(kind: str, wkt: str) -> list[Polygon]:
+def region_polys(kind: str, wkt: str) -> list[list[Polygon]]:
+    """WKT -> ring sets (see RegionIndex.polys). IDL-crossing longitudes
+    (vertices beyond +-180) are split per
+    ``GeohashUtils.getInternationalDateLineSafeGeometry``; supported for
+    hole-free rings only (an IDL polygon with holes raises)."""
     if kind == "box" or not wkt:
         return []
-    p = parse_wkt_polygon(wkt)
-    return split_idl_polygon(p.xs, p.ys)
+    wkind, parts = parse_wkt_geometry(wkt)
+    if wkind == "line":
+        raise ValueError("line geometry parses via region_line()")
+    out = []
+    for rings in parts:
+        shell = rings[0]
+        crosses = shell.xs.max() > 180.0 or shell.xs.min() < -180.0
+        if crosses:
+            if len(rings) > 1:
+                raise NotImplementedError(
+                    "IDL-crossing polygon with interior rings")
+            out.extend([p] for p in split_idl_polygon(shell.xs, shell.ys))
+        else:
+            out.append(rings)
+    return out
 
 
 def choose_cover_level(lon0, lon1, lat0, lat1, max_level: int,
@@ -117,20 +146,37 @@ def build_region_index(regions: pa.Table, max_level: int = DEFAULT_CELL_LEVEL,
     ts = regions.column("t_start").cast(pa.int64()).to_numpy() // 1_000_000
     te = regions.column("t_end").cast(pa.int64()).to_numpy() // 1_000_000
 
+    bufs = (regions.column("buf_deg").to_pylist()
+            if "buf_deg" in regions.column_names else [0.0] * n)
     polys = []
+    lines = []
+    line_buf = np.zeros(n)
     per_level: dict[int, dict[int, list[int]]] = {}
     bbox = np.zeros((n, 4))
     for i in range(n):
         kind = cols["kind"][i]
-        plist = region_polys(kind, cols["wkt"][i])
-        polys.append(plist)
-        if plist:
-            # IDL-split: index each part's bbox separately; for the exact
-            # test, bbox reject happens per-poly (kernels handle it)
-            boxes = [(p.bbox[0], p.bbox[1], p.bbox[2], p.bbox[3]) for p in plist]
+        if kind == "line":
+            _, parts = parse_wkt_geometry(cols["wkt"][i])
+            xs, ys = parts[0]
+            buf = float(bufs[i] or 0.0)
+            polys.append([])
+            lines.append((xs, ys))
+            line_buf[i] = buf
+            # corridor cover = polyline bbox expanded by the buffer
+            boxes = [(float(xs.min()) - buf, float(xs.max()) + buf,
+                      float(ys.min()) - buf, float(ys.max()) + buf)]
         else:
-            boxes = [(cols["lon_min"][i], cols["lon_max"][i],
-                      cols["lat_min"][i], cols["lat_max"][i])]
+            plist = region_polys(kind, cols["wkt"][i])
+            polys.append(plist)
+            lines.append(None)
+            if plist:
+                # one cover per ring set (IDL part / member polygon): the
+                # shell's bbox bounds the set (holes lie inside it); the
+                # exact test rejects per ring set
+                boxes = [rs[0].bbox for rs in plist]
+            else:
+                boxes = [(cols["lon_min"][i], cols["lon_max"][i],
+                          cols["lat_min"][i], cols["lat_max"][i])]
         bbox[i] = (min(b[0] for b in boxes), max(b[1] for b in boxes),
                    min(b[2] for b in boxes), max(b[3] for b in boxes))
         for (b0, b1, c0, c1) in boxes:
@@ -158,7 +204,8 @@ def build_region_index(regions: pa.Table, max_level: int = DEFAULT_CELL_LEVEL,
     return RegionIndex(
         max_level=max_level, levels=levels,
         region_ids=cols["region_id"], kinds=cols["kind"], bbox=bbox,
-        t_start_s=ts, t_end_s=te, polys=polys,
+        t_start_s=ts, t_end_s=te, polys=polys, lines=lines,
+        line_buf=line_buf,
     )
 
 
@@ -178,22 +225,21 @@ def refine_candidates(idx: RegionIndex, pts: np.ndarray, ords: np.ndarray,
         p = sp[s:e]
         plon, plat, pt = lon[p], lat[p], dtg_s[p]
         ok = (pt >= idx.t_start_s[r]) & (pt <= idx.t_end_s[r])
-        if idx.kinds[r] == "box":
+        kind = idx.kinds[r]
+        if kind == "box":
             b = idx.bbox[r]
             ok &= (plon >= b[0]) & (plon <= b[1]) & (plat >= b[2]) & (plat <= b[3])
-        else:
+        elif kind == "line":
+            xs, ys = idx.lines[r]
+            buf = idx.line_buf[r]
+            ok &= dist_sq_to_polyline_deg(plon, plat, xs, ys) <= buf * buf
+        else:  # 'poly' / 'multipoly': union over ring sets, even-odd holes
             inside = np.zeros(len(p), dtype=bool)
-            for poly in idx.polys[r]:
-                inside |= _pip(plon, plat, poly)
+            for rings in idx.polys[r]:
+                inside |= points_in_rings(plon, plat, rings)
             ok &= inside
         keep[order[s:e]] = ok
     return pts[keep], ords[keep]
-
-
-def _pip(lon, lat, poly):
-    from geomesa_ray.geom.kernels import points_in_polygon
-
-    return points_in_polygon(lon, lat, poly)
 
 
 def _refine_batch(idx: RegionIndex, batch: pa.Table, emit_cols) -> pa.Table:

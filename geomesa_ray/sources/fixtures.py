@@ -169,6 +169,49 @@ def gen_regions_table() -> pa.Table:
     )
 
 
+def gen_complex_regions_table() -> pa.Table:
+    """Arbitrary-geometry query regions (reference joins against any JTS
+    geometry, ``process/query/QueryProcess.scala:24-35``): a polygon with
+    an interior ring (hole), a three-part MULTIPOLYGON, a multipolygon
+    whose first part carries a hole, and a buffered LINESTRING corridor.
+    Built on demand (not written to regions.parquet — that fixture feeds
+    SQL-literal oracles and stays stable)."""
+    t0, t1 = _ts(DTG_BASE_S), _ts(DTG_BASE_S + DTG_SPAN_S)
+    rows = [
+        dict(region_id="cx_holes", kind="poly",
+             wkt=("POLYGON ((-30 -20, 10 -20, 10 20, -30 20, -30 -20), "
+                  "(-20 -10, 0 -10, 0 10, -20 10, -20 -10))"),
+             buf_deg=0.0),
+        dict(region_id="cx_multi", kind="multipoly",
+             wkt=("MULTIPOLYGON (((40 0, 55 0, 55 12, 40 12, 40 0)), "
+                  "((60 -30, 75 -30, 75 -18, 60 -18, 60 -30)), "
+                  "((80 30, 95 30, 95 45, 80 45, 80 30)))"),
+             buf_deg=0.0),
+        dict(region_id="cx_multi_hole", kind="multipoly",
+             wkt=("MULTIPOLYGON (((100 -60, 140 -60, 140 -30, 100 -30, "
+                  "100 -60), (110 -50, 130 -50, 130 -40, 110 -40, "
+                  "110 -50)), ((-120 40, -100 40, -100 55, -120 55, "
+                  "-120 40)))"),
+             buf_deg=0.0),
+        dict(region_id="cx_corridor", kind="line",
+             wkt="LINESTRING (-150 -40, -130 -20, -110 -25, -90 -5)",
+             buf_deg=2.5),
+    ]
+    n = len(rows)
+    return pa.table({
+        "region_id": pa.array([r["region_id"] for r in rows], pa.string()),
+        "kind": pa.array([r["kind"] for r in rows], pa.string()),
+        "lon_min": pa.array([0.0] * n, pa.float64()),
+        "lon_max": pa.array([0.0] * n, pa.float64()),
+        "lat_min": pa.array([0.0] * n, pa.float64()),
+        "lat_max": pa.array([0.0] * n, pa.float64()),
+        "wkt": pa.array([r["wkt"] for r in rows], pa.string()),
+        "t_start": pa.array([t0] * n, pa.timestamp("us")),
+        "t_end": pa.array([t1] * n, pa.timestamp("us")),
+        "buf_deg": pa.array([r["buf_deg"] for r in rows], pa.float64()),
+    })
+
+
 def gen_probes_table(n: int = 64) -> pa.Table:
     """kNN probe points (FIXTURES.md F3): cluster-interior, empty-region,
     and near-IDL probes; k in {1, 5, 10}."""

@@ -70,3 +70,28 @@ def bin_export(fixture_dir: str, labeled: bool = False,
 
     ds = read_images(fixture_dir, columns=["phash"])
     return ds.map_batches(pack, batch_format="pyarrow")
+
+
+def bin_records(fixture_dir: str) -> ray.data.Dataset:
+    """One row per BIN record, ROUND-TRIPPED through the packed bytes
+    (pack -> unpack), so the byte layout is exercised while the output is
+    SQL-comparable: (track, secs, lat32, lon32) with the format's float32
+    coordinate rounding (DuckDB mirror: CAST(x AS REAL))."""
+
+    def pack_unpack(batch: pa.Table) -> pa.Table:
+        b = derive_geometry(batch)
+        ph = b.column("phash").to_numpy(zero_copy_only=False)
+        track = (ph & np.int64(0x7FFFFFFF)).astype(np.int32)
+        secs = b.column("dtg_s").to_numpy(zero_copy_only=False)
+        lat = b.column("lat").to_numpy(zero_copy_only=False)
+        lon = b.column("lon").to_numpy(zero_copy_only=False)
+        rec = unpack_bin(pack_bin(track, secs, lat, lon))
+        return pa.table({
+            "track": pa.array(rec["track"].astype(np.int64)),
+            "secs": pa.array(rec["secs"].astype(np.int64)),
+            "lat32": pa.array(rec["lat"].astype(np.float64)),
+            "lon32": pa.array(rec["lon"].astype(np.float64)),
+        })
+
+    ds = read_images(fixture_dir, columns=["phash"])
+    return ds.map_batches(pack_unpack, batch_format="pyarrow")

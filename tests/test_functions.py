@@ -1,0 +1,110 @@
+"""Converter-DSL function registry: scalar + collection (List/Map) fns.
+
+Reference parity: Transformers.scala:363-586 scalar function library;
+SimpleFeatureTypes.scala:206-213 List[T]/Map[K,V] attribute types.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geomesa_ray.functions.registry import FUNCTIONS, transform_batch
+
+
+def T(**cols):
+    return pa.table({k: pa.array(v) for k, v in cols.items()})
+
+
+class TestScalarFns:
+    def test_string_family(self):
+        t = T(s=[" Ab ", "cd", ""])
+        out = transform_batch(t, {
+            "trimmed": ("trim", "col:s"),
+            "up": ("uppercase", "col:s"),
+            "idx": ("indexOf", "col:s", "d"),
+            "rep": ("replace", "col:s", "d", "x"),
+            "pad": ("padLeft", "col:s", 6, "_"),
+        })
+        assert out.column("trimmed").to_pylist() == ["Ab", "cd", ""]
+        assert out.column("idx").to_pylist() == [-1, 1, -1]
+        assert out.column("rep").to_pylist() == [" Ab ", "cx", ""]
+        assert out.column("pad").to_pylist() == ["__ Ab ", "____cd", "______"]
+
+    def test_numeric_family(self):
+        t = T(a=[10, -3, 7], b=[3, 2, 7])
+        out = transform_batch(t, {
+            "sub": ("subtract", "col:a", "col:b"),
+            "div": ("divide", "col:a", "col:b"),
+            "m": ("mod", "col:a", 3),
+            "ab": ("abs", "col:a"),
+            "mn": ("min", "col:a", "col:b"),
+            "mx": ("max", "col:a", "col:b"),
+        })
+        assert out.column("sub").to_pylist() == [7, -5, 0]
+        assert out.column("m").to_pylist() == [1, 0, 1]
+        assert out.column("mn").to_pylist() == [3, -3, 7]
+
+    def test_empty_to_null_and_boolean(self):
+        t = T(s=["", "x", "true"], b=["true", "False", "TRUE"])
+        out = transform_batch(t, {
+            "n": ("emptyToNull", "col:s"),
+            "bb": ("toBoolean", "col:b"),
+        })
+        assert out.column("n").to_pylist() == [None, "x", "true"]
+        assert out.column("bb").to_pylist() == [True, False, True]
+
+    def test_regex_extract_matches_re2(self):
+        t = T(s=['{"k": 87}', '{"k": 5}', "nope"])
+        out = transform_batch(t, {"v": ("regexExtract", "col:s", r"(\d+)")})
+        assert out.column("v").to_pylist() == ["87", "5", None]
+
+
+class TestCollectionFns:
+    def test_parse_list_int(self):
+        t = T(s=["1,2,3", "9", ""])
+        out = transform_batch(t, {"l": ("parseList", "col:s", ",", "int")})
+        assert out.column("l").to_pylist() == [[1, 2, 3], [9], None]
+        sizes = transform_batch(out, {"n": ("listSize", "col:l"),
+                                      "first": ("listItem", "col:l", 0)})
+        assert sizes.column("n").to_pylist() == [3, 1, None]
+        assert sizes.column("first").to_pylist() == [1, 9, None]
+
+    def test_parse_map_kv(self):
+        t = T(s=["a->1,b->2", "c->3"])
+        out = transform_batch(t, {"m": ("parseMap", "col:s")})
+        assert out.column("m").to_pylist() == [
+            [("a", 1), ("b", 2)], [("c", 3)]]
+        v = transform_batch(out, {"a": ("mapValue", "col:m", "a"),
+                                  "b": ("mapValue", "col:m", "b")})
+        assert v.column("a").to_pylist() == [1, None]
+        assert v.column("b").to_pylist() == [2, None]
+
+    def test_json_map_multi_key(self):
+        t = T(s=['{"k": 87, "z": 5}', "{}", '{"z": 1}'])
+        out = transform_batch(t, {"m": ("jsonMap", "col:s")})
+        assert out.column("m").to_pylist() == [
+            [("k", 87), ("z", 5)], [], [("z", 1)]]
+        v = transform_batch(out, {"z": ("mapValue", "col:m", "z")})
+        assert v.column("z").to_pylist() == [5, None, 1]
+
+    def test_map_typed_column_is_arrow_map(self):
+        t = T(s=["a->1"])
+        m = FUNCTIONS["parseMap"](t, "col:s")
+        assert pa.types.is_map(m.type)
+        assert pa.types.is_int64(m.type.item_type)
+
+
+class TestRegistryExtension:
+    def test_user_registered_fn(self):
+        from geomesa_ray.functions.registry import register
+
+        @register("x_double_len")
+        def _dl(batch, a):
+            import pyarrow.compute as pc
+
+            col = batch.column(a[4:]) if a.startswith("col:") else a
+            return pc.multiply(pc.utf8_length(col).cast(pa.int64()), 2)
+
+        t = T(s=["ab", "xyz"])
+        out = transform_batch(t, {"v": ("x_double_len", "col:s")})
+        assert out.column("v").to_pylist() == [4, 6]

@@ -123,3 +123,116 @@ class TestAttachPayload:
                        ref.column("caption").to_pylist()))
         for r in rows[:200]:
             assert r["caption"] == cap[r["image_id"]]
+
+
+class TestComplexGeometry:
+    """Arbitrary-geometry joins: polygon-with-holes, MULTIPOLYGON,
+    buffered LINESTRING corridor (QueryProcess.scala:24-35 accepts any
+    JTS geometry). Oracle: scalar winding-number / segment-distance
+    brute force, independent of the library kernels."""
+
+    @staticmethod
+    def _oracle_pairs(n_images: int) -> set:
+        from geomesa_ray.geom.wkt import parse_wkt_geometry
+        from geomesa_ray.sources.fixtures import gen_complex_regions_table
+
+        t = derive_and_encode(gen_images_table(n_images))
+        lon = t.column("lon").to_numpy()
+        lat = t.column("lat").to_numpy()
+        ids = t.column("image_id").to_pylist()
+        out = set()
+        for r in gen_complex_regions_table().to_pylist():
+            kind, parts = parse_wkt_geometry(r["wkt"])
+            for i in range(len(ids)):
+                if kind == "line":
+                    xs, ys = parts[0]
+                    best = np.inf
+                    for s in range(len(xs) - 1):
+                        dx, dy = xs[s + 1] - xs[s], ys[s + 1] - ys[s]
+                        L = dx * dx + dy * dy
+                        tt = 0.0 if L == 0 else min(
+                            1.0, max(0.0, ((lon[i] - xs[s]) * dx
+                                           + (lat[i] - ys[s]) * dy) / L))
+                        ex = lon[i] - (xs[s] + tt * dx)
+                        ey = lat[i] - (ys[s] + tt * dy)
+                        best = min(best, ex * ex + ey * ey)
+                    hit = best <= r["buf_deg"] ** 2
+                else:
+                    hit = False
+                    for rings in parts:
+                        inside = winding_number_contains(
+                            lon[i], lat[i], rings[0].xs, rings[0].ys)
+                        for hole in rings[1:]:
+                            if winding_number_contains(
+                                    lon[i], lat[i], hole.xs, hole.ys):
+                                inside = False
+                        hit = hit or inside
+                if hit:
+                    out.add((ids[i], r["region_id"]))
+        return out
+
+    def test_complex_join_matches_bruteforce(self, ray_session, tiny_fixtures):
+        from geomesa_ray.sources.fixtures import gen_complex_regions_table
+
+        want = self._oracle_pairs(6000)
+        assert want, "fixture regions must catch some points"
+        # every region kind must contribute at least one pair
+        assert {r for _, r in want} == {
+            "cx_holes", "cx_multi", "cx_multi_hole", "cx_corridor"}
+        ds = pip_join(tiny_fixtures, regions=gen_complex_regions_table(),
+                      kinds=("poly", "multipoly", "line"))
+        got = set()
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            got.update(zip(b.column("image_id").to_pylist(),
+                           b.column("region_id").to_pylist()))
+        assert got == want
+
+    def test_cogroup_matches_broadcast_on_complex(self, ray_session,
+                                                  tiny_fixtures):
+        from geomesa_ray.pipelines.pip_cogroup import pip_join_cogroup
+        from geomesa_ray.sources.fixtures import gen_complex_regions_table
+
+        want = self._oracle_pairs(6000)
+        ds = pip_join_cogroup(tiny_fixtures, gen_complex_regions_table(),
+                              hot_threshold=500)  # force salting
+        got = set()
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            got.update(zip(b.column("image_id").to_pylist(),
+                           b.column("region_id").to_pylist()))
+        assert got == want
+
+    def test_hole_excludes_interior_point(self):
+        from geomesa_ray.geom.kernels import Polygon, points_in_rings
+
+        shell = Polygon(np.array([-30.0, 10, 10, -30]),
+                        np.array([-20.0, -20, 20, 20]))
+        hole = Polygon(np.array([-20.0, 0, 0, -20]),
+                       np.array([-10.0, -10, 10, 10]))
+        lon = np.array([-10.0, -25.0, 50.0])  # in hole, in shell, outside
+        m = points_in_rings(lon, np.array([0.0, 0.0, 0.0]), [shell, hole])
+        assert m.tolist() == [False, True, False]
+
+    def test_wkt_parse_variants(self):
+        from geomesa_ray.geom.wkt import parse_wkt_geometry
+
+        k, p = parse_wkt_geometry(
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))")
+        assert k == "poly" and len(p) == 1 and len(p[0]) == 2
+        k, p = parse_wkt_geometry(
+            "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))")
+        assert k == "multipoly" and len(p) == 2
+        k, p = parse_wkt_geometry("LINESTRING (0 0, 1 1, 2 0)")
+        assert k == "line" and len(p[0][0]) == 3
+        import pytest
+
+        with pytest.raises(ValueError):
+            parse_wkt_geometry("GEOMETRYCOLLECTION (POINT (0 0))")
+
+    def test_idl_with_holes_raises(self):
+        from geomesa_ray.pipelines.pip_join import region_polys
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            region_polys("poly",
+                         "POLYGON ((179 0, 182 0, 182 5, 179 5, 179 0), "
+                         "(180 1, 181 1, 181 2, 180 2, 180 1))")
