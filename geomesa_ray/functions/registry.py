@@ -341,6 +341,32 @@ def _map_value(batch, a, key):
                       pa.scalar(None, items.type))
 
 
+@register("dmsToDegrees")
+def _dms_to_degrees(batch, a):
+    """Degrees-minutes-seconds string -> decimal degrees, vectorized
+    (RE2 extract): accepts 34°12'30.5"N, 34:12:30.5 S, -34 12 30.5.
+    Sign comes from a leading '-' or an S/W hemisphere letter; rows that
+    do not parse yield null."""
+    pat = (r"(?P<sign>-?)(?P<d>\d+(?:\.\d+)?)[°:\s]\s*"
+           r"(?P<m>\d+(?:\.\d+)?)['’:\s]\s*"
+           r"(?P<s>\d+(?:\.\d+)?)\"?\s*(?P<h>[NSEWnsew]?)")
+    st = pc.extract_regex(_col(batch, a), pattern=pat)
+    valid = pc.is_valid(st).to_numpy(zero_copy_only=False)
+
+    def f(name):
+        arr = pc.struct_field(st, name).cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        return np.where(valid, np.nan_to_num(arr), 0.0)
+
+    deg = f("d") + f("m") / 60.0 + f("s") / 3600.0
+    neg_txt = pc.struct_field(st, "sign").to_pylist()
+    hemi = pc.struct_field(st, "h").to_pylist()
+    neg = np.array([(t == "-") or (h or "").upper() in ("S", "W")
+                    for t, h in zip(neg_txt, hemi)])
+    out = np.where(neg, -deg, deg)
+    return pa.array(out, pa.float64(), mask=~valid)
+
+
 # ---- geometry constructors (point/wkt family)
 
 @register("point_wkt")

@@ -97,6 +97,22 @@ def cell_encode_sql(images_from: str, level: int, extra_cols: str = "image_id",
     )
 
 
+def z2_from_xy_sql(from_rel: str, extra_cols: str,
+                   cell_name: str = "tile") -> str:
+    """Morton-encode integer ix/iy columns of an existing relation
+    (same overflow-free spreading stages as cell_encode_sql)."""
+    stages = _split_ctes(_SPLIT2, ["ix", "iy"], (1 << 32) - 1)
+    ctes = [f"m0 AS (SELECT {extra_cols}, ix, iy FROM {from_rel})"]
+    prev = "m0"
+    for i, cols in enumerate(stages):
+        ctes.append(f"m{i + 1} AS (SELECT {extra_cols}, {cols} FROM {prev})")
+        prev = f"m{i + 1}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT {extra_cols}, (ix | (iy << 1)) AS {cell_name} FROM {prev}"
+    )
+
+
 RAD_CONST = "0.017453292519943295"  # double nearest to pi/180 (np.radians)
 
 

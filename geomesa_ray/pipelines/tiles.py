@@ -32,6 +32,60 @@ def select_level(available: list[int], requested: int) -> int:
     return max(le) if le else min(available)
 
 
+def box_tile_relations(lon0: float, lon1: float, lat0: float, lat1: float,
+                       level: int = 4) -> pa.Table:
+    """DE-9IM relation of every level-L tile against a query box,
+    excluding 'disjoint' — the predicate surface raster queries need:
+    ``AccumuloRasterQueryPlanner.scala:36-37,111-116`` selects tiles by
+    interior-intersects AND NOT touches, so edge-adjacent tiles must be
+    classified 'touches' and dropped, not fetched.
+
+    For axis-aligned boxes the full DE-9IM matrix collapses to interval
+    logic, fully vectorized over the tile grid:
+      equals   — identical bounds
+      contains — tile strictly-or-equal contains the query box
+      within   — tile inside the query box
+      overlaps — interiors intersect, neither contains the other
+      touches  — closed boxes intersect but interiors do not
+    Returns (tile, relation, interior) where ``interior`` is the raster
+    planner's fetch predicate (interior-intersects ∧ ¬touches).
+    """
+    n = 1 << level
+    w = 360.0 / float(n)
+    h = 180.0 / float(n)
+    ix, iy = np.meshgrid(np.arange(n, dtype=np.int64),
+                         np.arange(n, dtype=np.int64), indexing="ij")
+    ix, iy = ix.ravel(), iy.ravel()
+    tx0 = -180.0 + ix.astype(np.float64) * w
+    tx1 = -180.0 + (ix + 1).astype(np.float64) * w
+    ty0 = -90.0 + iy.astype(np.float64) * h
+    ty1 = -90.0 + (iy + 1).astype(np.float64) * h
+
+    closed = (tx0 <= lon1) & (lon0 <= tx1) & (ty0 <= lat1) & (lat0 <= ty1)
+    interior = (tx0 < lon1) & (lon0 < tx1) & (ty0 < lat1) & (lat0 < ty1)
+    tile_contains = (tx0 <= lon0) & (tx1 >= lon1) & (ty0 <= lat0) & (ty1 >= lat1)
+    tile_within = (tx0 >= lon0) & (tx1 <= lon1) & (ty0 >= lat0) & (ty1 <= lat1)
+    equals = tile_contains & tile_within
+
+    rel = np.full(len(ix), "disjoint", dtype=object)
+    rel[closed & ~interior] = "touches"
+    rel[interior] = "overlaps"
+    rel[interior & tile_within] = "within"
+    rel[interior & tile_contains] = "contains"
+    rel[equals] = "equals"
+
+    keep = np.nonzero(closed)[0]
+    from geomesa_ray.curve.zorder import z2_encode
+
+    tile = z2_encode(ix[keep].astype(np.uint64),
+                     iy[keep].astype(np.uint64)).view(np.int64)
+    return pa.table({
+        "tile": pa.array(tile),
+        "relation": pa.array(rel[keep].tolist(), pa.string()),
+        "interior": pa.array(interior[keep]),
+    })
+
+
 def tile_assignment(fixture_dir: str, level: int = DEFAULT_TILE_LEVEL) -> ray.data.Dataset:
     """(image_id, level, tile) for every image — zero-shuffle keying."""
 

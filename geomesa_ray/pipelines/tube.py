@@ -96,6 +96,68 @@ def default_track(fixture_dir: str, n_points: int = 12):
     return lon, lat, t
 
 
+def tube_select_geodesic(fixture_dir: str, track_lon=None, track_lat=None,
+                         track_t_s=None, buffer_m: float = 500_000.0,
+                         max_bins: int = 8) -> ray.data.Dataset:
+    """(image_id, bin_id) with the reference's REAL circular buffer
+    semantics (``TubeBuilder.scala:30-185`` buffers the track geometry by
+    d meters; NoGapFill buffers the bin's track POINTS): a point is in a
+    bin iff its minimum haversine distance to any of the bin's track
+    points is <= buffer_m and its dtg lies in the bin interval. One
+    broadcast + one streaming pass, zero shuffle; the per-batch kernel is
+    a single (track-points x batch) vectorized distance matrix per bin."""
+    from geomesa_ray.geom.kernels import haversine_m
+    from geomesa_ray.stages.derive import derive_geometry
+    from geomesa_ray.util import resolve_broadcast
+    import ray
+
+    if track_lon is None:
+        track_lon, track_lat, track_t_s = default_track(fixture_dir)
+    lon = np.asarray(track_lon, dtype=np.float64)
+    lat = np.asarray(track_lat, dtype=np.float64)
+    t = np.asarray(track_t_s, dtype=np.int64)
+    order = np.argsort(t, kind="stable")
+    lon, lat, t = lon[order], lat[order], t[order]
+    n = len(t)
+    nbins = min(max_bins, n)
+    bin_of = (np.arange(n) * nbins) // n
+    bins = []
+    for b in range(nbins):
+        m = bin_of == b
+        bins.append((f"bin{b:03d}", lon[m], lat[m],
+                     int(t[m].min()), int(t[m].max())))
+    ref = ray.put(bins)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bins_ = resolve_broadcast(ref)
+        plon = batch.column("lon").to_numpy(zero_copy_only=False)
+        plat = batch.column("lat").to_numpy(zero_copy_only=False)
+        dtg = batch.column("dtg_s").to_numpy(zero_copy_only=False)
+        ids = batch.column("image_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        out_i, out_b = [], []
+        for bin_id, bl, bla, t0, t1 in bins_:
+            d = haversine_m(plon[None, :], plat[None, :],
+                            bl[:, None], bla[:, None]).min(axis=0)
+            m = (d <= buffer_m) & (dtg >= t0) & (dtg <= t1)
+            sel = np.nonzero(m)[0]
+            if len(sel):
+                out_i.append(sel)
+                out_b.extend([bin_id] * len(sel))
+        if not out_i:
+            return pa.table({"image_id": pa.array([], pa.string()),
+                             "bin_id": pa.array([], pa.string())})
+        return pa.table({
+            "image_id": ids.take(pa.array(np.concatenate(out_i))),
+            "bin_id": pa.array(out_b, pa.string()),
+        })
+
+    ds = read_images(fixture_dir, columns=["image_id", "phash"])
+    ds = ds.map_batches(derive_geometry, batch_format="pyarrow")
+    return ds.map_batches(probe, batch_format="pyarrow", batch_size=65536)
+
+
 def tube_select(fixture_dir: str, track_lon=None, track_lat=None,
                 track_t_s=None, buffer_deg: float = 3.0,
                 max_bins: int = 8, gap_fill: str = "none") -> ray.data.Dataset:

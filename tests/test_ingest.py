@@ -1,0 +1,139 @@
+"""Format converters: Avro container round-trip, XML, fixed-width, DMS.
+
+Reference parity: geomesa-convert-{avro,xml,fixedwidth} modules; the
+Avro reader implements the public container spec directly (pure Python,
+no codec library).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geomesa_ray.functions.registry import transform_batch
+
+SCHEMA = {
+    "type": "record", "name": "obs",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "lon", "type": "double"},
+        {"name": "lat", "type": "double"},
+        {"name": "flag", "type": "boolean"},
+        {"name": "note", "type": ["null", "string"]},
+        {"name": "payload", "type": "bytes"},
+    ],
+}
+
+
+def _rows(n=250):
+    return [
+        dict(id=i, name=f"obs{i}", lon=-180.0 + i * 1.3, lat=(i % 170) - 85.0,
+             flag=i % 3 == 0, note=None if i % 4 == 0 else f"n{i}",
+             payload=bytes([i % 256, (i * 7) % 256]))
+        for i in range(n)
+    ]
+
+
+class TestAvro:
+    @pytest.mark.parametrize("codec", ["null", "deflate"])
+    def test_roundtrip(self, tmp_path, codec):
+        from geomesa_ray.sources.avro import read_avro_file, write_avro_file
+
+        rows = _rows()
+        p = str(tmp_path / f"obs_{codec}.avro")
+        write_avro_file(p, SCHEMA, rows, codec=codec, block_rows=64)
+        t = read_avro_file(p)
+        assert t.num_rows == len(rows)
+        got = t.to_pylist()
+        for g, w in zip(got, rows):
+            assert g == w
+
+    def test_negative_zigzag(self, tmp_path):
+        from geomesa_ray.sources.avro import read_avro_file, write_avro_file
+
+        sch = {"type": "record", "name": "r",
+               "fields": [{"name": "v", "type": "long"}]}
+        vals = [0, -1, 1, -2, 2**40, -(2**40), 2**62, -(2**62)]
+        p = str(tmp_path / "neg.avro")
+        write_avro_file(p, sch, [{"v": v} for v in vals])
+        assert read_avro_file(p).column("v").to_pylist() == vals
+
+    def test_avro_ingest_distributed(self, ray_session, tmp_path):
+        from geomesa_ray.sources.avro import write_avro_file
+        from geomesa_ray.sources.ingest import avro_ingest
+
+        paths = []
+        for f in range(3):
+            p = str(tmp_path / f"part{f}.avro")
+            write_avro_file(p, SCHEMA, _rows(100), codec="deflate")
+            paths.append(p)
+        ds = avro_ingest(paths, spec={
+            "id": "col:id", "upper": ("uppercase", "col:name")})
+        rows = ds.take_all()
+        assert len(rows) == 300
+        assert rows[0]["upper"].startswith("OBS")
+
+    def test_unsupported_schema_raises(self, tmp_path):
+        from geomesa_ray.sources.avro import read_avro_file, write_avro_file
+
+        # arrays are outside the supported subset: writer refuses
+        sch = {"type": "record", "name": "r",
+               "fields": [{"name": "v",
+                           "type": {"type": "array", "items": "long"}}]}
+        with pytest.raises(NotImplementedError):
+            write_avro_file(str(tmp_path / "x.avro"), sch, [{"v": [1]}])
+
+
+class TestXml:
+    def test_xml_ingest(self, ray_session, tmp_path):
+        from geomesa_ray.sources.ingest import xml_ingest
+
+        p = str(tmp_path / "obs.xml")
+        with open(p, "w") as f:
+            f.write("""<root>
+              <obs id="a1"><lon>10.5</lon><lat>-3.25</lat></obs>
+              <obs id="a2"><lon>-120.0</lon><lat>45.0</lat></obs>
+            </root>""")
+        ds = xml_ingest([p], "obs",
+                        fields={"oid": "@id", "lon_s": "lon", "lat_s": "lat"},
+                        spec={"oid": "col:oid",
+                              "lon": ("toDouble", "col:lon_s"),
+                              "lat": ("toDouble", "col:lat_s")})
+        rows = sorted(ds.take_all(), key=lambda r: r["oid"])
+        assert rows == [{"oid": "a1", "lon": 10.5, "lat": -3.25},
+                        {"oid": "a2", "lon": -120.0, "lat": 45.0}]
+
+
+class TestFixedWidth:
+    def test_fixed_width_ingest(self, ray_session, tmp_path):
+        from geomesa_ray.sources.ingest import fixed_width_ingest
+
+        p = str(tmp_path / "fw.txt")
+        with open(p, "w") as f:
+            f.write("alpha     42  10.50\n")
+            f.write("beta     107  -3.25\n")
+        ds = fixed_width_ingest([p], fields={
+            "name": (0, 8),
+            "count": (8, 5, "int"),
+            "val": (13, 7, "double"),
+        })
+        rows = sorted(ds.take_all(), key=lambda r: r["name"])
+        assert rows == [
+            {"name": "alpha", "count": 42, "val": 10.5},
+            {"name": "beta", "count": 107, "val": -3.25},
+        ]
+
+
+class TestDms:
+    def test_dms_to_degrees(self):
+        t = pa.table({"s": pa.array([
+            "34°12'30\"N", "34:12:30 S", "-34 12 30", "118°30'0\"W",
+            "not a coord"])})
+        out = transform_batch(t, {"deg": ("dmsToDegrees", "col:s")})
+        got = out.column("deg").to_pylist()
+        want = 34 + 12 / 60 + 30 / 3600
+        assert abs(got[0] - want) < 1e-12
+        assert abs(got[1] + want) < 1e-12
+        assert abs(got[2] + want) < 1e-12
+        assert abs(got[3] + 118.5) < 1e-12
+        assert got[4] is None
