@@ -107,6 +107,57 @@ def z2_decode(z):
     return combine32(z), combine32(z >> U(1))
 
 
+def _load_same_dim(target: int, p: int, set_one: bool, dims: int) -> int:
+    """Set bit p of ``target`` and force all LOWER bits of the same
+    dimension (positions p-dims, p-2*dims, ...) to zeros (``set_one``)
+    or set bit p to 0 and the same-dim lower bits to ones."""
+    below = 0
+    q = p - dims
+    while q >= 0:
+        below |= 1 << q
+        q -= dims
+    if set_one:
+        return (target | (1 << p)) & ~below
+    return (target & ~(1 << p)) | below
+
+
+def zdiv(zval: int, rmin: int, rmax: int, dims: int = 3,
+         total_bits: int = 63) -> tuple[int | None, int | None]:
+    """On-the-fly Tropf LITMAX/BIGMIN (reference ``Z3.scala:181-232``
+    ``zdiv``): given a seek value ``zval`` that fell outside the query
+    box, and the box's Morton corner codes ``[rmin, rmax]``, return
+    ``(litmax, bigmin)`` — the largest in-box z-address < zval and the
+    smallest in-box z-address > zval (either may be None).
+
+    The engine's scans normally use plan-time merged ranges +
+    :func:`seek_skip` (equivalent, and cheaper when ranges are already
+    enumerated); zdiv is the unbounded-range path the reference uses
+    inside tablet iterators, kept for parity and for queries whose range
+    decomposition was truncated (recursion budget exhausted).
+    """
+    litmax = bigmin = None
+    for p in range(total_bits - 1, -1, -1):
+        zb = (zval >> p) & 1
+        ab = (rmin >> p) & 1
+        bb = (rmax >> p) & 1
+        if (zb, ab, bb) in ((0, 0, 0), (1, 1, 1)):
+            continue
+        if (zb, ab, bb) == (0, 0, 1):
+            bigmin = _load_same_dim(rmin, p, True, dims)
+            rmax = _load_same_dim(rmax, p, False, dims)
+        elif (zb, ab, bb) == (0, 1, 1):
+            return litmax, rmin
+        elif (zb, ab, bb) == (1, 0, 0):
+            return rmax, bigmin
+        elif (zb, ab, bb) == (1, 0, 1):
+            litmax = _load_same_dim(rmax, p, False, dims)
+            rmin = _load_same_dim(rmin, p, True, dims)
+        else:  # (0,1,0) / (1,1,0): rmin > rmax in this prefix
+            raise ValueError("invalid z-range: rmin > rmax")
+    # all bits agreed: zval itself lies inside the box
+    return litmax, bigmin
+
+
 def seek_skip(ranges_lo: np.ndarray, ranges_hi: np.ndarray, z: int) -> int | None:
     """Next z at-or-after ``z`` inside the covering range list, or None.
 

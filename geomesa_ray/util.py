@@ -54,6 +54,37 @@ def resolve_broadcast(ref):
     return val
 
 
+class QueryTimeout(TimeoutError):
+    """Raised when a watchdogged query exceeds its wall-clock budget."""
+
+
+def take_all_with_timeout(ds: ray.data.Dataset, timeout_s: float):
+    """Query-timeout watchdog: the reference's query-timeout option
+    (configurable scan timeout that aborts long-running queries) —
+    consume the dataset in a worker thread and abandon it at the
+    deadline. Cancellation is best-effort (the streaming executor shuts
+    down when its iterator is released), matching the reference's
+    thread-interrupt semantics."""
+    import threading
+
+    result: dict = {}
+
+    def run():
+        try:
+            result["rows"] = ds.take_all()
+        except BaseException as e:  # noqa: BLE001 - surfaced to caller
+            result["err"] = e
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        raise QueryTimeout(f"query exceeded {timeout_s}s wall clock")
+    if "err" in result:
+        raise result["err"]
+    return result["rows"]
+
+
 def gather_combine(parts: ray.data.Dataset, final_fn,
                    batch_format: str = "pyarrow") -> ray.data.Dataset:
     """Combine pre-aggregated partials in one task (bounded results only)."""

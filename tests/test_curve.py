@@ -217,3 +217,100 @@ class TestPlannerFuzz:
             em = exact_mask(q, lon, lat, dtg)
             dropped = int((em & ~cm).sum())
             assert dropped == 0, f"box {i}: coarse dropped {dropped} rows ({q})"
+
+
+class TestZdiv:
+    """On-the-fly LITMAX/BIGMIN vs brute force over the full z-space
+    (Z3.scala:181-232 zdiv semantics)."""
+
+    @staticmethod
+    def _brute(zval, box_lo, box_hi, dims, bits, decode):
+        per_dim = bits // dims
+        in_box = []
+        for z in range(1 << bits):
+            coords = decode(z)
+            if all(box_lo[d] <= coords[d] <= box_hi[d] for d in range(dims)):
+                in_box.append(z)
+        lit = max((z for z in in_box if z < zval), default=None)
+        big = min((z for z in in_box if z > zval), default=None)
+        return lit, big
+
+    def test_2d_bruteforce(self):
+        import itertools
+        from geomesa_ray.curve.zorder import z2_decode, z2_encode, zdiv
+
+        bits = 12  # 6 bits per dim -> 4096 z values
+        def decode(z):
+            x, y = z2_decode(np.uint64(z))
+            return int(x), int(y)
+
+        rng = np.random.default_rng(3)
+        for _ in range(12):
+            x0, x1 = sorted(rng.integers(0, 64, 2).tolist())
+            y0, y1 = sorted(rng.integers(0, 64, 2).tolist())
+            rmin = int(z2_encode(np.uint64(x0), np.uint64(y0)))
+            rmax = int(z2_encode(np.uint64(x1), np.uint64(y1)))
+            for zval in rng.integers(rmin, rmax + 1, 8).tolist():
+                x, y = decode(zval)
+                if x0 <= x <= x1 and y0 <= y <= y1:
+                    continue  # zdiv contract: seek value outside the box
+                lit, big = zdiv(zval, rmin, rmax, dims=2, total_bits=bits)
+                blit, bbig = self._brute(zval, (x0, y0), (x1, y1), 2,
+                                         bits, decode)
+                assert big == bbig, (zval, x0, x1, y0, y1)
+                assert lit == blit, (zval, x0, x1, y0, y1)
+
+    def test_3d_bruteforce(self):
+        from geomesa_ray.curve.zorder import z3_encode, z3_decode, zdiv
+
+        bits = 12  # 4 bits per dim
+        def decode(z):
+            x, y, t = z3_decode(np.uint64(z))
+            return int(x), int(y), int(t)
+
+        rng = np.random.default_rng(5)
+        for _ in range(8):
+            lo = rng.integers(0, 16, 3)
+            hi = np.minimum(lo + rng.integers(1, 8, 3), 15)
+            rmin = int(z3_encode(*(np.uint64(v) for v in lo)))
+            rmax = int(z3_encode(*(np.uint64(v) for v in hi)))
+            for zval in rng.integers(rmin, rmax + 1, 6).tolist():
+                c = decode(zval)
+                if all(lo[d] <= c[d] <= hi[d] for d in range(3)):
+                    continue
+                lit, big = zdiv(zval, rmin, rmax, dims=3, total_bits=bits)
+                blit, bbig = self._brute(zval, lo.tolist(), hi.tolist(), 3,
+                                         bits, decode)
+                assert big == bbig and lit == blit
+
+    def test_bigmin_consistent_with_seek_skip(self):
+        """zdiv's BIGMIN == the plan-time merged-range seek (the two
+        implementations of the same reference semantic must agree)."""
+        from geomesa_ray.curve.sfc import merge_ranges
+        from geomesa_ray.curve.zorder import z2_decode, z2_encode, seek_skip, zdiv
+
+        bits = 12
+        x0, x1, y0, y1 = 10, 40, 5, 25
+        rmin = int(z2_encode(np.uint64(x0), np.uint64(y0)))
+        rmax = int(z2_encode(np.uint64(x1), np.uint64(y1)))
+        zs = []
+        for z in range(1 << bits):
+            x, y = z2_decode(np.uint64(z))
+            if x0 <= int(x) <= x1 and y0 <= int(y) <= y1:
+                zs.append(z)
+        zs = np.array(sorted(zs), dtype=np.int64)
+        # exact covering ranges from the in-box set
+        breaks = np.nonzero(np.diff(zs) > 1)[0]
+        lo = np.concatenate([[zs[0]], zs[breaks + 1]])
+        hi = np.concatenate([zs[breaks], [zs[-1]]])
+        merged = merge_ranges(list(zip(lo.tolist(), hi.tolist())))
+        lo = np.array([r[0] for r in merged], dtype=np.int64)
+        hi = np.array([r[1] for r in merged], dtype=np.int64)
+        rng = np.random.default_rng(9)
+        for zval in rng.integers(rmin, rmax + 1, 40).tolist():
+            x, y = z2_decode(np.uint64(zval))
+            if x0 <= int(x) <= x1 and y0 <= int(y) <= y1:
+                continue
+            _, big = zdiv(zval, rmin, rmax, dims=2, total_bits=bits)
+            via_ranges = seek_skip(lo, hi, zval + 1)
+            assert big == via_ranges

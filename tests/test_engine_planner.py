@@ -251,3 +251,33 @@ class TestRecordWithAttr:
         # non-matching attribute filters everything
         spec2 = QuerySpec(ids=["img00000010"], attr_eq={"fmt": "png"})
         assert eng.query(spec2).count() == 0
+
+
+class TestQueryTimeout:
+    def test_fast_query_returns(self, ray_session):
+        import ray.data
+
+        from geomesa_ray.util import take_all_with_timeout
+
+        ds = ray.data.range(100).map_batches(lambda b: b)
+        rows = take_all_with_timeout(ds, 60.0)
+        assert len(rows) == 100
+
+    def test_slow_query_times_out(self, ray_session):
+        import time
+
+        import ray.data
+
+        from geomesa_ray.util import QueryTimeout, take_all_with_timeout
+
+        def slow(b):
+            time.sleep(10)
+            return b
+
+        ds = ray.data.range(8).map_batches(slow, batch_size=1)
+        import pytest
+
+        t0 = time.monotonic()
+        with pytest.raises(QueryTimeout):
+            take_all_with_timeout(ds, 1.0)
+        assert time.monotonic() - t0 < 5.0  # the watchdog, not the query

@@ -137,3 +137,57 @@ class TestDms:
         assert abs(got[2] + want) < 1e-12
         assert abs(got[3] + 118.5) < 1e-12
         assert got[4] is None
+
+
+class TestShapefile:
+    def test_point_roundtrip_vectorized(self, tmp_path):
+        from geomesa_ray.sources.shapefile import read_shapefile, write_shapefile
+
+        pts = [(-150.0 + i * 1.7, -80.0 + i * 0.9) for i in range(200)]
+        p = str(tmp_path / "pts.shp")
+        write_shapefile(p, "point", pts,
+                        attrs={"pid": list(range(200)),
+                               "name": [f"p{i}" for i in range(200)]})
+        t = read_shapefile(p)
+        assert t.num_rows == 200
+        assert t.column("lon").to_pylist() == [x for x, _ in pts]
+        assert t.column("lat").to_pylist() == [y for _, y in pts]
+        assert t.column("pid").to_pylist() == list(range(200))
+        assert t.column("name")[5].as_py() == "p5"
+
+    def test_polygon_with_hole_feeds_join_surface(self, tmp_path):
+        from geomesa_ray.geom.wkt import parse_wkt_geometry
+        from geomesa_ray.sources.shapefile import read_shapefile, write_shapefile
+
+        shell = [(-30.0, -20.0), (10.0, -20.0), (10.0, 20.0), (-30.0, 20.0),
+                 (-30.0, -20.0)]
+        hole = [(-20.0, -10.0), (0.0, -10.0), (0.0, 10.0), (-20.0, 10.0),
+                (-20.0, -10.0)]
+        p = str(tmp_path / "poly.shp")
+        write_shapefile(p, "poly", [[shell, hole]],
+                        attrs={"rid": ["r0"]})
+        t = read_shapefile(p)
+        kind, parts = parse_wkt_geometry(t.column("wkt")[0].as_py())
+        assert kind == "poly" and len(parts[0]) == 2  # shell + hole survive
+
+    def test_polyline(self, tmp_path):
+        from geomesa_ray.geom.wkt import parse_wkt_geometry
+        from geomesa_ray.sources.shapefile import read_shapefile, write_shapefile
+
+        line = [(-150.0, -40.0), (-130.0, -20.0), (-110.0, -25.0)]
+        p = str(tmp_path / "line.shp")
+        write_shapefile(p, "line", [line])
+        t = read_shapefile(p)
+        kind, parts = parse_wkt_geometry(t.column("wkt")[0].as_py())
+        assert kind == "line" and len(parts[0][0]) == 3
+
+    def test_distributed_ingest(self, ray_session, tmp_path):
+        from geomesa_ray.sources.shapefile import shapefile_ingest, write_shapefile
+
+        for f in range(2):
+            write_shapefile(str(tmp_path / f"f{f}.shp"), "point",
+                            [(float(f * 10 + i), float(i)) for i in range(50)],
+                            attrs={"pid": list(range(50))})
+        ds = shapefile_ingest([str(tmp_path / "f0.shp"),
+                               str(tmp_path / "f1.shp")])
+        assert ds.count() == 100
