@@ -15,8 +15,6 @@ Scale design (10^12-doc corpora):
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pyarrow as pa
 
@@ -40,40 +38,52 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     return _rename(fp.groupby("fp").min("doc_id"), ["fp", "doc_id"])
 
 
-def _hash_token(t: str) -> int:
-    """63-bit token hash (two salted crc32 halves, masked into int64
-    range): collision probability ~2^-63 instead of crc32's 2^-32 — at
-    100k+ token vocabularies 32-bit collisions would corrupt the 'exact'
-    Jaccard oracle."""
-    b = t.encode()
-    return (zlib.crc32(b) | (zlib.crc32(b + b"#") << 32)) & 0x7FFFFFFFFFFFFFFF
+def _ws_token_hashes(col) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized whitespace tokenization + 63-bit token hashes for a
+    WHOLE string column: one Arrow split (C), one polynomial-hash pass
+    over the flattened token buffer (``sketches._hash_string_array``) —
+    no per-token Python, the scale-critical path for 10^12-doc corpora.
+    Returns (flat token hashes as positive int64, per-doc offsets);
+    token stream matches ``str.split()`` (empty boundary tokens from the
+    Arrow splitter are masked out)."""
+    import pyarrow.compute as pc
 
+    from geomesa_ray.stages.sketches import _hash_string_array
 
-def _token_hashes(text: str) -> np.ndarray:
-    toks = set(text.split())
-    return np.sort(np.array([_hash_token(t) for t in toks], dtype=np.int64))
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.utf8_split_whitespace(col)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    if len(flat) == 0:
+        return np.empty(0, dtype=np.int64), offs - offs[0]
+    h = _hash_string_array(flat)
+    nonempty = pc.greater(pc.utf8_length(flat), 0) \
+        .to_numpy(zero_copy_only=False)
+    c = np.concatenate([[0], np.cumsum(nonempty.astype(np.int64))])
+    offs2 = c[offs - offs[0]]
+    h2 = (h[nonempty] & np.uint64(0x7FFFFFFFFFFFFFFF)).view(np.int64)
+    return h2, offs2
 
 
 _SHINGLE_MULT = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F),
                  np.uint64(0x165667B19E3779F9))
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Unique k-token shingle hashes: per-token crc32 (cached) combined
-    positionally with odd multipliers + splitmix finalizer — vectorized
-    over the shingle windows (no per-shingle string allocation)."""
+def _shingle_hashes_from(th: np.ndarray, k: int = 3) -> np.ndarray:
+    """Unique k-token shingle hashes from a doc's token-hash array:
+    windows combined positionally with odd multipliers + splitmix
+    finalizer — vectorized over the shingle windows."""
     from geomesa_ray.sources.fixtures import splitmix64
 
-    toks = text.split()
-    if not toks:
+    if len(th) == 0:
         return np.empty(0, dtype=np.int64)
-    cache: dict[str, int] = {}
-    th = np.fromiter(
-        (cache[t] if t in cache else cache.setdefault(t, _hash_token(t))
-         for t in toks), dtype=np.uint64, count=len(toks))
-    if len(toks) < k:
-        windows = th[None, :len(toks)]
-        k = len(toks)
+    th = th.view(np.uint64)
+    if len(th) < k:
+        windows = th[None, :]
+        k = len(th)
     else:
         windows = np.stack([th[i:len(th) - k + 1 + i] for i in range(k)], axis=1)
     with np.errstate(over="ignore"):
@@ -81,6 +91,13 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
         for j in range(windows.shape[1]):
             mixed ^= windows[:, j] * _SHINGLE_MULT[j % 3]
     return np.unique(splitmix64(mixed).view(np.int64))
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Scalar reference wrapper (tests / single-doc callers) — same
+    hash family as the batch path by construction."""
+    th, _ = _ws_token_hashes(pa.array([text], pa.string()))
+    return _shingle_hashes_from(th, k)
 
 
 def jaccard_pairs(sf_dir: str, threshold_num: int = 1,
@@ -95,7 +112,9 @@ def jaccard_pairs(sf_dir: str, threshold_num: int = 1,
     """
 
     def tokenize(batch: pa.Table) -> pa.Table:
-        toks = [_token_hashes(t) for t in batch.column("text").to_pylist()]
+        h, offs = _ws_token_hashes(batch.column("text"))
+        toks = [np.unique(h[offs[i]:offs[i + 1]])
+                for i in range(len(offs) - 1)]
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "tok": pa.array([t.tolist() for t in toks], pa.list_(pa.int64())),
@@ -127,7 +146,11 @@ def jaccard_pairs(sf_dir: str, threshold_num: int = 1,
 
 
 class _MinHashSig:
-    """Per-batch MinHash signatures + LSH band rows (vectorized perms)."""
+    """Per-batch MinHash signatures + LSH band rows. Token hashing is
+    one vectorized pass over the batch (``_ws_token_hashes``); the only
+    per-doc work is numpy window mixing + the P x S min — no per-token
+    Python anywhere. Band hashes fold each signature segment with
+    splitmix across the whole (docs x bands) matrix at once."""
 
     def __init__(self, num_perm: int, bands: int, shingle_k: int):
         from geomesa_ray.sources.fixtures import splitmix64
@@ -142,27 +165,33 @@ class _MinHashSig:
         self.rows_per_band = num_perm // bands
         self.shingle_k = shingle_k
 
-    def signature(self, text: str) -> np.ndarray:
-        h = _shingle_hashes(text, self.shingle_k)
+    def _sig_from_shingles(self, h: np.ndarray) -> np.ndarray:
         if len(h) == 0:
             return np.full(self.num_perm, -1, dtype=np.int64)
         v = self._mix(h.view(np.uint64)[None, :] ^ self.seeds[:, None])
         return v.min(axis=1).view(np.int64)
 
+    def signature(self, text: str) -> np.ndarray:
+        return self._sig_from_shingles(_shingle_hashes(text, self.shingle_k))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, band_ids, band_hashes = [], [], []
-        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
-                                batch.column("text").to_pylist()):
-            sig = self.signature(text)
-            for bnd in range(self.bands):
-                seg = sig[bnd * self.rows_per_band:(bnd + 1) * self.rows_per_band]
-                ids.append(doc_id)
-                band_ids.append(bnd)
-                band_hashes.append(zlib.crc32(seg.tobytes()))
+        th, offs = _ws_token_hashes(batch.column("text"))
+        n = len(offs) - 1
+        sig = np.empty((n, self.num_perm), dtype=np.int64)
+        for i in range(n):
+            sh = _shingle_hashes_from(th[offs[i]:offs[i + 1]], self.shingle_k)
+            sig[i] = self._sig_from_shingles(sh)
+        seg = sig.view(np.uint64).reshape(n, self.bands, self.rows_per_band)
+        acc = np.full((n, self.bands), 0xCBF29CE484222325, dtype=np.uint64)
+        for j in range(self.rows_per_band):
+            acc = self._mix(acc ^ seg[:, :, j])
+        band_hash = (acc & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
         return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "band_id": pa.array(band_ids, pa.int64()),
-            "band_hash": pa.array(band_hashes, pa.int64()),
+            "doc_id": pa.array(np.repeat(doc, self.bands)),
+            "band_id": pa.array(np.tile(np.arange(self.bands, dtype=np.int64),
+                                        n)),
+            "band_hash": pa.array(band_hash.ravel()),
         })
 
 
@@ -259,8 +288,10 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
         join_partitions = max(2, cpus // 4)
 
     def tokenize_sh(batch: pa.Table) -> pa.Table:
-        sh = [_shingle_hashes(t, shingle_k).tobytes()
-              for t in batch.column("text").to_pylist()]
+        th, offs = _ws_token_hashes(batch.column("text"))
+        sh = [_shingle_hashes_from(th[offs[i]:offs[i + 1]],
+                                   shingle_k).tobytes()
+              for i in range(len(offs) - 1)]
         return pa.table({"doc_id": batch.column("doc_id"),
                          "sh": pa.array(sh, pa.binary())})
 
@@ -337,19 +368,30 @@ def dedup_clusters(pairs_ds: ray.data.Dataset,
     return gather_combine(pairs_ds.select_columns(list(id_cols)), components)
 
 
+def _simhash_batch(col) -> np.ndarray:
+    """SimHash over the token MULTISET for a whole string column —
+    vectorized end to end: one tokenization+hash pass, one (tokens x 64)
+    bit expansion, per-doc bit sums via a cumsum difference (safe for
+    empty docs), majority vote, repack. int64 signed values."""
+    th, offs = _ws_token_hashes(col)
+    n = len(offs) - 1
+    if len(th) == 0:
+        return np.zeros(n, dtype=np.int64)
+    u = th.view(np.uint64)
+    bits = ((u[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    contrib = 2 * bits - 1
+    c = np.vstack([np.zeros((1, 64), dtype=np.int64),
+                   np.cumsum(contrib, axis=0)])
+    seg = c[offs[1:]] - c[offs[:-1]]  # (docs, 64) signed bit sums
+    out = ((seg > 0).astype(np.uint64)
+           << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+    return out.astype(np.uint64).view(np.int64)
+
+
 def _simhash64(text: str) -> int:
-    """64-bit SimHash over token multiset; returned in signed-int64 range."""
-    toks = text.split()
-    if not toks:
-        return 0
-    hashes = np.array(
-        [zlib.crc32(t.encode()) | (zlib.crc32((t + "#").encode()) << 32)
-         for t in toks], dtype=np.uint64)
-    bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-    acc = np.where(bits.astype(bool), 1, -1).sum(axis=0)
-    out = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
-        dtype=np.uint64))
-    return out - (1 << 64) if out >= (1 << 63) else out
+    """Scalar reference wrapper — same hash family as the batch path."""
+    return int(_simhash_batch(pa.array([text], pa.string()))[0])
 
 
 def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
@@ -360,21 +402,19 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     """
 
     def sig(batch: pa.Table) -> pa.Table:
-        ids, band_ids, band_vals, sims = [], [], [], []
-        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
-                                batch.column("text").to_pylist()):
-            s = _simhash64(text)
-            u = s & 0xFFFFFFFFFFFFFFFF  # unsigned view for band extraction
-            for bnd in range(4):
-                ids.append(doc_id)
-                band_ids.append(bnd)
-                band_vals.append((u >> (16 * bnd)) & 0xFFFF)
-                sims.append(s)
+        s = _simhash_batch(batch.column("text"))
+        u = s.view(np.uint64)
+        # (docs, 4) 16-bit bands, unsigned extraction — fully vectorized
+        band_vals = ((u[:, None] >> (np.uint64(16)
+                                     * np.arange(4, dtype=np.uint64)[None, :]))
+                     & np.uint64(0xFFFF)).astype(np.int64)
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(doc)
         return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "band_id": pa.array(band_ids, pa.int64()),
-            "band_val": pa.array(band_vals, pa.int64()),
-            "simhash": pa.array(sims, pa.int64()),
+            "doc_id": pa.array(np.repeat(doc, 4)),
+            "band_id": pa.array(np.tile(np.arange(4, dtype=np.int64), n)),
+            "band_val": pa.array(band_vals.ravel()),
+            "simhash": pa.array(np.repeat(s, 4)),
         })
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
