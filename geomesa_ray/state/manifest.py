@@ -47,6 +47,48 @@ def completed_partitions(out_dir: str) -> dict[str, dict]:
     return out
 
 
+def _versions_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "versions")
+
+
+def list_versions(out_dir: str) -> list[int]:
+    vdir = _versions_dir(out_dir)
+    if not os.path.isdir(vdir):
+        return []
+    out = []
+    for name in os.listdir(vdir):
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def read_snapshot(out_dir: str, version: int | None = None) -> dict:
+    """Snapshot payload {"version": N, "files": {partition: filename}};
+    latest when ``version`` is None. Raises if none exist."""
+    versions = list_versions(out_dir)
+    if not versions:
+        raise FileNotFoundError(f"{out_dir}: no committed snapshots")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"unknown snapshot version {v}; have {versions}")
+    with open(os.path.join(_versions_dir(out_dir), f"v{v}.json")) as f:
+        return json.load(f)
+
+
+def commit_snapshot(out_dir: str, files: dict[str, str]) -> int:
+    """Atomically commit the next snapshot version mapping partition ->
+    immutable data filename."""
+    vdir = _versions_dir(out_dir)
+    os.makedirs(vdir, exist_ok=True)
+    versions = list_versions(out_dir)
+    ver = (versions[-1] + 1) if versions else 1
+    fd, tmp = tempfile.mkstemp(dir=vdir, prefix=".v_")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"version": ver, "files": files}, f)
+    os.replace(tmp, os.path.join(vdir, f"v{ver}.json"))
+    return ver
+
+
 def skew_stats(manifests: dict[str, dict], key: str = "rows") -> dict:
     """Aggregate per-partition metrics incl. the skew factor
     (max/mean rows) the north rule asks to be emitted."""

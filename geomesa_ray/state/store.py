@@ -33,7 +33,13 @@ from geomesa_ray.curve.sfc import lonlat_to_xy, zranges_2d
 from geomesa_ray.pipelines.scan import SpatialQuery, _ScanFilter, plan_query
 from geomesa_ray.sources.io import read_images
 from geomesa_ray.stages.encode import DEFAULT_CELL_LEVEL, derive_and_encode
-from geomesa_ray.state.manifest import completed_partitions, skew_stats, write_manifest
+from geomesa_ray.state.manifest import (
+    commit_snapshot,
+    completed_partitions,
+    read_snapshot,
+    skew_stats,
+    write_manifest,
+)
 
 DEFAULT_BUCKET_LEVEL = 3  # 4^3 = 64 partitions; scale with cluster size
 
@@ -239,11 +245,62 @@ def read_meta(out_dir: str) -> dict:
         return json.load(f)
 
 
-def append_store(out_dir: str, new_images: pa.Table) -> dict:
+def snapshot_store(out_dir: str) -> int:
+    """Commit a versioned SNAPSHOT of the store's current state — the
+    batch analog of the reference's Kafka replay surface
+    (``ReplayKafkaConsumerFeatureSource.scala:32-72`` reads the stream's
+    state as of a chosen time): each partition's current ``data.parquet``
+    is pinned under an immutable versioned name via a HARDLINK (no data
+    copy; the inode survives later in-place rewrites), and the
+    partition -> file mapping is committed atomically under
+    ``versions/v{N}.json``. ``read_store(version=N)`` then time-travels.
+    """
+    manifests = completed_partitions(out_dir)
+    from geomesa_ray.state.manifest import list_versions
+
+    ver = (list_versions(out_dir)[-1] + 1) if list_versions(out_dir) else 1
+    files = {}
+    for b in manifests:
+        pdir = os.path.join(out_dir, f"part={b}")
+        src = os.path.join(pdir, "data.parquet")
+        dst_name = f"data_v{ver}.parquet"
+        dst = os.path.join(pdir, dst_name)
+        if not os.path.exists(dst):
+            os.link(src, dst)
+        files[str(b)] = dst_name
+    committed = commit_snapshot(out_dir, files)
+    return committed
+
+
+def _state_matches_snapshot(out_dir: str, snap: dict) -> bool:
+    """True when every partition's live data.parquet is the same inode
+    as the snapshot's pinned file (hardlink identity) and the partition
+    sets agree — i.e. nothing changed since that snapshot."""
+    manifests = completed_partitions(out_dir)
+    if set(snap["files"]) != set(manifests):
+        return False
+    for b, fname in snap["files"].items():
+        pdir = os.path.join(out_dir, f"part={b}")
+        live = os.path.join(pdir, "data.parquet")
+        pinned = os.path.join(pdir, fname)
+        if not (os.path.exists(live) and os.path.exists(pinned)):
+            return False
+        if os.stat(live).st_ino != os.stat(pinned).st_ino:
+            return False
+    return True
+
+
+def append_store(out_dir: str, new_images: pa.Table,
+                 snapshot: bool = True) -> dict:
     """Incremental append/upsert: the batch analog of the reference's
     streaming surface (live cache updates / replay,
     ``LiveKafkaConsumerFeatureSource.scala:136-160``) — only the buckets
     touched by new rows are recomputed and atomically rewritten.
+
+    With ``snapshot=True`` (default) the pre-append state is pinned as a
+    versioned snapshot (if not already pinned) and the post-append state
+    commits a new one, so ``read_store(version=...)`` can replay the
+    store as of any committed generation.
 
     Upsert by ``image_id`` (new row wins), mirroring the reference's
     idempotent feature-id overwrite (``AccumuloFeatureWriter``), which
@@ -263,6 +320,14 @@ def append_store(out_dir: str, new_images: pa.Table) -> dict:
     cell_level = meta["cell_level"]
     bucket_level = meta["bucket_level"]
     n_salt = meta.get("n_salt", 1) if meta.get("salted") else 1
+
+    if snapshot:
+        from geomesa_ray.state.manifest import list_versions
+
+        versions = list_versions(out_dir)
+        if not versions or not _state_matches_snapshot(
+                out_dir, read_snapshot(out_dir)):
+            snapshot_store(out_dir)  # pin the pre-append state
 
     ds = ray.data.from_arrow(new_images.select(meta["columns"]))
     ds = ds.map_batches(derive_and_encode, batch_format="pyarrow",
@@ -312,8 +377,11 @@ def append_store(out_dir: str, new_images: pa.Table) -> dict:
 
     touched = ds.groupby("bucket").map_groups(merge_bucket,
                                               batch_format="pyarrow").take_all()
-    return {"touched_buckets": len(touched),
-            "rows_after": int(sum(r["rows"] for r in touched))}
+    out = {"touched_buckets": len(touched),
+           "rows_after": int(sum(r["rows"] for r in touched))}
+    if snapshot:
+        out["snapshot_version"] = snapshot_store(out_dir)
+    return out
 
 
 def store_buckets_for_query(query: SpatialQuery, bucket_level: int) -> set[int]:
@@ -330,11 +398,21 @@ def store_buckets_for_query(query: SpatialQuery, bucket_level: int) -> set[int]:
 
 def read_store(out_dir: str, query: SpatialQuery | None = None,
                bucket_level: int = DEFAULT_BUCKET_LEVEL,
-               columns: list[str] | None = None) -> ray.data.Dataset:
+               columns: list[str] | None = None,
+               version: int | None = None) -> ray.data.Dataset:
     """Scan the store; with a query, prunes partitions then applies the
-    coarse+exact filters on the stored key columns."""
-    manifests = completed_partitions(out_dir)
-    buckets = sorted(int(b) for b in manifests)
+    coarse+exact filters on the stored key columns. With ``version``,
+    time-travels: reads the immutable files of that committed snapshot
+    (the replay surface — see :func:`snapshot_store`). Partition pruning
+    stays valid across versions (bucket -> cell range is static)."""
+    if version is not None:
+        snap = read_snapshot(out_dir, version)
+        files = {int(b): f for b, f in snap["files"].items()}
+        buckets = sorted(files)
+    else:
+        files = None
+        manifests = completed_partitions(out_dir)
+        buckets = sorted(int(b) for b in manifests)
     if query is not None:
         try:
             meta = read_meta(out_dir)
@@ -345,7 +423,9 @@ def read_store(out_dir: str, query: SpatialQuery | None = None,
         keep = store_buckets_for_query(query, bucket_level)
         # salted layout: partition id = cell_bucket * n_salt + salt
         buckets = [b for b in buckets if (b // n_salt) in keep]
-    paths = [os.path.join(out_dir, f"part={b}", "data.parquet") for b in buckets]
+    paths = [os.path.join(out_dir, f"part={b}",
+                          files[b] if files is not None else "data.parquet")
+             for b in buckets]
     if not paths:
         import pyarrow as _pa
 

@@ -266,3 +266,65 @@ class TestSchemeGuard:
         with pytest.raises(ValueError, match="different partitioning scheme"):
             write_store(tiny_fixtures, crashed,
                         columns=["image_id", "phash", "caption"])
+
+
+class TestSnapshotReplay:
+    """Versioned snapshots — the batch replay surface
+    (ReplayKafkaConsumerFeatureSource semantics: read state as of a
+    committed generation)."""
+
+    def test_time_travel_read(self, ray_session, tiny_fixtures, tmp_path):
+        from geomesa_ray.sources.fixtures import gen_images_table_range
+        from geomesa_ray.state.manifest import list_versions
+        from geomesa_ray.state.store import append_store, snapshot_store
+
+        store = str(tmp_path / "snap")
+        write_store(tiny_fixtures, store)
+        v1 = snapshot_store(store)
+        assert v1 == 1
+        r = append_store(store, gen_images_table_range(6000, 50))
+        assert r["snapshot_version"] == 2
+        r2 = append_store(store, gen_images_table_range(6050, 25))
+        assert r2["snapshot_version"] == 3
+        assert list_versions(store) == [1, 2, 3]
+        # replay: row counts as of each generation
+        n1 = read_store(store, version=1).count()
+        n2 = read_store(store, version=2).count()
+        n3 = read_store(store, version=3).count()
+        nl = read_store(store).count()
+        assert (n1, n2, n3) == (6000, 6050, 6075)
+        assert nl == n3
+        # version-1 files are immutable: ids added later must be absent
+        ids1 = {r["image_id"] for r in read_store(store, version=1)
+                .select_columns(["image_id"]).take_all()}
+        assert "img00006010" not in ids1 and len(ids1) == 6000
+
+    def test_pre_append_state_auto_pinned(self, ray_session, tiny_fixtures,
+                                          tmp_path):
+        """append_store on a never-snapshotted store pins the pre-state
+        first, so the original generation is always replayable."""
+        from geomesa_ray.sources.fixtures import gen_images_table_range
+        from geomesa_ray.state.manifest import list_versions
+        from geomesa_ray.state.store import append_store
+
+        store = str(tmp_path / "auto")
+        write_store(tiny_fixtures, store)
+        append_store(store, gen_images_table_range(6000, 10))
+        assert list_versions(store) == [1, 2]
+        assert read_store(store, version=1).count() == 6000
+        assert read_store(store, version=2).count() == 6010
+
+    def test_versioned_query_pruning(self, ray_session, tiny_fixtures,
+                                     tmp_path):
+        from geomesa_ray.pipelines.scan import SpatialQuery
+        from geomesa_ray.state.store import snapshot_store
+
+        store = str(tmp_path / "vq")
+        write_store(tiny_fixtures, store)
+        snapshot_store(store)
+        q = SpatialQuery(-10.0, 25.0, -5.0, 30.0)
+        latest = {r["image_id"] for r in read_store(store, q)
+                  .select_columns(["image_id"]).take_all()}
+        v1 = {r["image_id"] for r in read_store(store, q, version=1)
+              .select_columns(["image_id"]).take_all()}
+        assert v1 == latest  # same state -> same pruned query result
