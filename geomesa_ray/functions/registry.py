@@ -341,6 +341,100 @@ def _map_value(batch, a, key):
                       pa.scalar(None, items.type))
 
 
+@register("isoDateToMillis")
+def _iso_date_to_millis(batch, a):
+    """ISO-8601 date/datetime string -> epoch millis (UTC), vectorized
+    via Arrow strptime/ cast (the reference's date-parser family,
+    Transformers.scala date functions)."""
+    c = _col(batch, a)
+    ts = c.cast(pa.timestamp("ms")) if not pa.types.is_string(c.type) else \
+        pc.strptime(pc.utf8_slice_codeunits(c, 0, 19).combine_chunks()
+                    if isinstance(c, pa.ChunkedArray) else
+                    pc.utf8_slice_codeunits(c, 0, 19),
+                    format="%Y-%m-%dT%H:%M:%S", unit="ms")
+    return ts.cast(pa.int64())
+
+
+@register("millisToDate")
+def _millis_to_date(batch, a):
+    return pc.multiply(_col(batch, a).cast(pa.int64()), 1000) \
+        .cast(pa.timestamp("us"))
+
+
+@register("dateToMillis")
+def _date_to_millis(batch, a):
+    us = _col(batch, a).cast(pa.int64())
+    return pc.divide(us, 1000)
+
+
+@register("dateHourOfDay")
+def _date_hour_of_day(batch, a):
+    us = _col(batch, a).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    return pa.array(((us // 3_600_000_000) % 24).astype(np.int64))
+
+
+@register("base64Encode")
+def _base64_encode(batch, a):
+    import base64
+
+    c = _col(batch, a)
+    return pa.array([base64.b64encode(v if isinstance(v, bytes)
+                                      else str(v).encode()).decode()
+                     for v in c.to_pylist()], pa.string())
+
+
+@register("base64Decode")
+def _base64_decode(batch, a):
+    import base64
+
+    return pa.array([base64.b64decode(v) for v in
+                     _col(batch, a).to_pylist()], pa.binary())
+
+
+@register("murmurHash3")
+def _murmur_hash3(batch, a):
+    """Stable 64-bit content hash (splitmix-finalized — the role of the
+    reference's murmur3 id hash; not bit-compatible with murmur)."""
+    from geomesa_ray.stages.sketches import _hash_column
+
+    return pa.array(_hash_column(_col(batch, a)).view(np.int64))
+
+
+@register("uuidFromHash")
+def _uuid_from_hash(batch, a):
+    """Deterministic UUID-shaped id from a column's content hash (role of
+    Z3UuidGenerator's content-derived feature ids)."""
+    from geomesa_ray.stages.sketches import _hash_column
+
+    h = _hash_column(_col(batch, a))
+    h2 = _hash_column(pa.array([f"{int(v)}#2" for v in h], pa.string()))
+    out = []
+    for lo, hi in zip(h.tolist(), h2.tolist()):
+        b = int(lo).to_bytes(8, "big") + int(hi).to_bytes(8, "big")
+        out.append(f"{b[:4].hex()}-{b[4:6].hex()}-{b[6:8].hex()}-"
+                   f"{b[8:10].hex()}-{b[10:16].hex()}")
+    return pa.array(out, pa.string())
+
+
+@register("stringToBytes")
+def _string_to_bytes(batch, a):
+    return _col(batch, a).cast(pa.binary())
+
+
+@register("bytesToString")
+def _bytes_to_string(batch, a):
+    return _col(batch, a).cast(pa.string())
+
+
+@register("coalesce")
+def _coalesce(batch, a, b):
+    ca = _col(batch, a)
+    cb = _col(batch, b)
+    if not isinstance(cb, pa.Array):
+        cb = pa.array([cb] * batch.num_rows, ca.type)
+    return pc.coalesce(ca, cb)
+
+
 @register("dmsToDegrees")
 def _dms_to_degrees(batch, a):
     """Degrees-minutes-seconds string -> decimal degrees, vectorized

@@ -108,3 +108,44 @@ class TestRegistryExtension:
         t = T(s=["ab", "xyz"])
         out = transform_batch(t, {"v": ("x_double_len", "col:s")})
         assert out.column("v").to_pylist() == [4, 6]
+
+
+class TestDateHashFns:
+    def test_date_family(self):
+        t = T(iso=["2024-01-05T10:30:00", "2024-02-01T00:00:00"])
+        out = transform_batch(t, {"ms": ("isoDateToMillis", "col:iso")})
+        ms = out.column("ms").to_pylist()
+        assert ms[0] == 1704450600000
+        back = transform_batch(out, {"d": ("millisToDate", "col:ms")})
+        assert str(back.column("d")[0].as_py()) == "2024-01-05 10:30:00"
+        hrs = transform_batch(back, {"h": ("dateHourOfDay", "col:d"),
+                                     "m2": ("dateToMillis", "col:d")})
+        assert hrs.column("h").to_pylist() == [10, 0]
+        assert hrs.column("m2").to_pylist() == ms
+
+    def test_base64_roundtrip(self):
+        t = T(s=["hello", "x"])
+        enc = transform_batch(t, {"b": ("base64Encode", "col:s")})
+        assert enc.column("b").to_pylist() == ["aGVsbG8=", "eA=="]
+        dec = transform_batch(enc, {"r": ("base64Decode", "col:b")})
+        assert dec.column("r").to_pylist() == [b"hello", b"x"]
+
+    def test_hash_and_uuid_stable(self):
+        t = T(s=["doc-a", "doc-b", "doc-a"])
+        out = transform_batch(t, {"h": ("murmurHash3", "col:s"),
+                                  "u": ("uuidFromHash", "col:s")})
+        h = out.column("h").to_pylist()
+        u = out.column("u").to_pylist()
+        assert h[0] == h[2] != h[1]
+        assert u[0] == u[2] != u[1]
+        import re
+
+        assert re.fullmatch(
+            r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}",
+            u[0])
+
+    def test_coalesce(self):
+        t = T(a=pa.array([None, "x", None], pa.string()),
+              b=pa.array(["d1", "d2", "d3"], pa.string()))
+        out = transform_batch(t, {"c": ("coalesce", "col:a", "col:b")})
+        assert out.column("c").to_pylist() == ["d1", "x", "d3"]
