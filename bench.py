@@ -109,6 +109,22 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     stats = write_store(fdir, store_dir)
     queries["store_write"] = round(time.perf_counter() - t0, 3)
     timed("store_read_pruned", lambda: _consume(read_store(store_dir, q)))
+
+    # indexed kNN in its intended regime: a CLUSTERED probe set, so the
+    # ring reader prunes partitions instead of degenerating to a full
+    # scan (globally-spread probes cover every bucket by ring 1)
+    import pyarrow as _pa
+
+    i = __import__("numpy").arange(200)
+    knn_probes = _pa.table({
+        "probe_id": _pa.array([f"b{j:03d}" for j in range(200)]),
+        "lon": _pa.array(5.0 + (i % 20).astype(float)),
+        "lat": _pa.array(40.0 + (i % 15).astype(float)),
+        "k": _pa.array(__import__("numpy").full(200, 5, dtype="int32")),
+        "max_dist_m": _pa.array(__import__("numpy").full(200, 1e7)),
+    })
+    timed("knn_indexed_clustered", lambda: _consume(
+        knn.knn_indexed(store_dir, probes=knn_probes)))
     result["store"] = stats
 
     ray.shutdown()

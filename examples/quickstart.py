@@ -54,4 +54,28 @@ print("within 300 km of (10, 45):",
 print("sorted export:",
       eng.sorted_export(SpatialQuery(-60, 60, -60, 60)).count(), "rows")
 
+# 6. Arbitrary geometry: polygon-with-holes / MULTIPOLYGON / corridor
+from geomesa_ray.pipelines.pip_join import pip_join  # noqa: E402
+from geomesa_ray.sources.fixtures import gen_complex_regions_table  # noqa: E402
+
+print("complex-geometry join:",
+      pip_join(corpus, regions=gen_complex_regions_table(),
+               kinds=("poly", "multipoly", "line")).count(), "pairs")
+
+# 7. Versioned snapshots: append, then time-travel to the prior state
+from geomesa_ray.sources.fixtures import gen_images_table_range  # noqa: E402
+from geomesa_ray.state.store import (  # noqa: E402
+    append_store,
+    read_store,
+    snapshot_store,
+    write_store,
+)
+
+snap_store = tempfile.mkdtemp(prefix="quickstart_snap_")
+write_store(corpus, snap_store)
+v1 = snapshot_store(snap_store)
+append_store(snap_store, gen_images_table_range(6000, 25))
+print(f"store now {read_store(snap_store).count()} rows; "
+      f"as of v{v1}: {read_store(snap_store, version=v1).count()} rows")
+
 ray.shutdown()

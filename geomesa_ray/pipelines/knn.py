@@ -109,7 +109,7 @@ def knn(fixture_dir: str, probes: pa.Table | None = None,
 
 def knn_indexed(store_dir: str, probes: pa.Table | None = None,
                 fixture_dir: str | None = None,
-                metric: str = "planar") -> pa.Table:
+                metric: str = "planar", ring_step: int = 2) -> pa.Table:
     """Index-pruned kNN over a SpatialStore: per-probe ring expansion on
     the bucket grid with the reference's termination rule — stop when the
     unread rings' minimum possible distance exceeds the kth-best distance
@@ -178,9 +178,15 @@ def knn_indexed(store_dir: str, probes: pa.Table | None = None,
         return {int(z2_encode(np.uint64(x), np.uint64(y))) for x, y in out}
 
     while active and ring <= max_ring:
+        # read ``ring_step`` rings per iteration: each iteration pays a
+        # fixed distributed-read scheduling cost, and most probes
+        # terminate within a couple of rings — stepping 2 halves the
+        # driver-serialized iteration count for a marginal extra read
+        ring_hi = min(ring + ring_step - 1, max_ring)
         needed = set()
         for p in active:
-            needed |= ring_cells(p, ring)
+            for r in range(ring, ring_hi + 1):
+                needed |= ring_cells(p, r)
         # salted layout: expand each cell bucket to its salt partitions
         needed = {c * n_salt + s for c in needed for s in range(n_salt)}
         new = (needed & existing) - read_buckets
@@ -256,8 +262,9 @@ def knn_indexed(store_dir: str, probes: pa.Table | None = None,
                     md, mi = md[:cut], mi[:cut]
                 cand_d[p], cand_i[p] = md, mi
         # termination (the reference's cell-min-dist > kth-dist rule):
-        # any unread point sits in a cell at chebyshev > ring, so it is
-        # at least ring cells away in lat OR in lon.
+        # rings 0..ring_hi are read, so any unread point sits in a cell
+        # at chebyshev > ring_hi — at least ring_hi cells away in lat OR
+        # in lon.
         for p in list(active):
             k = int(pk[p])
             if len(cand_d[p]) < k:
@@ -271,24 +278,24 @@ def knn_indexed(store_dir: str, probes: pa.Table | None = None,
                 # (asin(x) >= x). Once rings wrap all of lon, only the
                 # lat bound applies. 0.999 slop absorbs float rounding.
                 R = 6_371_000.0
-                lat_bound_m = R * np.radians(ring * cell_h) * 0.999
-                worst = abs(plat[p]) + (ring + 1) * cell_h
-                if ring * 2 >= nx or worst >= 90.0:
+                lat_bound_m = R * np.radians(ring_hi * cell_h) * 0.999
+                worst = abs(plat[p]) + (ring_hi + 1) * cell_h
+                if ring_hi * 2 >= nx or worst >= 90.0:
                     # lon wrapped, or candidates can lie poleward of the
                     # worst-case latitude (cos -> 0): the lon bound gives
                     # no information — only the lat bound applies
                     bound = lat_bound_m
                 else:
-                    dlam = min(ring * cell_w, 180.0)
+                    dlam = min(ring_hi * cell_w, 180.0)
                     lon_bound_m = (2.0 * R * np.cos(np.radians(worst))
                                    * np.sin(np.radians(dlam) / 2.0) * 0.999)
                     bound = min(lat_bound_m, lon_bound_m)
                 if kth <= bound:
                     active.discard(p)
             else:
-                if kth <= (ring * min_cell) ** 2:
+                if kth <= (ring_hi * min_cell) ** 2:
                     active.discard(p)
-        ring += 1
+        ring = ring_hi + 1
 
     out_p, out_i, out_r = [], [], []
     for p in range(npr):
