@@ -368,6 +368,140 @@ def dedup_clusters(pairs_ds: ray.data.Dataset,
     return gather_combine(pairs_ds.select_columns(list(id_cols)), components)
 
 
+def dedup_clusters_distributed(pairs_ds: ray.data.Dataset,
+                               id_cols=("doc_id_a", "doc_id_b"),
+                               n_parts: int = 64,
+                               max_iters: int = 64) -> ray.data.Dataset:
+    """Near-dup pairs -> connected components by ITERATED MIN-LABEL
+    PROPAGATION — the distributed path for pair volumes too large for
+    the single-task union-find (:func:`dedup_clusters`): no stage ever
+    holds the full edge set or label table in one task.
+
+    State is a (node, label) table hash-bucketed by node. Each round
+    routes edges by their v endpoint to the partition holding v's label
+    (one bucketed groupby over the union of edge rows and label rows),
+    emits the proposal label(v) for u, and lowers each node's label to
+    the min of its current label and all proposals (second bucketed
+    groupby). Labels are monotone non-increasing, so convergence is a
+    cheap sum(label) fixpoint; rounds needed = component diameter
+    (near-dup clusters are shallow). Output matches
+    :func:`dedup_clusters` exactly (tested): (doc_id, cluster_id =
+    min doc id in the component)."""
+    from geomesa_ray.sources.fixtures import splitmix64
+
+    a_col, b_col = id_cols
+
+    def part_of(arr: np.ndarray) -> np.ndarray:
+        return (splitmix64(arr.view(np.uint64))
+                % np.uint64(n_parts)).astype(np.int64)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col).to_numpy(zero_copy_only=False)
+        b = batch.column(b_col).to_numpy(zero_copy_only=False)
+        return pa.table({"u": pa.array(np.concatenate([a, b])),
+                         "v": pa.array(np.concatenate([b, a]))})
+
+    blocks_cap = max(4, min(n_parts, 16))
+    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow") \
+        .repartition(blocks_cap).materialize()
+
+    def min_by_node(group: pa.Table) -> pa.Table:
+        node = group.column("node").to_numpy(zero_copy_only=False)
+        lab = group.column("label").to_numpy(zero_copy_only=False)
+        order = np.lexsort((lab, node))
+        ns, ls = node[order], lab[order]
+        uniq, start = np.unique(ns, return_index=True)
+        return pa.table({"node": pa.array(uniq),
+                         "label": pa.array(ls[start])})
+
+    def bucket_min(ds: ray.data.Dataset) -> ray.data.Dataset:
+        def tag(batch: pa.Table) -> pa.Table:
+            n = batch.column("node").to_numpy(zero_copy_only=False)
+            return batch.append_column("part", pa.array(part_of(n)))
+
+        return ds.map_batches(tag, batch_format="pyarrow") \
+            .groupby("part").map_groups(min_by_node, batch_format="pyarrow")
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(u),
+                         "label": pa.array(np.minimum(u, v))})
+
+    labels = bucket_min(edges.map_batches(init_labels,
+                                          batch_format="pyarrow"))
+    labels = labels.repartition(blocks_cap).materialize()
+    from ray.data.aggregate import Sum
+
+    cur_sum = None
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        return pa.table({"key": pa.array(v), "node": batch.column("u"),
+                         "label": pa.array(np.zeros(len(v), np.int64)),
+                         "is_lab": pa.array(np.zeros(len(v), np.int8)),
+                         "part": pa.array(part_of(v))})
+
+    def label_rows(batch: pa.Table) -> pa.Table:
+        n = batch.column("node").to_numpy(zero_copy_only=False)
+        return pa.table({"key": pa.array(n), "node": batch.column("node"),
+                         "label": batch.column("label"),
+                         "is_lab": pa.array(np.ones(len(n), np.int8)),
+                         "part": pa.array(part_of(n))})
+
+    def attach(group: pa.Table) -> pa.Table:
+        """Emit (node=u, label(v)) for every edge row in this bucket,
+        looking v up in the co-located label rows (searchsorted)."""
+        is_lab = group.column("is_lab").to_numpy(zero_copy_only=False) == 1
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        node = group.column("node").to_numpy(zero_copy_only=False)
+        lab = group.column("label").to_numpy(zero_copy_only=False)
+        vl, ll = key[is_lab], lab[is_lab]
+        eu, ev = node[~is_lab], key[~is_lab]
+        if len(vl) == 0 or len(eu) == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64())})
+        order = np.argsort(vl)
+        vl, ll = vl[order], ll[order]
+        pos = np.clip(np.searchsorted(vl, ev), 0, len(vl) - 1)
+        hit = vl[pos] == ev
+        return pa.table({"node": pa.array(eu[hit]),
+                         "label": pa.array(ll[pos[hit]])})
+
+    def jump_rows(batch: pa.Table) -> pa.Table:
+        """Pointer-jumping query rows: ask for label(label(node)) so a
+        component of diameter D converges in O(log D) rounds instead of
+        D (the chain case would otherwise need one round per hop)."""
+        lab = batch.column("label").to_numpy(zero_copy_only=False)
+        n = len(lab)
+        return pa.table({"key": pa.array(lab), "node": batch.column("node"),
+                         "label": pa.array(np.zeros(n, np.int64)),
+                         "is_lab": pa.array(np.zeros(n, np.int8)),
+                         "part": pa.array(part_of(lab))})
+
+    e_tagged = edges.map_batches(edge_rows,
+                                 batch_format="pyarrow").materialize()
+
+
+    for _ in range(max_iters):
+        proposals = e_tagged.union(
+            labels.map_batches(jump_rows, batch_format="pyarrow"),
+            labels.map_batches(label_rows, batch_format="pyarrow"),
+        ).groupby("part").map_groups(attach, batch_format="pyarrow")
+        # cap the block count before materializing: groupby output
+        # blocks otherwise compound through the per-round unions and the
+        # fixed per-block scheduling cost grows superlinearly
+        merged = bucket_min(labels.union(proposals)) \
+            .repartition(blocks_cap).materialize()
+        new_sum = merged.aggregate(Sum("label"))["sum(label)"]
+        labels = merged
+        if new_sum == cur_sum:  # monotone mins: fixpoint reached
+            break
+        cur_sum = new_sum
+
+    return _rename(labels, ["doc_id", "cluster_id"])
+
+
 def _simhash_batch(col) -> np.ndarray:
     """SimHash over the token MULTISET for a whole string column —
     vectorized end to end: one tokenization+hash pass, one (tokens x 64)

@@ -344,3 +344,35 @@ class TestLSHDistributedCandidates:
         b = {(r["doc_id_a"], r["doc_id_b"]) for r in
              minhash_lsh_pairs(SF, candidate_stage="groupby").take_all()}
         assert a == b
+
+
+class TestDistributedClustering:
+    def test_min_label_matches_union_find(self, ray_session):
+        """Iterated min-label propagation (the 10^10+-pair scale path)
+        must produce the identical (doc_id, cluster_id) assignment as
+        the single-task union-find."""
+        import ray.data
+
+        from geomesa_ray.stages.dedup import (
+            dedup_clusters,
+            dedup_clusters_distributed,
+        )
+
+        # graph shapes: a chain (pointer jumping collapses it in
+        # O(log D) rounds), a star, a triangle with a tail, isolated
+        # pairs. (Kept small: each round pays a fixed Ray Data
+        # scheduling cost that amortizes only at real data scale.)
+        edges = ([(i, i + 1) for i in range(100, 107)]            # chain
+                 + [(200, x) for x in range(201, 206)]            # star
+                 + [(300, 301), (301, 302), (302, 300), (302, 303)]
+                 + [(400, 401), (500, 501)])
+        pairs = ray.data.from_items(
+            [{"doc_id_a": a, "doc_id_b": b} for a, b in edges])
+        want = {(r["doc_id"], r["cluster_id"])
+                for r in dedup_clusters(pairs).take_all()}
+        got = {(r["doc_id"], r["cluster_id"])
+               for r in dedup_clusters_distributed(pairs,
+                                                   n_parts=8).take_all()}
+        assert got == want
+        # sanity: chain collapses to min label 100
+        assert (106, 100) in got
