@@ -277,8 +277,25 @@ def _parse_map(batch, a, entry_delim=",", kv_delim="->",
         entries = entries.combine_chunks()
     flat = pc.list_flatten(entries)
     kv = pc.split_pattern(flat, pattern=kv_delim, max_splits=1)
-    keys = pc.list_element(kv, 0)
-    vals = pc.list_element(kv, 1)
+    lens = pc.list_value_length(kv).to_numpy(zero_copy_only=False)
+    if (lens < 2).any():
+        # malformed entry (no key-value delimiter): null the VALUE out
+        # instead of aborting the batch (converter null-out convention).
+        # Rare path -> per-entry Python is fine here.
+        keys_py, vals_py = [], []
+        for e in flat.to_pylist():
+            if e is None or kv_delim not in e:
+                keys_py.append(e)
+                vals_py.append(None)
+            else:
+                k, v = e.split(kv_delim, 1)
+                keys_py.append(k)
+                vals_py.append(v)
+        keys = pa.array(keys_py, pa.string())
+        vals = pa.array(vals_py, pa.string())
+    else:
+        keys = pc.list_element(kv, 0)
+        vals = pc.list_element(kv, 1)
     if value_type == "int":
         vals = vals.cast(pa.int64())
     elif value_type == "double":
@@ -378,7 +395,8 @@ def _base64_encode(batch, a):
     import base64
 
     c = _col(batch, a)
-    return pa.array([base64.b64encode(v if isinstance(v, bytes)
+    return pa.array([None if v is None else
+                     base64.b64encode(v if isinstance(v, bytes)
                                       else str(v).encode()).decode()
                      for v in c.to_pylist()], pa.string())
 
@@ -387,8 +405,8 @@ def _base64_encode(batch, a):
 def _base64_decode(batch, a):
     import base64
 
-    return pa.array([base64.b64decode(v) for v in
-                     _col(batch, a).to_pylist()], pa.binary())
+    return pa.array([None if v is None else base64.b64decode(v)
+                     for v in _col(batch, a).to_pylist()], pa.binary())
 
 
 @register("murmurHash3")

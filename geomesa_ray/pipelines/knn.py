@@ -280,17 +280,24 @@ def knn_indexed(store_dir: str, probes: pa.Table | None = None,
                 R = 6_371_000.0
                 lat_bound_m = R * np.radians(ring_hi * cell_h) * 0.999
                 worst = abs(plat[p]) + (ring_hi + 1) * cell_h
-                if ring_hi * 2 >= nx or worst >= 90.0:
-                    # lon wrapped, or candidates can lie poleward of the
-                    # worst-case latitude (cos -> 0): the lon bound gives
-                    # no information — only the lat bound applies
+                if ring_hi * 2 >= nx:
+                    # lon fully wrapped: every unread point differs by
+                    # > ring_hi cells in LATITUDE, so the lat bound alone
+                    # is a valid lower bound
                     bound = lat_bound_m
+                elif worst >= 90.0:
+                    # the ring's latitude span reaches a pole: an unread
+                    # same-row cell far in longitude can still be CLOSE
+                    # (short path over the pole), so NO valid lower bound
+                    # exists for the lon case — the probe must keep
+                    # expanding until the rings wrap all longitudes
+                    bound = 0.0
                 else:
                     dlam = min(ring_hi * cell_w, 180.0)
                     lon_bound_m = (2.0 * R * np.cos(np.radians(worst))
                                    * np.sin(np.radians(dlam) / 2.0) * 0.999)
                     bound = min(lat_bound_m, lon_bound_m)
-                if kth <= bound:
+                if bound > 0.0 and kth <= bound:
                     active.discard(p)
             else:
                 if kth <= (ring_hi * min_cell) ** 2:

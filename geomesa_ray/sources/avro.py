@@ -130,6 +130,15 @@ def _arrow_type(typ):
     if isinstance(typ, list):
         nn = [t for t in typ if t != "null"]
         return _arrow_type(nn[0])
+    if isinstance(typ, dict):
+        # dict-annotated primitive (e.g. logicalType timestamp-millis):
+        # decode as the underlying primitive, same as _read_value
+        t = typ.get("type")
+        if t in _PRIMITIVES:
+            return _arrow_type(t)
+        raise NotImplementedError(
+            f"avro complex type {t!r} not supported (flat primitive "
+            "records only)")
     return {
         "boolean": pa.bool_(), "int": pa.int64(), "long": pa.int64(),
         "float": pa.float32(), "double": pa.float64(),
@@ -152,6 +161,8 @@ def _write_long(out: io.BytesIO, v: int):
 
 
 def _write_value(out: io.BytesIO, typ, v):
+    if isinstance(typ, dict) and typ.get("type") in _PRIMITIVES:
+        typ = typ["type"]  # dict-annotated primitive (logicalType etc.)
     if isinstance(typ, list):
         if v is None:
             _write_long(out, typ.index("null"))

@@ -43,9 +43,20 @@ def read_shp(path: str) -> pa.Table:
     pos = 100
     if shape_type == SHAPE_POINT:
         # vectorized: every record is 8 (rec header) + 4 (type) + 16 (x,y)
+        if (len(data) - 100) % 28 != 0:
+            raise NotImplementedError(
+                f"{path}: point file with irregular record sizes "
+                "(null or mixed shapes) — not supported")
         n = (len(data) - 100) // 28
         raw = np.frombuffer(data, dtype=np.uint8, count=n * 28, offset=100)
         raw = raw.reshape(n, 28)
+        stypes = raw[:, 8:12].copy().view("<i4").ravel()
+        if not (stypes == SHAPE_POINT).all():
+            # a null shape (type 0, 4-byte body) would shift the 28-byte
+            # stride and silently corrupt every later coordinate
+            raise NotImplementedError(
+                f"{path}: non-Point record (type "
+                f"{int(stypes[stypes != SHAPE_POINT][0])}) in point file")
         xy = raw[:, 12:28].copy().view("<f8").reshape(n, 2)
         recnum = raw[:, 0:4].copy().view(">i4").ravel()
         return pa.table({
@@ -72,7 +83,11 @@ def read_shp(path: str) -> pa.Table:
         bounds = np.append(parts, npoints)
         rings = [pts[bounds[i]:bounds[i + 1]] for i in range(nparts)]
         if stype == SHAPE_POLYLINE:
-            # one LINESTRING per part (MULTILINESTRING collapses to parts)
+            if nparts != 1:
+                raise NotImplementedError(
+                    f"{path}: multi-part PolyLine record {recnum} "
+                    f"({nparts} parts) — only single-part polylines map "
+                    "onto the LINESTRING join surface")
             coords = ", ".join(f"{x:.10g} {y:.10g}" for x, y in rings[0])
             wkt = f"LINESTRING ({coords})"
             kind = "line"

@@ -295,8 +295,10 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
         return pa.table({"doc_id": batch.column("doc_id"),
                          "sh": pa.array(sh, pa.binary())})
 
+    # materialize: both joins consume tok — left lazy, the corpus read +
+    # shingle tokenization (the expensive stage) would execute twice
     tok = docs.map_batches(tokenize_sh, batch_format="pyarrow",
-                           batch_size=65536)
+                           batch_size=65536).materialize()
     tok_a = _rename(tok, ["doc_id_a", "sh_a"])
     tok_b = _rename(tok, ["doc_id_b", "sh_b"])
     j = cand.join(tok_a, "inner", num_partitions=join_partitions,

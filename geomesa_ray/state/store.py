@@ -265,7 +265,13 @@ def snapshot_store(out_dir: str) -> int:
         src = os.path.join(pdir, "data.parquet")
         dst_name = f"data_v{ver}.parquet"
         dst = os.path.join(pdir, dst_name)
-        if not os.path.exists(dst):
+        if os.path.exists(dst):
+            # a crashed prior snapshot attempt may have left a link to a
+            # SINCE-REWRITTEN inode; committing it would mix generations
+            if os.stat(dst).st_ino != os.stat(src).st_ino:
+                os.remove(dst)
+                os.link(src, dst)
+        else:
             os.link(src, dst)
         files[str(b)] = dst_name
     committed = commit_snapshot(out_dir, files)

@@ -191,3 +191,86 @@ class TestShapefile:
         ds = shapefile_ingest([str(tmp_path / "f0.shp"),
                                str(tmp_path / "f1.shp")])
         assert ds.count() == 100
+
+
+class TestReviewRegressions:
+    def test_avro_logical_type_annotation(self, tmp_path):
+        """Dict-annotated primitives (logicalType timestamp-millis — the
+        standard Avro timestamp encoding) must round-trip."""
+        from geomesa_ray.sources.avro import read_avro_file, write_avro_file
+
+        sch = {"type": "record", "name": "r", "fields": [
+            {"name": "ts", "type": {"type": "long",
+                                    "logicalType": "timestamp-millis"}},
+            {"name": "v", "type": "double"}]}
+        rows = [{"ts": 1704067200000 + i, "v": float(i)} for i in range(5)]
+        p = str(tmp_path / "lt.avro")
+        write_avro_file(p, sch, rows)
+        t = read_avro_file(p)
+        assert t.column("ts").to_pylist() == [r["ts"] for r in rows]
+
+    def test_multipart_polyline_raises(self, tmp_path):
+        import struct
+
+        from geomesa_ray.sources.shapefile import (
+            SHAPE_POLYLINE,
+            read_shp,
+            write_shapefile,
+        )
+
+        # hand-build a 2-part polyline record
+        pts = [(0.0, 0.0), (1.0, 1.0), (5.0, 5.0), (6.0, 6.0)]
+        body = struct.pack("<idddd", SHAPE_POLYLINE, 0.0, 0.0, 6.0, 6.0)
+        body += struct.pack("<ii", 2, 4) + struct.pack("<2i", 0, 2)
+        for x, y in pts:
+            body += struct.pack("<dd", x, y)
+        content = struct.pack(">ii", 1, len(body) // 2) + body
+        header = struct.pack(">i5ii", 9994, 0, 0, 0, 0, 0,
+                             (100 + len(content)) // 2)
+        header += struct.pack("<ii", 1000, SHAPE_POLYLINE)
+        header += struct.pack("<8d", 0, 0, 6, 6, 0, 0, 0, 0)
+        p = str(tmp_path / "mp.shp")
+        with open(p, "wb") as f:
+            f.write(header + content)
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            read_shp(p)
+
+    def test_point_file_with_null_shape_raises(self, tmp_path):
+        import struct
+
+        from geomesa_ray.sources.shapefile import read_shp, write_shapefile
+
+        p = str(tmp_path / "nullpt.shp")
+        write_shapefile(p, "point", [(1.0, 2.0), (3.0, 4.0)])
+        # append a null-shape record (type 0): irregular stride
+        with open(p, "ab") as f:
+            f.write(struct.pack(">ii", 3, 2) + struct.pack("<i", 0))
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            read_shp(p)
+
+
+class TestParseMapMalformed:
+    def test_entry_without_delim_nulls_value(self):
+        import pyarrow as pa
+
+        from geomesa_ray.functions.registry import transform_batch
+
+        t = pa.table({"s": pa.array(["a->1,b", "c->3"])})
+        out = transform_batch(t, {"m": ("parseMap", "col:s")})
+        assert out.column("m").to_pylist() == [
+            [("a", 1), ("b", None)], [("c", 3)]]
+
+    def test_base64_null_propagation(self):
+        import pyarrow as pa
+
+        from geomesa_ray.functions.registry import transform_batch
+
+        t = pa.table({"s": pa.array(["x", None], pa.string())})
+        enc = transform_batch(t, {"b": ("base64Encode", "col:s")})
+        assert enc.column("b").to_pylist() == ["eA==", None]
+        dec = transform_batch(enc, {"r": ("base64Decode", "col:b")})
+        assert dec.column("r").to_pylist() == [b"x", None]

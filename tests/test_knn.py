@@ -110,3 +110,27 @@ class TestIndexedHaversine:
                                    metric="haversine"))
         want = knn_rows(knn(tiny_fixtures, metric="haversine"))
         assert got == want  # includes polar + near-IDL probes (fixture F3)
+
+
+class TestPolarTermination:
+    def test_high_latitude_probe_matches_full_scan(self, ray_session,
+                                                   tiny_fixtures, tmp_path):
+        """A probe whose rings reach the pole has NO valid longitude
+        lower bound (short paths over the pole): termination must wait
+        for full lon wrap, not fall back to the latitude-only bound."""
+        import pyarrow as pa
+
+        from geomesa_ray.state.store import write_store
+
+        store = str(tmp_path / "polar")
+        write_store(tiny_fixtures, store)
+        probes = pa.table({
+            "probe_id": pa.array([f"hp{i}" for i in range(6)]),
+            "lon": pa.array([0.0, 90.0, -90.0, 180.0 - 1e-6, 45.0, -135.0]),
+            "lat": pa.array([85.0, 87.0, -86.0, 84.0, 89.0, -88.5]),
+            "k": pa.array([5, 3, 8, 5, 10, 2], pa.int32()),
+            "max_dist_m": pa.array([1e7] * 6),
+        })
+        got = knn_rows(knn_indexed(store, probes=probes, metric="haversine"))
+        want = knn_rows(knn(tiny_fixtures, probes=probes, metric="haversine"))
+        assert got == want

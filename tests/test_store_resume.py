@@ -328,3 +328,31 @@ class TestSnapshotReplay:
         v1 = {r["image_id"] for r in read_store(store, q, version=1)
               .select_columns(["image_id"]).take_all()}
         assert v1 == latest  # same state -> same pruned query result
+
+
+class TestSnapshotCrashRecovery:
+    def test_stale_hardlink_from_crashed_snapshot_is_refreshed(
+            self, ray_session, tiny_fixtures, tmp_path):
+        """A crashed snapshot attempt leaves data_v2.parquet hardlinks;
+        after an append rewrites data.parquet, a new snapshot must NOT
+        reuse the stale links (that would commit a mixed-generation,
+        never-existed state)."""
+        import os
+
+        from geomesa_ray.sources.fixtures import gen_images_table_range
+        from geomesa_ray.state.store import append_store, snapshot_store
+
+        store = str(tmp_path / "crash")
+        write_store(tiny_fixtures, store)
+        snapshot_store(store)  # v1
+        # simulate the crash: v2 links exist but versions/v2.json doesn't
+        for name in os.listdir(store):
+            if name.startswith("part="):
+                src = os.path.join(store, name, "data.parquet")
+                os.link(src, os.path.join(store, name, "data_v2.parquet"))
+        append_store(store, gen_images_table_range(6000, 40),
+                     snapshot=False)
+        v2 = snapshot_store(store)
+        assert v2 == 2
+        assert read_store(store, version=2).count() == \
+            read_store(store).count() == 6040
