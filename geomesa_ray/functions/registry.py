@@ -236,8 +236,10 @@ def _regex_extract(batch, a, pattern):
     import re as _re
 
     if "(?P<" not in pattern:
-        if "(" in pattern:
-            pattern = _re.sub(r"\((?!\?)", "(?P<g>", pattern, count=1)
+        # first UNESCAPED capturing paren (an escaped literal '\(' or a
+        # '(?:' group must not be rewritten)
+        if _re.search(r"(?<!\\)\((?!\?)", pattern):
+            pattern = _re.sub(r"(?<!\\)\((?!\?)", "(?P<g>", pattern, count=1)
         else:
             pattern = f"(?P<g>{pattern})"
     s = pc.extract_regex(_col(batch, a), pattern=pattern)
@@ -277,6 +279,7 @@ def _parse_map(batch, a, entry_delim=",", kv_delim="->",
         entries = entries.combine_chunks()
     flat = pc.list_flatten(entries)
     kv = pc.split_pattern(flat, pattern=kv_delim, max_splits=1)
+    null_in = pc.is_null(c).to_numpy(zero_copy_only=False)
     lens = pc.list_value_length(kv).to_numpy(zero_copy_only=False)
     if (lens < 2).any():
         # malformed entry (no key-value delimiter): null the VALUE out
@@ -300,7 +303,13 @@ def _parse_map(batch, a, entry_delim=",", kv_delim="->",
         vals = vals.cast(pa.int64())
     elif value_type == "double":
         vals = vals.cast(pa.float64())
-    return pa.MapArray.from_arrays(entries.offsets, keys, vals)
+    # null/empty input -> NULL map, not {} (a null START offset nulls
+    # the row) — matches parseList's null-out convention
+    offs_np = entries.offsets.to_numpy(zero_copy_only=False)
+    omask = np.zeros(len(offs_np), dtype=bool)
+    omask[:-1] = null_in
+    offsets = pa.array(offs_np, pa.int32(), mask=omask)
+    return pa.MapArray.from_arrays(offsets, keys, vals)
 
 
 @register("jsonMap")
@@ -312,18 +321,27 @@ def _json_map(batch, a, value_type="int"):
 
     vt = pa.int64() if value_type == "int" else (
         pa.float64() if value_type == "double" else pa.string())
-    offsets = [0]
+    offsets: list = [0]
+    null_rows: list = []
     keys: list = []
     vals: list = []
-    for v in _col(batch, a).to_pylist():
-        obj = json.loads(v) if v else {}
+    for i, v in enumerate(_col(batch, a).to_pylist()):
+        if v is None or v == "":
+            null_rows.append(i)  # null input -> NULL map (not {})
+            offsets.append(len(keys))
+            continue
+        obj = json.loads(v)
         for k, val in obj.items():
             keys.append(k)
             vals.append(val)
         offsets.append(len(keys))
-    return pa.MapArray.from_arrays(pa.array(offsets, pa.int32()),
-                                   pa.array(keys, pa.string()),
-                                   pa.array(vals, vt))
+    # a null START offset nulls that row (values buffer keeps the ints)
+    mask = np.zeros(len(offsets), dtype=bool)
+    mask[null_rows] = True
+    return pa.MapArray.from_arrays(
+        pa.array(np.array(offsets, dtype=np.int32), pa.int32(), mask=mask),
+        pa.array(keys, pa.string()),
+        pa.array(vals, vt))
 
 
 @register("listItem")
@@ -336,6 +354,15 @@ def _list_size(batch, a):
     return pc.list_value_length(_col(batch, a)).cast(pa.int64())
 
 
+def map_offsets(m: pa.MapArray) -> np.ndarray:
+    """Entry offsets of a MapArray as plain int64 (read from the raw
+    offsets buffer — safe with null rows, whose values would otherwise
+    degrade to NaN through to_numpy). Null rows span zero entries in
+    every builder in this codebase."""
+    return np.frombuffer(m.buffers()[1], dtype=np.int32)[
+        m.offset:m.offset + len(m) + 1].astype(np.int64)
+
+
 @register("mapValue")
 def _map_value(batch, a, key):
     """map lookup by key -> value (null when absent), vectorized over the
@@ -346,7 +373,7 @@ def _map_value(batch, a, key):
     keys = m.keys
     items = m.items
     hit = pc.equal(keys, key).to_numpy(zero_copy_only=False)
-    offs = m.offsets.to_numpy(zero_copy_only=False)
+    offs = map_offsets(m)
     n = len(m)
     out_idx = np.full(n, -1, dtype=np.int64)
     hit_pos = np.nonzero(hit)[0]

@@ -138,9 +138,11 @@ def map_value_agg(sf_dir: str) -> ray.data.Dataset:
     from geomesa_ray.functions.registry import FUNCTIONS
 
     def partial(batch: pa.Table) -> pa.Table:
+        from geomesa_ray.functions.registry import map_offsets
+
         m = FUNCTIONS["jsonMap"](batch, "col:props")
-        offs = m.offsets.to_numpy(zero_copy_only=False)
-        counts = np.diff(offs)
+        # per-row entry counts; null maps (absent props) contribute 0
+        counts = np.diff(map_offsets(m))
         et = batch.column("event_type")
         if isinstance(et, pa.ChunkedArray):
             et = et.combine_chunks()

@@ -102,10 +102,12 @@ def fixed_width_ingest(paths, fields: dict,
             typ = f[2] if len(f) > 2 else "string"
             s = pc.utf8_trim_whitespace(
                 pc.utf8_slice_codeunits(lines, start, start + width))
-            if typ == "int":
-                s = s.cast(pa.int64())
-            elif typ == "double":
-                s = s.cast(pa.float64())
+            if typ in ("int", "double"):
+                # short/ragged lines slice to '' — null the field out
+                # (converter convention) instead of aborting on the cast
+                s = pc.if_else(pc.equal(s, ""),
+                               pa.scalar(None, pa.string()), s)
+                s = s.cast(pa.int64() if typ == "int" else pa.float64())
             cols[name] = s
         t = pa.table(cols)
         return transform_batch(t, spec) if spec else t

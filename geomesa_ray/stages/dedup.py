@@ -38,14 +38,15 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     return _rename(fp.groupby("fp").min("doc_id"), ["fp", "doc_id"])
 
 
-def _ws_token_hashes(col) -> tuple[np.ndarray, np.ndarray]:
+def _ws_token_hashes(col, mask63: bool = True) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized whitespace tokenization + 63-bit token hashes for a
     WHOLE string column: one Arrow split (C), one polynomial-hash pass
     over the flattened token buffer (``sketches._hash_string_array``) —
     no per-token Python, the scale-critical path for 10^12-doc corpora.
-    Returns (flat token hashes as positive int64, per-doc offsets);
-    token stream matches ``str.split()`` (empty boundary tokens from the
-    Arrow splitter are masked out)."""
+    Returns (flat token hashes as int64 — positive 63-bit when
+    ``mask63``, full 64-bit otherwise (SimHash needs every bit to carry
+    signal) — and per-doc offsets); token stream matches ``str.split()``
+    (empty boundary tokens from the Arrow splitter are masked out)."""
     import pyarrow.compute as pc
 
     from geomesa_ray.stages.sketches import _hash_string_array
@@ -64,8 +65,10 @@ def _ws_token_hashes(col) -> tuple[np.ndarray, np.ndarray]:
         .to_numpy(zero_copy_only=False)
     c = np.concatenate([[0], np.cumsum(nonempty.astype(np.int64))])
     offs2 = c[offs - offs[0]]
-    h2 = (h[nonempty] & np.uint64(0x7FFFFFFFFFFFFFFF)).view(np.int64)
-    return h2, offs2
+    h2 = h[nonempty]
+    if mask63:
+        h2 = h2 & np.uint64(0x7FFFFFFFFFFFFFFF)
+    return h2.view(np.int64), offs2
 
 
 _SHINGLE_MULT = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F),
@@ -509,7 +512,7 @@ def _simhash_batch(col) -> np.ndarray:
     vectorized end to end: one tokenization+hash pass, one (tokens x 64)
     bit expansion, per-doc bit sums via a cumsum difference (safe for
     empty docs), majority vote, repack. int64 signed values."""
-    th, offs = _ws_token_hashes(col)
+    th, offs = _ws_token_hashes(col, mask63=False)  # bit 63 carries signal
     n = len(offs) - 1
     if len(th) == 0:
         return np.zeros(n, dtype=np.int64)

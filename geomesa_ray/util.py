@@ -60,18 +60,28 @@ class QueryTimeout(TimeoutError):
 
 def take_all_with_timeout(ds: ray.data.Dataset, timeout_s: float):
     """Query-timeout watchdog: the reference's query-timeout option
-    (configurable scan timeout that aborts long-running queries) —
-    consume the dataset in a worker thread and abandon it at the
-    deadline. Cancellation is best-effort (the streaming executor shuts
-    down when its iterator is released), matching the reference's
-    thread-interrupt semantics."""
+    (configurable scan timeout that aborts long-running queries).
+
+    Consumption runs in a worker thread through ``iter_batches`` with a
+    stop flag checked between batches: on timeout the flag is set, the
+    thread returns at the next batch boundary, and RELEASING the
+    iterator shuts the streaming executor down — in-flight tasks of the
+    current wave finish, but no further work is scheduled (the
+    reference's thread-interrupt semantics; a single batch that hangs
+    inside a kernel is not interruptible there either)."""
     import threading
 
     result: dict = {}
+    stop = threading.Event()
 
     def run():
         try:
-            result["rows"] = ds.take_all()
+            rows = []
+            for b in ds.iter_batches(batch_format="pyarrow"):
+                if stop.is_set():
+                    return  # releases the iterator -> executor shutdown
+                rows.extend(b.to_pylist())
+            result["rows"] = rows
         except BaseException as e:  # noqa: BLE001 - surfaced to caller
             result["err"] = e
 
@@ -79,6 +89,7 @@ def take_all_with_timeout(ds: ray.data.Dataset, timeout_s: float):
     th.start()
     th.join(timeout_s)
     if th.is_alive():
+        stop.set()
         raise QueryTimeout(f"query exceeded {timeout_s}s wall clock")
     if "err" in result:
         raise result["err"]
@@ -90,14 +101,6 @@ def gather_combine(parts: ray.data.Dataset, final_fn,
     """Combine pre-aggregated partials in one task (bounded results only)."""
     return parts.repartition(1).map_batches(final_fn, batch_format=batch_format,
                                             batch_size=None)
-
-
-def sum_by_keys(batch: pa.Table, key_cols: list[str], val_col: str) -> pa.Table:
-    """Vectorized sum of ``val_col`` grouped by ``key_cols`` within one
-    table (used as the final combine of partial counts)."""
-    df = batch.to_pandas()
-    out = df.groupby(key_cols, as_index=False, sort=True)[val_col].sum()
-    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def sorted_membership(vals: np.ndarray, sorted_keys: np.ndarray) -> np.ndarray:

@@ -149,3 +149,33 @@ class TestDateHashFns:
               b=pa.array(["d1", "d2", "d3"], pa.string()))
         out = transform_batch(t, {"c": ("coalesce", "col:a", "col:b")})
         assert out.column("c").to_pylist() == ["d1", "x", "d3"]
+
+
+class TestReviewRegressions2:
+    def test_regex_extract_escaped_paren(self):
+        t = T(s=["(42)", "(7)", "x"])
+        out = transform_batch(t, {"v": ("regexExtract", "col:s",
+                                        r"\((\d+)\)")})
+        assert out.column("v").to_pylist() == ["42", "7", None]
+
+    def test_parse_map_null_vs_empty(self):
+        t = T(s=pa.array(["a->1", "", None], pa.string()))
+        out = transform_batch(t, {"m": ("parseMap", "col:s")})
+        assert out.column("m").to_pylist() == [[("a", 1)], None, None]
+
+    def test_json_map_null_vs_empty_object(self):
+        t = T(s=pa.array(['{"k": 1}', "{}", None, ""], pa.string()))
+        out = transform_batch(t, {"m": ("jsonMap", "col:s")})
+        assert out.column("m").to_pylist() == [[("k", 1)], [], None, None]
+        v = transform_batch(out, {"k": ("mapValue", "col:m", "k")})
+        assert v.column("k").to_pylist() == [1, None, None, None]
+
+    def test_simhash_uses_full_64_bits(self):
+        from geomesa_ray.stages.dedup import _simhash_batch
+
+        sims = _simhash_batch(pa.array(
+            [f"w{i} x{i * 7} y{i * 13} z{i * 29}" for i in range(64)],
+            pa.string()))
+        # bit 63 must carry signal: over many docs some simhashes are
+        # negative (top bit set) — a 63-bit degradation would zero it
+        assert (sims < 0).any()
