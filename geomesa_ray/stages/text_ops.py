@@ -101,6 +101,28 @@ def token_counts(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(token_count_batch, batch_format="pyarrow")
 
 
+# GPT-2-flavoured pre-tokenizer, restricted to the RE2 subset (no
+# lookahead): contractions, letter runs, digit runs, punctuation runs,
+# whitespace runs — each with the optional leading space
+BPE_TOKEN_RE = (r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+"
+                r"| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def bpe_token_counts(sf_dir: str) -> ray.data.Dataset:
+    """LLM-style token estimate: count of BPE pre-tokenizer matches
+    (the training-data budget proxy). pyarrow and DuckDB both run RE2,
+    so the SQL oracle's regexp_extract_all length matches exactly."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch.column("text"),
+                                     BPE_TOKEN_RE).cast(pa.int64())
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_bpe_tokens": n})
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
 def text_quality(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(quality_batch, batch_format="pyarrow")
