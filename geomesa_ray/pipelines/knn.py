@@ -109,7 +109,8 @@ def knn(fixture_dir: str, probes: pa.Table | None = None,
 
 def knn_indexed(store_dir: str, probes: pa.Table | None = None,
                 fixture_dir: str | None = None,
-                metric: str = "planar", ring_step: int = 2) -> pa.Table:
+                metric: str = "planar", ring_step: int = 2,
+                probe_wave_size: int = 8192) -> pa.Table:
     """Index-pruned kNN over a SpatialStore: per-probe ring expansion on
     the bucket grid with the reference's termination rule — stop when the
     unread rings' minimum possible distance exceeds the kth-best distance
@@ -124,6 +125,13 @@ def knn_indexed(store_dir: str, probes: pa.Table | None = None,
     bounded O(active x k x n_blocks) partials into array-based candidate
     state. Exactly matches the full-scan planar ``knn()`` (verified in
     tests, incl. a 10^3-probe run). Returns an arrow Table.
+
+    Probe sets beyond ``probe_wave_size`` run as sequential WAVES: the
+    per-batch distance matrix is (active x batch_rows), so an unbounded
+    probe count would blow worker memory; waving bounds it at
+    wave x 65536 doubles per task while keeping each wave's partition
+    pruning intact (buckets may be re-read across waves — the honest
+    cost of bounding memory).
     """
     import os
 
@@ -131,6 +139,15 @@ def knn_indexed(store_dir: str, probes: pa.Table | None = None,
 
     if probes is None:
         probes = pq.read_table(os.path.join(fixture_dir, "probes.parquet"))
+    if probes.num_rows > probe_wave_size:
+        parts = [
+            knn_indexed(store_dir,
+                        probes=probes.slice(s, probe_wave_size),
+                        metric=metric, ring_step=ring_step,
+                        probe_wave_size=probe_wave_size)
+            for s in range(0, probes.num_rows, probe_wave_size)
+        ]
+        return pa.concat_tables(parts)
     meta = read_meta(store_dir)
     blevel = meta["bucket_level"]
     n_salt = meta.get("n_salt", 1) if meta.get("salted") else 1

@@ -134,3 +134,21 @@ class TestPolarTermination:
         got = knn_rows(knn_indexed(store, probes=probes, metric="haversine"))
         want = knn_rows(knn(tiny_fixtures, probes=probes, metric="haversine"))
         assert got == want
+
+
+class TestProbeWaves:
+    def test_wave_split_matches_single_wave(self, ray_session, tiny_fixtures,
+                                            tmp_path):
+        """Forcing a tiny wave size must produce the identical result set
+        (waves only bound memory, never change semantics)."""
+        import pyarrow as pa
+
+        from geomesa_ray.state.store import write_store
+
+        store = str(tmp_path / "waves")
+        write_store(tiny_fixtures, store)
+        probes = pq.read_table(f"{tiny_fixtures}/probes.parquet")
+        one = knn_rows(knn_indexed(store, probes=probes))
+        waved = knn_rows(knn_indexed(store, probes=probes,
+                                     probe_wave_size=7))
+        assert waved == one
