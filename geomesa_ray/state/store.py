@@ -296,6 +296,73 @@ def _state_matches_snapshot(out_dir: str, snap: dict) -> bool:
     return True
 
 
+def read_store_changes(out_dir: str, v_from: int,
+                       v_to: int | None = None) -> ray.data.Dataset:
+    """Change-data-capture between two committed snapshots — the batch
+    analog of the reference's live Kafka consumer reading new features
+    past its offset (``LiveKafkaConsumerFeatureSource.scala:136-160``):
+    one row per feature ADDED or UPDATED between version ``v_from`` and
+    ``v_to`` (latest when None), with a ``change`` column.
+
+    Only partitions whose pinned file CHANGED between the versions are
+    read (inode identity check, no data scan for untouched partitions);
+    each changed partition diffs old vs new distributed, inside one
+    map task per partition (partitions are the co-location unit, and an
+    image_id never moves between them — phash immutability invariant).
+    """
+    snap_a = read_snapshot(out_dir, v_from)
+    snap_b = read_snapshot(out_dir, v_to)
+    work = []
+    for b, fname_b in snap_b["files"].items():
+        pdir = os.path.join(out_dir, f"part={b}")
+        path_b = os.path.join(pdir, fname_b)
+        fname_a = snap_a["files"].get(b)
+        if fname_a is None:
+            work.append((None, path_b))  # new partition: all rows added
+            continue
+        path_a = os.path.join(pdir, fname_a)
+        if os.stat(path_a).st_ino != os.stat(path_b).st_ino:
+            work.append((path_a, path_b))
+
+    import ray
+
+    if not work:
+        return ray.data.from_arrow(pa.table({
+            "image_id": pa.array([], pa.string()),
+            "change": pa.array([], pa.string())}))
+
+    items = [{"path_a": a or "", "path_b": b} for a, b in work]
+    ds = ray.data.from_items(items, override_num_blocks=len(items))
+
+    def diff(batch: pa.Table) -> pa.Table:
+        out = []
+        for pa_path, pb_path in zip(batch.column("path_a").to_pylist(),
+                                    batch.column("path_b").to_pylist()):
+            new = pq.read_table(pb_path)
+            if pa_path:
+                old = pq.read_table(pa_path)
+                old_rows = {r["image_id"]: r for r in old.to_pylist()}
+            else:
+                old_rows = {}
+            changes = []
+            for r in new.to_pylist():
+                prev = old_rows.get(r["image_id"])
+                if prev is None:
+                    changes.append("added")
+                elif prev != r:
+                    changes.append("updated")
+                else:
+                    changes.append(None)
+            keep = pa.array([c is not None for c in changes])
+            t = new.filter(keep)
+            t = t.append_column("change", pa.array(
+                [c for c in changes if c is not None], pa.string()))
+            out.append(t)
+        return pa.concat_tables(out)
+
+    return ds.map_batches(diff, batch_format="pyarrow", batch_size=None)
+
+
 def append_store(out_dir: str, new_images: pa.Table,
                  snapshot: bool = True) -> dict:
     """Incremental append/upsert: the batch analog of the reference's

@@ -356,3 +356,48 @@ class TestSnapshotCrashRecovery:
         assert v2 == 2
         assert read_store(store, version=2).count() == \
             read_store(store).count() == 6040
+
+
+class TestStoreChanges:
+    def test_cdc_between_versions(self, ray_session, tiny_fixtures, tmp_path):
+        """read_store_changes = the live-consumer offset semantics:
+        exactly the rows added/updated between two snapshots."""
+        import pyarrow as pa
+
+        from geomesa_ray.sources.fixtures import (
+            gen_images_table,
+            gen_images_table_range,
+        )
+        from geomesa_ray.state.store import (
+            append_store,
+            read_store_changes,
+            snapshot_store,
+        )
+
+        store = str(tmp_path / "cdc")
+        write_store(tiny_fixtures, store)
+        snapshot_store(store)  # v1
+        added = gen_images_table_range(6000, 30)
+        append_store(store, added)  # v2
+        # update: re-append one EXISTING row with a changed caption
+        one = gen_images_table(6000).slice(10, 1)
+        cols = {c: one.column(c) for c in one.column_names}
+        cols["caption"] = pa.array(["EDITED caption"], pa.string())
+        append_store(store, pa.table(cols))  # v3
+
+        ch12 = read_store_changes(store, 1, 2).take_all()
+        assert len(ch12) == 30
+        assert all(r["change"] == "added" for r in ch12)
+        assert {r["image_id"] for r in ch12} == set(
+            added.column("image_id").to_pylist())
+
+        ch23 = read_store_changes(store, 2, 3).take_all()
+        assert len(ch23) == 1
+        assert ch23[0]["change"] == "updated"
+        assert ch23[0]["caption"] == "EDITED caption"
+
+        ch13 = read_store_changes(store, 1, 3).take_all()
+        assert len(ch13) == 31
+
+        # no changes between identical versions
+        assert read_store_changes(store, 3, 3).count() == 0
