@@ -69,6 +69,47 @@ class GeoMesaRayEngine:
             out = self._refine(ds, spec, skip_spatial=True)
         return out.limit(limit) if limit is not None else out
 
+    def cql(self, expr: str, limit: int | None = None) -> ray.data.Dataset:
+        """Execute an (E)CQL query string — the reference's user-facing
+        query language (GeoTools ECQL parse -> QueryFilterSplitter).
+        BBOX/time/id/attr clauses go through the cost-based planner;
+        INTERSECTS dispatches the PIP join against the WKT geometry;
+        DWITHIN dispatches the proximity join. See geomesa_ray.cql for
+        the supported grammar."""
+        import calendar as _cal
+
+        import numpy as np
+
+        from geomesa_ray.cql import parse_cql
+        from geomesa_ray.sources.fixtures import DTG_BASE_S, DTG_SPAN_S
+
+        q = parse_cql(expr)
+        if q.dwithin is not None:
+            lon, lat, dist_m = q.dwithin
+            out = self.proximity(np.array([lon]), np.array([lat]),
+                                 ["cql"], dist_m).select_columns(["image_id"])
+            return out.limit(limit) if limit is not None else out
+        if q.geometry_wkt is not None:
+            from geomesa_ray.geom.wkt import parse_wkt_geometry
+
+            kind, _ = parse_wkt_geometry(q.geometry_wkt)
+            t0, t1 = q.spec.interval_s or (DTG_BASE_S,
+                                           DTG_BASE_S + DTG_SPAN_S)
+            regions = pa.table({
+                "region_id": pa.array(["cql"], pa.string()),
+                "kind": pa.array([kind], pa.string()),
+                "lon_min": pa.array([0.0]), "lon_max": pa.array([0.0]),
+                "lat_min": pa.array([0.0]), "lat_max": pa.array([0.0]),
+                "wkt": pa.array([q.geometry_wkt], pa.string()),
+                "t_start": pa.array([int(t0) * 1_000_000],
+                                    pa.timestamp("us")),
+                "t_end": pa.array([int(t1) * 1_000_000], pa.timestamp("us")),
+            })
+            out = self.pip_join(regions, kinds=(kind,)) \
+                .select_columns(["image_id"])
+            return out.limit(limit) if limit is not None else out
+        return self.query(q.spec, limit=limit)
+
     def _to_spatial_query(self, spec: QuerySpec) -> SpatialQuery:
         bbox = spec.bbox or (-180.0, 180.0, -90.0, 90.0)
         t0, t1 = spec.interval_s or (None, None)

@@ -1,0 +1,95 @@
+"""CQL string parsing + end-to-end execution vs the direct API.
+
+Reference parity: GeoMesa queries arrive as ECQL strings (GeoTools
+ECQL.toFilter -> QueryFilterSplitter); every supported clause here must
+produce the identical result set as the equivalent programmatic call.
+"""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from geomesa_ray.cql import parse_cql
+from geomesa_ray.planner import QuerySpec
+
+
+class TestParse:
+    def test_bbox_and_during(self):
+        q = parse_cql("BBOX(geom, -10, -5, 25, 30) AND "
+                      "dtg DURING 2024-01-03T00:00:00Z/2024-01-10T00:00:00Z")
+        assert q.spec.bbox == (-10.0, 25.0, -5.0, 30.0)
+        assert q.spec.interval_s == (1704240000, 1704844800)
+
+    def test_ids_and_attr(self):
+        q = parse_cql("image_id IN ('a', 'b') AND fmt = 'png'")
+        assert q.spec.ids == ["a", "b"]
+        assert q.spec.attr_eq == {"fmt": "png"}
+
+    def test_after_before_combine(self):
+        q = parse_cql("dtg AFTER 2024-01-02 AND dtg BEFORE 2024-01-05")
+        assert q.spec.interval_s == (1704153600, 1704412800)
+
+    def test_intersects_and_dwithin(self):
+        q = parse_cql("INTERSECTS(geom, POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)))")
+        assert q.geometry_wkt.startswith("POLYGON")
+        q2 = parse_cql("DWITHIN(geom, POINT(10.0 45.0), 250000, meters)")
+        assert q2.dwithin == (10.0, 45.0, 250000.0)
+
+    def test_unsupported_clause_raises(self):
+        with pytest.raises(ValueError):
+            parse_cql("weird LIKE 'x%'")
+
+
+class TestExecute:
+    def test_bbox_time_matches_query_spec(self, ray_session, tiny_fixtures):
+        from geomesa_ray.engine import GeoMesaRayEngine
+
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        got = {r["image_id"] for r in eng.cql(
+            "BBOX(geom, -10, -5, 25, 30) AND "
+            "dtg DURING 2024-01-03T00:00:00Z/2024-01-10T00:00:00Z")
+            .select_columns(["image_id"]).take_all()}
+        want = {r["image_id"] for r in eng.query(QuerySpec(
+            bbox=(-10.0, 25.0, -5.0, 30.0),
+            interval_s=(1704240000, 1704844800)))
+            .select_columns(["image_id"]).take_all()}
+        assert got == want and got
+
+    def test_intersects_matches_pip_join(self, ray_session, tiny_fixtures):
+        from geomesa_ray.engine import GeoMesaRayEngine
+
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        wkt = "POLYGON ((-30 -20, 10 -20, 10 20, -30 20, -30 -20))"
+        got = {r["image_id"] for r in
+               eng.cql(f"INTERSECTS(geom, {wkt})").take_all()}
+        # oracle: direct scalar PIP over the fixture
+        from geomesa_ray.geom.wkt import parse_wkt_geometry
+        from geomesa_ray.geom.kernels import points_in_rings
+        from geomesa_ray.sources.fixtures import gen_images_table
+        from geomesa_ray.stages.derive import derive_geometry
+
+        t = derive_geometry(gen_images_table(6000))
+        _, parts = parse_wkt_geometry(wkt)
+        m = points_in_rings(t.column("lon").to_numpy(),
+                            t.column("lat").to_numpy(), parts[0])
+        want = {i for i, hit in zip(t.column("image_id").to_pylist(), m)
+                if hit}
+        assert got == want and got
+
+    def test_dwithin_matches_proximity(self, ray_session, tiny_fixtures):
+        from geomesa_ray.engine import GeoMesaRayEngine
+
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        got = {r["image_id"] for r in eng.cql(
+            "DWITHIN(geom, POINT(10.0 45.0), 300000, meters)").take_all()}
+        want = {r["image_id"] for r in eng.proximity(
+            np.array([10.0]), np.array([45.0]), ["p"], 3e5).take_all()}
+        assert got == want and got
+
+    def test_ids_with_limit(self, ray_session, tiny_fixtures):
+        from geomesa_ray.engine import GeoMesaRayEngine
+
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        rows = eng.cql("image_id IN ('img00000010', 'img00000042', "
+                       "'img00000099')", limit=2).take_all()
+        assert len(rows) == 2
