@@ -296,6 +296,70 @@ def _state_matches_snapshot(out_dir: str, snap: dict) -> bool:
     return True
 
 
+def delete_store(out_dir: str, image_ids: list[str],
+                 snapshot: bool = True) -> dict:
+    """Delete features by id — the reference's ``FeatureWriter.remove``
+    / removeFeatures path. Without a location the target bucket is
+    unknown, so every partition is scanned ONCE, distributed (one task
+    per partition, the same honest cost the reference pays on its
+    record table when no index narrows the ids); only partitions that
+    actually held a matching row are rewritten (tmp + rename, manifest
+    recommitted). Pre/post snapshots make the delete replayable."""
+    import ray
+
+    from geomesa_ray.util import id_membership_mask
+
+    if snapshot:
+        from geomesa_ray.state.manifest import list_versions
+
+        if not list_versions(out_dir) or not _state_matches_snapshot(
+                out_dir, read_snapshot(out_dir)):
+            snapshot_store(out_dir)
+    ids_sorted = np.sort(np.asarray(list(image_ids), dtype=object))
+    manifests = completed_partitions(out_dir)
+    items = [{"bucket": int(b)} for b in manifests]
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    ref = ray.put(ids_sorted)
+
+    def drop(batch: pa.Table) -> pa.Table:
+        from geomesa_ray.util import resolve_broadcast
+
+        targets = resolve_broadcast(ref)
+        out_b, out_n = [], []
+        for bucket in batch.column("bucket").to_pylist():
+            pdir = os.path.join(out_dir, f"part={bucket}")
+            path = os.path.join(pdir, "data.parquet")
+            t = pq.read_table(path)
+            m = id_membership_mask(t.column("image_id"), targets)
+            n_hit = int(m.sum())
+            if n_hit:
+                kept = t.filter(pa.array(~m))
+                tmp = os.path.join(pdir, ".data.parquet.tmp")
+                pq.write_table(kept, tmp, row_group_size=65536)
+                os.replace(tmp, path)
+                n_cells = len(np.unique(
+                    kept.column("cell").to_numpy(zero_copy_only=False))) \
+                    if kept.num_rows else 0
+                wk = kept.column("week").to_numpy(zero_copy_only=False) \
+                    if kept.num_rows else np.zeros(1, dtype=np.int64)
+                write_manifest(out_dir, bucket, {
+                    "bucket": bucket, "rows": kept.num_rows,
+                    "n_cells": n_cells, "week_min": int(np.min(wk)),
+                    "week_max": int(np.max(wk))})
+            out_b.append(bucket)
+            out_n.append(n_hit)
+        return pa.table({"bucket": pa.array(out_b, pa.int64()),
+                         "deleted": pa.array(out_n, pa.int64())})
+
+    rows = ds.map_batches(drop, batch_format="pyarrow",
+                          batch_size=1).take_all()
+    out = {"deleted_rows": int(sum(r["deleted"] for r in rows)),
+           "touched_buckets": int(sum(1 for r in rows if r["deleted"]))}
+    if snapshot:
+        out["snapshot_version"] = snapshot_store(out_dir)
+    return out
+
+
 def read_store_changes(out_dir: str, v_from: int,
                        v_to: int | None = None) -> ray.data.Dataset:
     """Change-data-capture between two committed snapshots — the batch

@@ -401,3 +401,24 @@ class TestStoreChanges:
 
         # no changes between identical versions
         assert read_store_changes(store, 3, 3).count() == 0
+
+
+class TestDelete:
+    def test_delete_by_id_and_time_travel(self, ray_session, tiny_fixtures,
+                                          tmp_path):
+        from geomesa_ray.state.store import delete_store, snapshot_store
+
+        store = str(tmp_path / "del")
+        write_store(tiny_fixtures, store)
+        ids = ["img00000010", "img00000042", "img00005000"]
+        r = delete_store(store, ids)
+        assert r["deleted_rows"] == 3
+        assert r["touched_buckets"] >= 1
+        left = {x["image_id"] for x in read_store(store)
+                .select_columns(["image_id"]).take_all()}
+        assert not (set(ids) & left) and len(left) == 5997
+        # deleting again is a no-op (idempotent)
+        r2 = delete_store(store, ids)
+        assert r2["deleted_rows"] == 0
+        # pre-delete state is replayable
+        assert read_store(store, version=1).count() == 6000
