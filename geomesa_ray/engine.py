@@ -76,25 +76,53 @@ class GeoMesaRayEngine:
         INTERSECTS dispatches the PIP join against the WKT geometry;
         DWITHIN dispatches the proximity join. See geomesa_ray.cql for
         the supported grammar."""
-        import calendar as _cal
-
-        import numpy as np
-
         from geomesa_ray.cql import parse_cql
         from geomesa_ray.sources.fixtures import DTG_BASE_S, DTG_SPAN_S
 
         q = parse_cql(expr)
+        spec = q.spec
+        # is there anything beyond the geometry dispatch to AND in?
+        rest = (spec.ids is not None or spec.id_sets is not None
+                or bool(spec.attr_eq) or spec.bbox is not None
+                or spec.interval_s is not None)
+
+        def and_rest(geo_out: ray.data.Dataset) -> ray.data.Dataset:
+            """Conjoin the geometry result with the remaining predicates
+            by an id semi-join against the planner's result — every
+            parsed clause participates, none silently dropped."""
+            if not rest:
+                return geo_out
+            import ray as _ray
+
+            from geomesa_ray.util import id_membership_mask, resolve_broadcast
+
+            other = self.query(spec).select_columns(["image_id"])
+            ids = np.sort(np.asarray(
+                [r["image_id"] for r in other.take_all()], dtype=object))
+            ref = _ray.put(ids)
+
+            def keep(batch: pa.Table) -> pa.Table:
+                members = resolve_broadcast(ref)
+                m = id_membership_mask(batch.column("image_id"), members)
+                return batch.filter(pa.array(m))
+
+            return geo_out.map_batches(keep, batch_format="pyarrow")
+
         if q.dwithin is not None:
             lon, lat, dist_m = q.dwithin
-            out = self.proximity(np.array([lon]), np.array([lat]),
-                                 ["cql"], dist_m).select_columns(["image_id"])
+            out = and_rest(self.proximity(
+                np.array([lon]), np.array([lat]), ["cql"], dist_m)
+                .select_columns(["image_id"]))
             return out.limit(limit) if limit is not None else out
         if q.geometry_wkt is not None:
             from geomesa_ray.geom.wkt import parse_wkt_geometry
 
             kind, _ = parse_wkt_geometry(q.geometry_wkt)
-            t0, t1 = q.spec.interval_s or (DTG_BASE_S,
-                                           DTG_BASE_S + DTG_SPAN_S)
+            # open-ended time clauses fill the missing side; the interval
+            # also still participates via and_rest with the full spec
+            t0, t1 = spec.interval_s or (None, None)
+            t0 = DTG_BASE_S if t0 is None else t0
+            t1 = DTG_BASE_S + DTG_SPAN_S if t1 is None else t1
             regions = pa.table({
                 "region_id": pa.array(["cql"], pa.string()),
                 "kind": pa.array([kind], pa.string()),
@@ -105,10 +133,10 @@ class GeoMesaRayEngine:
                                     pa.timestamp("us")),
                 "t_end": pa.array([int(t1) * 1_000_000], pa.timestamp("us")),
             })
-            out = self.pip_join(regions, kinds=(kind,)) \
-                .select_columns(["image_id"])
+            out = and_rest(self.pip_join(regions, kinds=(kind,))
+                           .select_columns(["image_id"]))
             return out.limit(limit) if limit is not None else out
-        return self.query(q.spec, limit=limit)
+        return self.query(spec, limit=limit)
 
     def _to_spatial_query(self, spec: QuerySpec) -> SpatialQuery:
         bbox = spec.bbox or (-180.0, 180.0, -90.0, 90.0)

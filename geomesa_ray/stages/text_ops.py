@@ -68,10 +68,16 @@ class LangIdStage:
         self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
+        # tokenize with RE2 \S+ on the lowered column — the same engine
+        # and pattern the SQL oracle uses (Python str.split disagrees
+        # with RE2 on non-ASCII whitespace like U+00A0)
+        low = pc.utf8_lower(batch.column("text"))
+        tok_lists = pc.split_pattern_regex(low, pattern=r"\s+")
+        if isinstance(tok_lists, pa.ChunkedArray):
+            tok_lists = tok_lists.combine_chunks()
         preds, confs = [], []
-        for t in texts:
-            toks = t.lower().split()
+        for toks in tok_lists.to_pylist():
+            toks = [t for t in toks if t]
             if not toks:
                 preds.append("und")
                 confs.append(0.0)

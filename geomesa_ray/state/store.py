@@ -355,7 +355,8 @@ def delete_store(out_dir: str, image_ids: list[str],
                           batch_size=1).take_all()
     out = {"deleted_rows": int(sum(r["deleted"] for r in rows)),
            "touched_buckets": int(sum(1 for r in rows if r["deleted"]))}
-    if snapshot:
+    if snapshot and out["deleted_rows"]:
+        # a no-op delete changes nothing — don't mint a duplicate version
         out["snapshot_version"] = snapshot_store(out_dir)
     return out
 
@@ -365,8 +366,9 @@ def read_store_changes(out_dir: str, v_from: int,
     """Change-data-capture between two committed snapshots — the batch
     analog of the reference's live Kafka consumer reading new features
     past its offset (``LiveKafkaConsumerFeatureSource.scala:136-160``):
-    one row per feature ADDED or UPDATED between version ``v_from`` and
-    ``v_to`` (latest when None), with a ``change`` column.
+    one row per feature ADDED, UPDATED, or DELETED between version
+    ``v_from`` and ``v_to`` (latest when None), with a ``change``
+    column (deleted rows carry the OLD generation's values).
 
     Only partitions whose pinned file CHANGED between the versions are
     read (inode identity check, no data scan for untouched partitions);
@@ -399,29 +401,56 @@ def read_store_changes(out_dir: str, v_from: int,
     ds = ray.data.from_items(items, override_num_blocks=len(items))
 
     def diff(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from geomesa_ray.util import sorted_membership
+
         out = []
         for pa_path, pb_path in zip(batch.column("path_a").to_pylist(),
                                     batch.column("path_b").to_pylist()):
             new = pq.read_table(pb_path)
+            new_ids = np.asarray(new.column("image_id").to_pylist(),
+                                 dtype=object)
             if pa_path:
                 old = pq.read_table(pa_path)
-                old_rows = {r["image_id"]: r for r in old.to_pylist()}
+                old_ids = np.asarray(old.column("image_id").to_pylist(),
+                                     dtype=object)
+                order = np.argsort(old_ids)
+                old_sorted_ids = old_ids[order]
+                in_old = sorted_membership(new_ids, old_sorted_ids)
             else:
-                old_rows = {}
-            changes = []
-            for r in new.to_pylist():
-                prev = old_rows.get(r["image_id"])
-                if prev is None:
-                    changes.append("added")
-                elif prev != r:
-                    changes.append("updated")
-                else:
-                    changes.append(None)
-            keep = pa.array([c is not None for c in changes])
-            t = new.filter(keep)
+                old = None
+                old_sorted_ids = np.empty(0, dtype=object)
+                in_old = np.zeros(len(new_ids), dtype=bool)
+            change = np.where(in_old, None, "added").astype(object)
+            if old is not None and in_old.any():
+                # vectorized row compare of the common ids: align old
+                # rows to new order, pc.equal per column (null-safe)
+                common = np.nonzero(in_old)[0]
+                pos = np.searchsorted(old_sorted_ids, new_ids[common])
+                take = pa.array(order[pos])
+                differs = np.zeros(len(common), dtype=bool)
+                for c in new.column_names:
+                    eq = pc.equal(new.column(c).take(pa.array(common)),
+                                  old.column(c).take(take))
+                    if eq.null_count:  # null vs value -> differs
+                        eq = pc.fill_null(eq, False)
+                    differs |= ~eq.to_numpy(zero_copy_only=False)
+                change[common[differs]] = "updated"
+            keep_mask = np.array([c is not None for c in change])
+            t = new.filter(pa.array(keep_mask))
             t = t.append_column("change", pa.array(
-                [c for c in changes if c is not None], pa.string()))
+                [c for c in change if c is not None], pa.string()))
             out.append(t)
+            if old is not None:
+                # deletions: old ids absent from the new generation
+                new_sorted = np.sort(new_ids)
+                gone = ~sorted_membership(old_ids, new_sorted)
+                if gone.any():
+                    d = old.filter(pa.array(gone))
+                    d = d.append_column("change", pa.array(
+                        ["deleted"] * d.num_rows, pa.string()))
+                    out.append(d)
         return pa.concat_tables(out)
 
     return ds.map_batches(diff, batch_format="pyarrow", batch_size=None)

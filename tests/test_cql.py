@@ -93,3 +93,34 @@ class TestExecute:
         rows = eng.cql("image_id IN ('img00000010', 'img00000042', "
                        "'img00000099')", limit=2).take_all()
         assert len(rows) == 2
+
+
+class TestCqlConjuncts:
+    def test_intersects_anded_with_time(self, ray_session, tiny_fixtures):
+        """Every parsed conjunct participates — geometry AND time."""
+        from geomesa_ray.engine import GeoMesaRayEngine
+        from geomesa_ray.planner import QuerySpec
+
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        wkt = "POLYGON ((-30 -20, 10 -20, 10 20, -30 20, -30 -20))"
+        got = {r["image_id"] for r in eng.cql(
+            f"INTERSECTS(geom, {wkt}) AND dtg AFTER 2024-01-15").take_all()}
+        geo = {r["image_id"] for r in
+               eng.cql(f"INTERSECTS(geom, {wkt})").take_all()}
+        timed = {r["image_id"] for r in eng.query(QuerySpec(
+            interval_s=(1705276800, None)))
+            .select_columns(["image_id"]).take_all()}
+        assert got == (geo & timed) and got and got != geo
+
+    def test_dwithin_anded_with_ids(self, ray_session, tiny_fixtures):
+        from geomesa_ray.engine import GeoMesaRayEngine
+
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        base = sorted({r["image_id"] for r in eng.cql(
+            "DWITHIN(geom, POINT(10.0 45.0), 1000000, meters)").take_all()})
+        assert len(base) >= 2
+        pick = base[0]
+        got = {r["image_id"] for r in eng.cql(
+            "DWITHIN(geom, POINT(10.0 45.0), 1000000, meters) AND "
+            f"image_id IN ('{pick}', 'img_not_there')").take_all()}
+        assert got == {pick}  # the id conjunct prunes

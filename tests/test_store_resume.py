@@ -422,3 +422,28 @@ class TestDelete:
         assert r2["deleted_rows"] == 0
         # pre-delete state is replayable
         assert read_store(store, version=1).count() == 6000
+
+
+class TestCdcDeletions:
+    def test_deletes_appear_in_change_feed(self, ray_session, tiny_fixtures,
+                                           tmp_path):
+        from geomesa_ray.state.store import (
+            delete_store,
+            read_store_changes,
+            snapshot_store,
+        )
+
+        store = str(tmp_path / "cdcdel")
+        write_store(tiny_fixtures, store)
+        snapshot_store(store)  # v1
+        r = delete_store(store, ["img00000010", "img00000042"])
+        assert r["deleted_rows"] == 2 and r["snapshot_version"] == 2
+        ch = read_store_changes(store, 1, 2).take_all()
+        assert len(ch) == 2
+        assert all(c["change"] == "deleted" for c in ch)
+        assert {c["image_id"] for c in ch} == {"img00000010", "img00000042"}
+        # deleted rows carry the old generation's payload
+        assert all(c["caption"] for c in ch)
+        # idempotent re-delete mints no new version
+        r2 = delete_store(store, ["img00000010"])
+        assert r2["deleted_rows"] == 0 and "snapshot_version" not in r2
