@@ -154,6 +154,97 @@ def planar_sq_deg(lon1, lat1, lon2, lat2):
     return (dx * dx) + (dy * dy)
 
 
+def _orient(ax, ay, bx, by, px, py):
+    """Sign of the cross product (b-a) x (p-a), vectorized."""
+    return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+
+def _on_segment(ax, ay, bx, by, px, py) -> np.ndarray:
+    """p collinear with segment ab AND within its bbox (inclusive)."""
+    col = _orient(ax, ay, bx, by, px, py) == 0.0
+    inx = (np.minimum(ax, bx) <= px) & (px <= np.maximum(ax, bx))
+    iny = (np.minimum(ay, by) <= py) & (py <= np.maximum(ay, by))
+    return col & inx & iny
+
+
+def _edges(rings: list[Polygon]):
+    """All boundary edges of a ring set as (ax, ay, bx, by) arrays."""
+    axs, ays, bxs, bys = [], [], [], []
+    for r in rings:
+        n = len(r.xs)
+        axs.append(r.xs)
+        ays.append(r.ys)
+        bxs.append(np.roll(r.xs, -1))
+        bys.append(np.roll(r.ys, -1))
+    return (np.concatenate(axs), np.concatenate(ays),
+            np.concatenate(bxs), np.concatenate(bys))
+
+
+def polygon_relate(a_rings: list[Polygon], b_rings: list[Polygon]) -> str:
+    """Area-area DE-9IM named predicate for two polygons-with-holes
+    (even-odd ring sets), the JTS ``geometry.relate`` role for the
+    predicates the reference's filters name: ``equals`` / ``contains`` /
+    ``within`` / ``overlaps`` / ``touches`` / ``disjoint``.
+
+    Float general position is assumed for interior decisions (vertices
+    not ON the other's boundary participate in interior tests; exact
+    boundary contact is detected with zero-cross-product predicates) —
+    the same float-exactness contract as the rest of the kernel suite.
+    All edge-pair tests are one vectorized (E_A x E_B) pass."""
+    aax, aay, abx, aby = _edges(a_rings)
+    bax, bay, bbx, bby = _edges(b_rings)
+    # (E_A, E_B) orientation signs
+    o1 = _orient(aax[:, None], aay[:, None], abx[:, None], aby[:, None],
+                 bax[None, :], bay[None, :])
+    o2 = _orient(aax[:, None], aay[:, None], abx[:, None], aby[:, None],
+                 bbx[None, :], bby[None, :])
+    o3 = _orient(bax[None, :], bay[None, :], bbx[None, :], bby[None, :],
+                 aax[:, None], aay[:, None])
+    o4 = _orient(bax[None, :], bay[None, :], bbx[None, :], bby[None, :],
+                 abx[:, None], aby[:, None])
+    proper = ((np.sign(o1) * np.sign(o2) < 0)
+              & (np.sign(o3) * np.sign(o4) < 0))
+    if proper.any():
+        return "overlaps"
+
+    # boundary contact without a proper crossing: any endpoint of one
+    # boundary lying exactly on an edge of the other
+    contact = (_on_segment(aax[:, None], aay[:, None], abx[:, None],
+                           aby[:, None], bax[None, :], bay[None, :]).any()
+               or _on_segment(aax[:, None], aay[:, None], abx[:, None],
+                              aby[:, None], bbx[None, :],
+                              bby[None, :]).any()
+               or _on_segment(bax[None, :], bay[None, :], bbx[None, :],
+                              bby[None, :], aax[:, None],
+                              aay[:, None]).any())
+
+    def interior_count(px, py, rings, other_edges):
+        """Vertices strictly interior to ``rings`` (on-boundary vertices
+        excluded from the interior vote)."""
+        oax, oay, obx, oby = other_edges
+        onb = _on_segment(oax[:, None], oay[:, None], obx[:, None],
+                          oby[:, None], px[None, :], py[None, :]).any(axis=0)
+        inside = points_in_rings(px, py, rings)
+        return (inside & ~onb).any()
+
+    b_edges = (bax, bay, bbx, bby)
+    a_edges = (aax, aay, abx, aby)
+    a_in_b = interior_count(aax, aay, b_rings, b_edges)
+    b_in_a = interior_count(bax, bay, a_rings, a_edges)
+
+    av = set(zip(aax.tolist(), aay.tolist()))
+    bv = set(zip(bax.tolist(), bay.tolist()))
+    if av == bv:
+        return "equals"
+    if a_in_b and not b_in_a:
+        return "within"
+    if b_in_a and not a_in_b:
+        return "contains"
+    if a_in_b and b_in_a:
+        return "overlaps"  # interleaved without proper crossing (rare)
+    return "touches" if contact else "disjoint"
+
+
 def normalize_lon(lon):
     """Translate longitudes into [-180, 180) (GeohashUtils.scala:721-744)."""
     lon = np.asarray(lon, dtype=np.float64)

@@ -115,3 +115,67 @@ class TestWKT:
         p = parse_wkt_polygon("POLYGON((45 23, 48 23, 48 27, 45 27, 45 23))")
         assert p.bbox == (45.0, 48.0, 23.0, 27.0)
         assert points_in_polygon(np.array([46.0]), np.array([25.0]), p)[0]
+
+
+class TestPolygonRelate:
+    """Area-area DE-9IM named predicates (JTS geometry.relate role)."""
+
+    @staticmethod
+    def sq(x0, y0, x1, y1):
+        from geomesa_ray.geom.kernels import Polygon
+
+        return Polygon(np.array([x0, x1, x1, x0], float),
+                       np.array([y0, y0, y1, y1], float))
+
+    def test_named_predicates(self):
+        from geomesa_ray.geom.kernels import polygon_relate as rel
+
+        A = [self.sq(0, 0, 10, 10)]
+        assert rel(A, [self.sq(20, 20, 30, 30)]) == "disjoint"
+        assert rel(A, [self.sq(10, 0, 20, 10)]) == "touches"  # shared edge
+        assert rel(A, [self.sq(10, 10, 20, 20)]) == "touches"  # corner
+        assert rel(A, [self.sq(5, 5, 15, 15)]) == "overlaps"
+        assert rel(A, [self.sq(2, 2, 8, 8)]) == "contains"
+        assert rel([self.sq(2, 2, 8, 8)], A) == "within"
+        assert rel(A, [self.sq(0, 0, 10, 10)]) == "equals"
+
+    def test_hole_semantics(self):
+        from geomesa_ray.geom.kernels import polygon_relate as rel
+
+        donut = [self.sq(0, 0, 10, 10), self.sq(3, 3, 7, 7)]
+        # a polygon fully inside the hole is DISJOINT from the donut
+        assert rel([self.sq(4, 4, 6, 6)], donut) == "disjoint"
+        assert rel(donut, [self.sq(4, 4, 6, 6)]) == "disjoint"
+        # a polygon inside the solid part is within
+        assert rel([self.sq(1, 1, 2, 2)], donut) == "within"
+        # one crossing the hole boundary overlaps
+        assert rel([self.sq(2, 2, 5, 5)], donut) == "overlaps"
+
+    def test_interior_touch_is_touches_not_overlap(self):
+        from geomesa_ray.geom.kernels import Polygon
+        from geomesa_ray.geom.kernels import polygon_relate as rel
+
+        # triangle touching the square's edge at one vertex from outside
+        tri = [Polygon(np.array([10.0, 15.0, 15.0]),
+                       np.array([5.0, 2.0, 8.0]))]
+        assert rel([self.sq(0, 0, 10, 10)], tri) == "touches"
+
+    def test_relate_consistent_with_tile_relations(self):
+        """Box-box relate must agree with the vectorized DE-9IM tile
+        classifier on its own fixture."""
+        from geomesa_ray.geom.kernels import polygon_relate as rel
+        from geomesa_ray.pipelines.tiles import box_tile_relations
+        from geomesa_ray.curve.zorder import z2_decode
+
+        L0, L1, A0, A1 = -45.0, 30.0, -22.5, 30.0
+        t = box_tile_relations(L0, L1, A0, A1, level=4)
+        q = [self.sq(L0, A0, L1, A1)]
+        n = 1 << 4
+        w, h = 360.0 / n, 180.0 / n
+        for row in t.to_pylist():
+            ix, iy = z2_decode(np.uint64(row["tile"]))
+            tx0 = -180.0 + float(ix) * w
+            ty0 = -90.0 + float(iy) * h
+            tile_poly = [self.sq(tx0, ty0, tx0 + w, ty0 + h)]
+            got = rel(tile_poly, q)
+            assert got == row["relation"], (row, got)
