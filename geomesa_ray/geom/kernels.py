@@ -171,7 +171,6 @@ def _edges(rings: list[Polygon]):
     """All boundary edges of a ring set as (ax, ay, bx, by) arrays."""
     axs, ays, bxs, bys = [], [], [], []
     for r in rings:
-        n = len(r.xs)
         axs.append(r.xs)
         ays.append(r.ys)
         bxs.append(np.roll(r.xs, -1))
@@ -207,41 +206,45 @@ def polygon_relate(a_rings: list[Polygon], b_rings: list[Polygon]) -> str:
     if proper.any():
         return "overlaps"
 
-    # boundary contact without a proper crossing: any endpoint of one
-    # boundary lying exactly on an edge of the other
-    contact = (_on_segment(aax[:, None], aay[:, None], abx[:, None],
-                           aby[:, None], bax[None, :], bay[None, :]).any()
-               or _on_segment(aax[:, None], aay[:, None], abx[:, None],
-                              aby[:, None], bbx[None, :],
-                              bby[None, :]).any()
-               or _on_segment(bax[None, :], bay[None, :], bbx[None, :],
-                              bby[None, :], aax[:, None],
-                              aay[:, None]).any())
+    def witness(px1, py1, px2, py2):
+        """Boundary WITNESS points: vertices + edge midpoints. Vertices
+        alone miss interiors when every vertex lies on the other's
+        boundary (grid-aligned boxes); a non-collinear edge then always
+        has an off-boundary midpoint."""
+        return (np.concatenate([px1, (px1 + px2) / 2.0]),
+                np.concatenate([py1, (py1 + py2) / 2.0]))
 
-    def interior_count(px, py, rings, other_edges):
-        """Vertices strictly interior to ``rings`` (on-boundary vertices
-        excluded from the interior vote)."""
-        oax, oay, obx, oby = other_edges
-        onb = _on_segment(oax[:, None], oay[:, None], obx[:, None],
-                          oby[:, None], px[None, :], py[None, :]).any(axis=0)
+    def classify(px, py, rings, oax, oay, obx, oby):
+        """Per-witness position w.r.t. ``rings``: (on-boundary, strict
+        interior, strict exterior) flags."""
+        on = _on_segment(oax[:, None], oay[:, None], obx[:, None],
+                         oby[:, None], px[None, :],
+                         py[None, :]).any(axis=0)
         inside = points_in_rings(px, py, rings)
-        return (inside & ~onb).any()
+        return on, inside & ~on, ~inside & ~on
 
-    b_edges = (bax, bay, bbx, bby)
-    a_edges = (aax, aay, abx, aby)
-    a_in_b = interior_count(aax, aay, b_rings, b_edges)
-    b_in_a = interior_count(bax, bay, a_rings, a_edges)
+    awx, awy = witness(aax, aay, abx, aby)
+    bwx, bwy = witness(bax, bay, bbx, bby)
+    a_on, a_int, a_out = classify(awx, awy, b_rings, bax, bay, bbx, bby)
+    b_on, b_int, b_out = classify(bwx, bwy, a_rings, aax, aay, abx, aby)
 
-    av = set(zip(aax.tolist(), aay.tolist()))
-    bv = set(zip(bax.tolist(), bay.tolist()))
-    if av == bv:
+    # representation-independent equality: every witness of each
+    # boundary lies ON the other boundary (extra collinear vertices are
+    # immaterial; a hole ring's witnesses would fall off the boundary)
+    if a_on.all() and b_on.all():
         return "equals"
-    if a_in_b and not b_in_a:
+    if a_int.any() and a_out.any():
+        return "overlaps"  # A straddles B via shared-boundary contact
+    if b_int.any() and b_out.any():
+        return "overlaps"
+    if a_int.any() and b_int.any():
+        return "overlaps"
+    if a_int.any():
         return "within"
-    if b_in_a and not a_in_b:
+    if b_int.any():
         return "contains"
-    if a_in_b and b_in_a:
-        return "overlaps"  # interleaved without proper crossing (rare)
+    # no interior evidence: boundary contact decides touches/disjoint
+    contact = (a_on.any() or b_on.any())
     return "touches" if contact else "disjoint"
 
 

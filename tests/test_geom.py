@@ -179,3 +179,37 @@ class TestPolygonRelate:
             tile_poly = [self.sq(tx0, ty0, tx0 + w, ty0 + h)]
             got = rel(tile_poly, q)
             assert got == row["relation"], (row, got)
+
+    def test_boundary_aligned_cases_from_review(self):
+        """Cases where every VERTEX lies on the other's boundary — the
+        vertex-only interior vote misclassified all three as 'touches'."""
+        from geomesa_ray.geom.kernels import Polygon
+        from geomesa_ray.geom.kernels import polygon_relate as rel
+
+        big = [self.sq(0, 0, 10, 10)]
+        assert rel([self.sq(0, 0, 5, 10)], big) == "within"
+        assert rel(big, [self.sq(0, 0, 5, 10)]) == "contains"
+        assert rel(big, [self.sq(5, 0, 15, 10)]) == "overlaps"
+        # same square with an extra collinear vertex is still EQUAL
+        redundant = [Polygon(np.array([0.0, 5, 10, 10, 0]),
+                             np.array([0.0, 0, 0, 10, 10]))]
+        assert rel(big, redundant) == "equals"
+        assert rel(redundant, big) == "equals"
+
+    def test_grid_aligned_tile_agreement(self):
+        """The aligned query box the review showed disagreeing."""
+        from geomesa_ray.geom.kernels import polygon_relate as rel
+        from geomesa_ray.pipelines.tiles import box_tile_relations
+        from geomesa_ray.curve.zorder import z2_decode
+
+        L0, L1, A0, A1 = -45.0, -11.25, -22.5, -11.25  # fully aligned
+        t = box_tile_relations(L0, L1, A0, A1, level=4)
+        q = [self.sq(L0, A0, L1, A1)]
+        n = 1 << 4
+        w, h = 360.0 / n, 180.0 / n
+        for row in t.to_pylist():
+            ix, iy = z2_decode(np.uint64(row["tile"]))
+            tx0 = -180.0 + float(ix) * w
+            ty0 = -90.0 + float(iy) * h
+            tile_poly = [self.sq(tx0, ty0, tx0 + w, ty0 + h)]
+            assert rel(tile_poly, q) == row["relation"], row
