@@ -314,3 +314,61 @@ class TestZdiv:
             _, big = zdiv(zval, rmin, rmax, dims=2, total_bits=bits)
             via_ranges = seek_skip(lo, hi, zval + 1)
             assert big == via_ranges
+
+
+class TestXZ2:
+    """XZ2 extent index: candidate superset guarantee + real pruning."""
+
+    def test_candidates_superset_of_intersecting(self):
+        from geomesa_ray.curve.xz2 import (
+            xz2_candidate_mask,
+            xz2_encode,
+            xz2_query_ranges,
+        )
+
+        rng = np.random.default_rng(11)
+        n = 5000
+        cx = rng.uniform(-179, 179, n)
+        cy = rng.uniform(-89, 89, n)
+        hw = rng.uniform(0.01, 12.0, n)
+        hh = rng.uniform(0.01, 8.0, n)
+        lon_min, lon_max = cx - hw, cx + hw
+        lat_min, lat_max = cy - hh, cy + hh
+        level, cell = xz2_encode(lon_min, lon_max, lat_min, lat_max)
+        for _ in range(8):
+            q0 = rng.uniform(-170, 150)
+            q2 = rng.uniform(-80, 60)
+            q1 = q0 + rng.uniform(1, 30)
+            q3 = q2 + rng.uniform(1, 20)
+            plan = xz2_query_ranges(q0, q1, q2, q3)
+            coarse = xz2_candidate_mask(level, cell, plan)
+            truth = ((lon_min <= q1) & (q0 <= lon_max)
+                     & (lat_min <= q3) & (q2 <= lat_max))
+            missed = truth & ~coarse
+            assert not missed.any(), f"lost {missed.sum()} true hits"
+
+    def test_pruning_is_effective(self):
+        from geomesa_ray.curve.xz2 import (
+            xz2_candidate_mask,
+            xz2_encode,
+            xz2_query_ranges,
+        )
+
+        rng = np.random.default_rng(12)
+        n = 5000
+        cx = rng.uniform(-179, 179, n)
+        cy = rng.uniform(-89, 89, n)
+        lon_min, lon_max = cx - 0.5, cx + 0.5
+        lat_min, lat_max = cy - 0.5, cy + 0.5
+        level, cell = xz2_encode(lon_min, lon_max, lat_min, lat_max)
+        plan = xz2_query_ranges(-10.0, 25.0, -5.0, 30.0)
+        coarse = xz2_candidate_mask(level, cell, plan)
+        # a small query against small global extents must prune hard
+        assert coarse.mean() < 0.2
+
+    def test_level_monotone_in_size(self):
+        from geomesa_ray.curve.xz2 import xz2_level
+
+        lv = xz2_level(np.array([360.0, 22.5, 0.01]),
+                       np.array([180.0, 11.25, 0.01]))
+        assert lv[0] == 0 and lv[1] == 4 and lv[2] == 12  # capped
