@@ -76,8 +76,11 @@ def xz2_query_ranges(lon0: float, lon1: float, lat0: float, lat1: float,
                                 max(lat0 - sh, -90.0), lv, lv)
         ix1, iy1 = lonlat_to_xy(min(lon1, 180.0 - 1e-12),
                                 min(lat1, 90.0 - 1e-12), lv, lv)
-        ranges = zranges_2d(int(ix0), int(ix1), int(iy0), int(iy1), lv)
-        out[lv] = merge_ranges(ranges)
+        ranges = merge_ranges(
+            zranges_2d(int(ix0), int(ix1), int(iy0), int(iy1), lv))
+        # pre-built arrays: the plan is probed by every map_batches call
+        out[lv] = (np.array([r[0] for r in ranges], dtype=np.int64),
+                   np.array([r[1] for r in ranges], dtype=np.int64))
     return out
 
 
@@ -88,10 +91,9 @@ def xz2_candidate_mask(level: np.ndarray, cell: np.ndarray,
     keep = np.zeros(len(level), dtype=bool)
     for lv in np.unique(level):
         rngs = ranges_by_level.get(int(lv))
-        if not rngs:
+        if rngs is None or len(rngs[0]) == 0:
             continue
-        los = np.array([r[0] for r in rngs], dtype=np.int64)
-        his = np.array([r[1] for r in rngs], dtype=np.int64)
+        los, his = rngs
         m = level == lv
         c = cell[m]
         idx = np.searchsorted(los, c, side="right") - 1

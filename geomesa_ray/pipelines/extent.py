@@ -26,7 +26,6 @@ from geomesa_ray.curve.xz2 import (
     xz2_query_ranges,
 )
 from geomesa_ray.sources.io import read_images
-from geomesa_ray.stages.derive import derive_geometry
 
 
 def derive_extents(batch: pa.Table) -> pa.Table:
@@ -34,10 +33,11 @@ def derive_extents(batch: pa.Table) -> pa.Table:
     hw = ((phash >> 16) & 255) / 255.0 * 2.0 + 0.05
     hh = ((phash >> 24) & 255) / 255.0 * 1.0 + 0.05
     """
-    b = derive_geometry(batch)
-    ph = b.column("phash").to_numpy(zero_copy_only=False)
-    lon = b.column("lon").to_numpy(zero_copy_only=False)
-    lat = b.column("lat").to_numpy(zero_copy_only=False)
+    from geomesa_ray.stages.derive import phash_to_lonlat
+
+    ph = batch.column("phash").to_numpy(zero_copy_only=False)
+    lon, lat = phash_to_lonlat(ph)  # no dtg columns — extents don't use them
+    b = batch
     hw = ((ph >> np.int64(16)) & np.int64(255)).astype(np.float64) \
         / 255.0 * 2.0 + 0.05
     hh = ((ph >> np.int64(24)) & np.int64(255)).astype(np.float64) \
