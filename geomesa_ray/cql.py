@@ -50,11 +50,13 @@ _DWITHIN_RE = re.compile(
 
 @dataclass
 class CqlQuery:
-    """Parsed CQL: planner predicates + optional geometry dispatches."""
+    """Parsed CQL: planner predicates + geometry dispatch lists (a
+    conjunction may carry several INTERSECTS / DWITHIN clauses — every
+    one participates)."""
 
     spec: QuerySpec = field(default_factory=QuerySpec)
-    geometry_wkt: str | None = None      # INTERSECTS target
-    dwithin: tuple | None = None         # (lon, lat, dist_m)
+    geometry_wkts: list = field(default_factory=list)  # INTERSECTS targets
+    dwithins: list = field(default_factory=list)       # (lon, lat, dist_m)
 
 
 def _parse_iso(s: str) -> int:
@@ -68,10 +70,11 @@ def _parse_iso(s: str) -> int:
 
 
 def _split_and(expr: str) -> list[str]:
-    """Split on top-level AND (parens- and quote-aware)."""
+    """Split on top-level AND (parens- and quote-aware). The AND probe
+    slices the ORIGINAL string (upper() can change string length for
+    characters like 'ß', which would misalign clause boundaries)."""
     parts, depth, start, i = [], 0, 0, 0
     in_str = False
-    up = expr.upper()
     while i < len(expr):
         ch = expr[i]
         if in_str:
@@ -83,7 +86,7 @@ def _split_and(expr: str) -> list[str]:
             depth += 1
         elif ch == ")":
             depth -= 1
-        elif (depth == 0 and up.startswith(" AND ", i)):
+        elif depth == 0 and expr[i:i + 5].upper() == " AND ":
             parts.append(expr[start:i])
             i += 4
             start = i + 1
@@ -92,37 +95,52 @@ def _split_and(expr: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+def _and_interval(cur: tuple | None, t0, t1) -> tuple:
+    """Conjoin time clauses by INTERSECTION (t0 = max, t1 = min) — a
+    later clause must never widen an earlier one."""
+    c0, c1 = cur or (None, None)
+    n0 = c0 if t0 is None else (t0 if c0 is None else max(c0, t0))
+    n1 = c1 if t1 is None else (t1 if c1 is None else min(c1, t1))
+    return (n0, n1)
+
+
 def parse_cql(expr: str) -> CqlQuery:
     out = CqlQuery()
     for clause in _split_and(expr.strip()):
         m = _BBOX_RE.match(clause)
         if m:
             x0, y0, x1, y1 = (float(m.group(i)) for i in range(1, 5))
-            out.spec.bbox = (x0, x1, y0, y1)
+            if out.spec.bbox is None:
+                out.spec.bbox = (x0, x1, y0, y1)
+            else:  # two BBOX clauses conjoin by intersection
+                b = out.spec.bbox
+                out.spec.bbox = (max(b[0], x0), min(b[1], x1),
+                                 max(b[2], y0), min(b[3], y1))
             continue
         m = _DURING_RE.match(clause)
         if m:
-            out.spec.interval_s = (_parse_iso(m.group(1)),
-                                   _parse_iso(m.group(2)))
+            out.spec.interval_s = _and_interval(
+                out.spec.interval_s, _parse_iso(m.group(1)),
+                _parse_iso(m.group(2)))
             continue
         m = _AFTER_RE.match(clause)
         if m:
-            t1 = out.spec.interval_s[1] if out.spec.interval_s else None
-            out.spec.interval_s = (_parse_iso(m.group(1)), t1)
+            out.spec.interval_s = _and_interval(
+                out.spec.interval_s, _parse_iso(m.group(1)), None)
             continue
         m = _BEFORE_RE.match(clause)
         if m:
-            t0 = out.spec.interval_s[0] if out.spec.interval_s else None
-            out.spec.interval_s = (t0, _parse_iso(m.group(1)))
+            out.spec.interval_s = _and_interval(
+                out.spec.interval_s, None, _parse_iso(m.group(1)))
             continue
         m = _DWITHIN_RE.match(clause)
         if m:
-            out.dwithin = (float(m.group(1)), float(m.group(2)),
-                           float(m.group(3)))
+            out.dwithins.append((float(m.group(1)), float(m.group(2)),
+                                 float(m.group(3))))
             continue
         m = _INTERSECTS_RE.match(clause)
         if m:
-            out.geometry_wkt = m.group(1).strip()
+            out.geometry_wkts.append(m.group(1).strip())
             continue
         m = _IN_RE.match(clause)
         if m:

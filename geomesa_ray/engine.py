@@ -76,67 +76,66 @@ class GeoMesaRayEngine:
         INTERSECTS dispatches the PIP join against the WKT geometry;
         DWITHIN dispatches the proximity join. See geomesa_ray.cql for
         the supported grammar."""
+        import ray as _ray
+
         from geomesa_ray.cql import parse_cql
-        from geomesa_ray.sources.fixtures import DTG_BASE_S, DTG_SPAN_S
+        from geomesa_ray.util import id_membership_mask, resolve_broadcast
 
         q = parse_cql(expr)
         spec = q.spec
-        # is there anything beyond the geometry dispatch to AND in?
         rest = (spec.ids is not None or spec.id_sets is not None
                 or bool(spec.attr_eq) or spec.bbox is not None
                 or spec.interval_s is not None)
 
-        def and_rest(geo_out: ray.data.Dataset) -> ray.data.Dataset:
-            """Conjoin the geometry result with the remaining predicates
-            by an id semi-join against the planner's result — every
-            parsed clause participates, none silently dropped."""
-            if not rest:
-                return geo_out
-            import ray as _ray
-
-            from geomesa_ray.util import id_membership_mask, resolve_broadcast
-
-            other = self.query(spec).select_columns(["image_id"])
-            ids = np.sort(np.asarray(
-                [r["image_id"] for r in other.take_all()], dtype=object))
-            ref = _ray.put(ids)
-
-            def keep(batch: pa.Table) -> pa.Table:
-                members = resolve_broadcast(ref)
-                m = id_membership_mask(batch.column("image_id"), members)
-                return batch.filter(pa.array(m))
-
-            return geo_out.map_batches(keep, batch_format="pyarrow")
-
-        if q.dwithin is not None:
-            lon, lat, dist_m = q.dwithin
-            out = and_rest(self.proximity(
-                np.array([lon]), np.array([lat]), ["cql"], dist_m)
-                .select_columns(["image_id"]))
-            return out.limit(limit) if limit is not None else out
-        if q.geometry_wkt is not None:
+        # every parsed conjunct becomes one id-producing branch; the
+        # result is the INTERSECTION of all branches (semi-joins against
+        # the first branch's stream) — nothing silently dropped
+        def intersects_ds(wkt: str) -> ray.data.Dataset:
             from geomesa_ray.geom.wkt import parse_wkt_geometry
 
-            kind, _ = parse_wkt_geometry(q.geometry_wkt)
-            # open-ended time clauses fill the missing side; the interval
-            # also still participates via and_rest with the full spec
-            t0, t1 = spec.interval_s or (None, None)
-            t0 = DTG_BASE_S if t0 is None else t0
-            t1 = DTG_BASE_S + DTG_SPAN_S if t1 is None else t1
+            kind, _ = parse_wkt_geometry(wkt)
+            # time participates via the planner branch; the region's own
+            # window is wide open (0 .. ~year 141000), NOT tied to any
+            # corpus constants
+            t0, t1 = 0, 1 << 42
             regions = pa.table({
                 "region_id": pa.array(["cql"], pa.string()),
                 "kind": pa.array([kind], pa.string()),
                 "lon_min": pa.array([0.0]), "lon_max": pa.array([0.0]),
                 "lat_min": pa.array([0.0]), "lat_max": pa.array([0.0]),
-                "wkt": pa.array([q.geometry_wkt], pa.string()),
-                "t_start": pa.array([int(t0) * 1_000_000],
-                                    pa.timestamp("us")),
-                "t_end": pa.array([int(t1) * 1_000_000], pa.timestamp("us")),
+                "wkt": pa.array([wkt], pa.string()),
+                "t_start": pa.array([t0 * 1_000_000], pa.timestamp("us")),
+                "t_end": pa.array([t1 * 1_000_000], pa.timestamp("us")),
             })
-            out = and_rest(self.pip_join(regions, kinds=(kind,))
-                           .select_columns(["image_id"]))
-            return out.limit(limit) if limit is not None else out
-        return self.query(spec, limit=limit)
+            return self.pip_join(regions, kinds=(kind,)) \
+                .select_columns(["image_id"])
+
+        branches = [lambda w=w: intersects_ds(w) for w in q.geometry_wkts]
+        branches += [
+            lambda d=d: self.proximity(np.array([d[0]]), np.array([d[1]]),
+                                       ["cql"], d[2])
+            .select_columns(["image_id"])
+            for d in q.dwithins
+        ]
+        if not branches:
+            return self.query(spec, limit=limit)
+        if rest:
+            branches.append(
+                lambda: self.query(spec).select_columns(["image_id"]))
+
+        out = branches[0]()
+        for br in branches[1:]:
+            ids = np.sort(np.asarray(
+                [r["image_id"] for r in br().take_all()], dtype=object))
+            ref = _ray.put(ids)
+
+            def keep(batch: pa.Table, _ref=ref) -> pa.Table:
+                members = resolve_broadcast(_ref)
+                m = id_membership_mask(batch.column("image_id"), members)
+                return batch.filter(pa.array(m))
+
+            out = out.map_batches(keep, batch_format="pyarrow")
+        return out.limit(limit) if limit is not None else out
 
     def _to_spatial_query(self, spec: QuerySpec) -> SpatialQuery:
         bbox = spec.bbox or (-180.0, 180.0, -90.0, 90.0)

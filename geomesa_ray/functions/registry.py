@@ -380,6 +380,9 @@ def _map_value(batch, a, key):
     row_of = np.searchsorted(offs[1:], hit_pos, side="right")
     out_idx[row_of] = hit_pos  # last match per row wins (dup keys rare)
     valid = out_idx >= 0
+    if len(items) == 0 or not valid.any():
+        # a batch of only null/empty maps: no entries to take from
+        return pa.array([None] * n, items.type)
     taken = items.take(pa.array(np.where(valid, out_idx, 0)))
     return pc.if_else(pa.array(valid), taken,
                       pa.scalar(None, items.type))
@@ -387,15 +390,20 @@ def _map_value(batch, a, key):
 
 @register("isoDateToMillis")
 def _iso_date_to_millis(batch, a):
-    """ISO-8601 date/datetime string -> epoch millis (UTC), vectorized
-    via Arrow strptime/ cast (the reference's date-parser family,
-    Transformers.scala date functions)."""
+    """ISO-8601 date OR datetime string -> epoch millis (UTC),
+    vectorized: date-only values are padded to midnight, then one
+    strptime pass; unparseable rows null out (converter convention)."""
     c = _col(batch, a)
-    ts = c.cast(pa.timestamp("ms")) if not pa.types.is_string(c.type) else \
-        pc.strptime(pc.utf8_slice_codeunits(c, 0, 19).combine_chunks()
-                    if isinstance(c, pa.ChunkedArray) else
-                    pc.utf8_slice_codeunits(c, 0, 19),
-                    format="%Y-%m-%dT%H:%M:%S", unit="ms")
+    if not pa.types.is_string(c.type):
+        return c.cast(pa.timestamp("ms")).cast(pa.int64())
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    pad = pa.array(["T00:00:00"] * len(c), pa.string())
+    padded = pc.if_else(pc.equal(pc.utf8_length(c), 10),
+                        pc.binary_join_element_wise(c, pad, ""), c)
+    ts = pc.strptime(pc.utf8_slice_codeunits(padded, 0, 19),
+                     format="%Y-%m-%dT%H:%M:%S", unit="ms",
+                     error_is_null=True)
     return ts.cast(pa.int64())
 
 

@@ -92,12 +92,7 @@ def read_shp(path: str) -> pa.Table:
             wkt = f"LINESTRING ({coords})"
             kind = "line"
         else:
-            ring_txt = []
-            for r in rings:
-                cs = ", ".join(f"{x:.10g} {y:.10g}" for x, y in r)
-                ring_txt.append(f"({cs})")
-            wkt = "POLYGON (" + ", ".join(ring_txt) + ")"
-            kind = "poly"
+            wkt, kind = _rings_to_wkt(rings)
         recs.append(recnum)
         kinds.append(kind)
         lons.append(float("nan"))
@@ -110,6 +105,51 @@ def read_shp(path: str) -> pa.Table:
         "lat": pa.array(lats, pa.float64()),
         "wkt": pa.array(wkts, pa.string()),
     })
+
+
+def _signed_area(r: np.ndarray) -> float:
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def _point_in_ring(px: float, py: float, r: np.ndarray) -> bool:
+    x, y = r[:, 0], r[:, 1]
+    xb, yb = np.roll(x, -1), np.roll(y, -1)
+    crosses = (y > py) != (yb > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x + (py - y) * (xb - x) / (yb - y)
+    return bool((crosses & (px < xint)).sum() % 2)
+
+
+def _rings_to_wkt(rings: list) -> tuple[str, str]:
+    """Polygon record rings -> engine WKT. The ESRI spec orders rings by
+    WINDING only (outer = clockwise, holes = counter-clockwise) — ring 0
+    need not be the shell, and several outer rings are legal. Shells are
+    detected by signed area; each hole is assigned to the outer ring
+    containing its first vertex; multiple shells emit MULTIPOLYGON."""
+    rings = [np.asarray(r, dtype=np.float64) for r in rings]
+    areas = [_signed_area(r) for r in rings]
+    outers = [i for i, a in enumerate(areas) if a < 0]  # CW in ESRI
+    holes = [i for i, a in enumerate(areas) if a >= 0]
+    if not outers:  # mis-wound file: keep record order as-is
+        outers, holes = [0], list(range(1, len(rings)))
+
+    def ring_txt(r):
+        return "(" + ", ".join(f"{x:.10g} {y:.10g}" for x, y in r) + ")"
+
+    groups = {i: [rings[i]] for i in outers}
+    for h in holes:
+        px, py = rings[h][0]
+        owner = next((o for o in outers
+                      if _point_in_ring(px, py, rings[o])), outers[0])
+        groups[owner].append(rings[h])
+    if len(outers) == 1:
+        parts = groups[outers[0]]
+        return ("POLYGON (" + ", ".join(ring_txt(r) for r in parts) + ")",
+                "poly")
+    polys = ["(" + ", ".join(ring_txt(r) for r in groups[o]) + ")"
+             for o in outers]
+    return "MULTIPOLYGON (" + ", ".join(polys) + ")", "multipoly"
 
 
 def read_dbf(path: str) -> pa.Table:

@@ -31,9 +31,21 @@ class TestParse:
 
     def test_intersects_and_dwithin(self):
         q = parse_cql("INTERSECTS(geom, POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)))")
-        assert q.geometry_wkt.startswith("POLYGON")
+        assert q.geometry_wkts[0].startswith("POLYGON")
         q2 = parse_cql("DWITHIN(geom, POINT(10.0 45.0), 250000, meters)")
-        assert q2.dwithin == (10.0, 45.0, 250000.0)
+        assert q2.dwithins == [(10.0, 45.0, 250000.0)]
+
+    def test_conjoined_time_clauses_intersect(self):
+        """A later time clause must NARROW, never widen (review case)."""
+        q = parse_cql("dtg AFTER 2024-01-05T00:00:00 AND "
+                      "dtg DURING 2024-01-01T00:00:00/2024-01-10T00:00:00")
+        assert q.spec.interval_s == (1704412800, 1704844800)  # Jan 5..10
+
+    def test_intersects_plus_dwithin_both_apply(self):
+        q = parse_cql(
+            "INTERSECTS(geom, POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))) AND "
+            "DWITHIN(geom, POINT(1 1), 1000, meters)")
+        assert len(q.geometry_wkts) == 1 and len(q.dwithins) == 1
 
     def test_unsupported_clause_raises(self):
         with pytest.raises(ValueError):
@@ -124,3 +136,23 @@ class TestCqlConjuncts:
             "DWITHIN(geom, POINT(10.0 45.0), 1000000, meters) AND "
             f"image_id IN ('{pick}', 'img_not_there')").take_all()}
         assert got == {pick}  # the id conjunct prunes
+
+    def test_intersects_and_dwithin_execution_conjoins(self, ray_session,
+                                                       tiny_fixtures):
+        """Both geometry predicates must apply (review: the DWITHIN
+        branch used to return early, dropping INTERSECTS)."""
+        from geomesa_ray.engine import GeoMesaRayEngine
+
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        # the polygon's left edge cuts through the DWITHIN circle, so
+        # neither predicate subsumes the other
+        wkt = "POLYGON ((10 40, 25 40, 25 55, 10 55, 10 40))"
+        inter = {r["image_id"] for r in
+                 eng.cql(f"INTERSECTS(geom, {wkt})").take_all()}
+        near = {r["image_id"] for r in eng.cql(
+            "DWITHIN(geom, POINT(10.0 45.0), 1000000, meters)").take_all()}
+        both = {r["image_id"] for r in eng.cql(
+            f"INTERSECTS(geom, {wkt}) AND "
+            "DWITHIN(geom, POINT(10.0 45.0), 1000000, meters)").take_all()}
+        assert both == (inter & near)
+        assert both < near and both < inter  # genuinely conjoined

@@ -274,3 +274,39 @@ class TestParseMapMalformed:
         assert enc.column("b").to_pylist() == ["eA==", None]
         dec = transform_batch(enc, {"r": ("base64Decode", "col:b")})
         assert dec.column("r").to_pylist() == [b"x", None]
+
+
+class TestShapefileRingOrder:
+    """ESRI orders rings by WINDING only: outer=CW, hole=CCW; ring 0
+    need not be the shell and multiple outer rings are legal."""
+
+    def test_hole_listed_first(self, tmp_path):
+        from geomesa_ray.geom.wkt import parse_wkt_geometry
+        from geomesa_ray.sources.shapefile import read_shp, write_shapefile
+
+        # CW shell (ESRI outer), CCW hole — listed HOLE FIRST
+        shell_cw = [(-30.0, -20.0), (-30.0, 20.0), (10.0, 20.0),
+                    (10.0, -20.0), (-30.0, -20.0)]
+        hole_ccw = [(-20.0, -10.0), (0.0, -10.0), (0.0, 10.0),
+                    (-20.0, 10.0), (-20.0, -10.0)]
+        p = str(tmp_path / "holefirst.shp")
+        write_shapefile(p, "poly", [[hole_ccw, shell_cw]])
+        t = read_shp(p)
+        kind, parts = parse_wkt_geometry(t.column("wkt")[0].as_py())
+        assert kind == "poly" and len(parts[0]) == 2
+        shell = parts[0][0]
+        # ring 0 of the parsed WKT must be the SHELL (bbox spans it)
+        assert shell.bbox == (-30.0, 10.0, -20.0, 20.0)
+
+    def test_two_outer_rings_become_multipolygon(self, tmp_path):
+        from geomesa_ray.geom.wkt import parse_wkt_geometry
+        from geomesa_ray.sources.shapefile import read_shp, write_shapefile
+
+        a_cw = [(0.0, 0.0), (0.0, 5.0), (5.0, 5.0), (5.0, 0.0), (0.0, 0.0)]
+        b_cw = [(20.0, 0.0), (20.0, 5.0), (25.0, 5.0), (25.0, 0.0),
+                (20.0, 0.0)]
+        p = str(tmp_path / "twoouter.shp")
+        write_shapefile(p, "poly", [[a_cw, b_cw]])
+        t = read_shp(p)
+        kind, parts = parse_wkt_geometry(t.column("wkt")[0].as_py())
+        assert kind == "multipoly" and len(parts) == 2
