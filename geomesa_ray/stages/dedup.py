@@ -287,8 +287,13 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     # aggregator actors; sized to the cluster so two chained joins never
     # starve the map tasks (32 aggregators deadlock a 4-cpu session).
     if join_partitions is None:
+        # each partition spawns an aggregator actor per join; at sandbox
+        # scale actor spawn dominates (measured: 2 partitions 2.6s vs 16
+        # partitions 3.3s at 32 cpus on sf0.1), so default LOW from the
+        # cluster size — large corpora should pass join_partitions
+        # explicitly (it bounds per-aggregator memory)
         cpus = int(ray.cluster_resources().get("CPU", 4))
-        join_partitions = max(2, cpus // 4)
+        join_partitions = max(2, cpus // 8)
 
     def tokenize_sh(batch: pa.Table) -> pa.Table:
         th, offs = _ws_token_hashes(batch.column("text"))
