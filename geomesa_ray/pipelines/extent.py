@@ -49,6 +49,125 @@ def derive_extents(batch: pa.Table) -> pa.Table:
     })
 
 
+XZ2_PREFIX_LEVEL = 3  # partition granularity: <= 4^3 cells per level
+
+
+def _xz2_partition_ids(level: np.ndarray, cell: np.ndarray,
+                       prefix_level: int = XZ2_PREFIX_LEVEL) -> np.ndarray:
+    """Composite partition id = level * 4^prefix + anchor-cell PREFIX —
+    the XZ analog of the point store's bucket prefix; ids are a pure
+    function of the data, never of the parallelism."""
+    p = np.minimum(level, prefix_level)
+    prefix = cell >> (2 * (level - p)).astype(np.int64)
+    return level * np.int64(4 ** prefix_level) + prefix
+
+
+def write_extent_store(fixture_dir: str, out_dir: str,
+                       max_level: int = MAX_XZ2_LEVEL,
+                       prefix_level: int = XZ2_PREFIX_LEVEL) -> dict:
+    """Materialize the extent table into an XZ2-partitioned store (the
+    non-point analog of ``state.store.write_store``): ONE co-locating
+    ``groupby(partition)`` shuffle, each partition sorted by (level,
+    cell) and committed with a manifest (resume/skew machinery shared
+    with the point store)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from geomesa_ray.state.manifest import (
+        completed_partitions,
+        skew_stats,
+        write_manifest,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        e = derive_extents(batch)
+        level, cell = xz2_encode(
+            e.column("lon_min").to_numpy(zero_copy_only=False),
+            e.column("lon_max").to_numpy(zero_copy_only=False),
+            e.column("lat_min").to_numpy(zero_copy_only=False),
+            e.column("lat_max").to_numpy(zero_copy_only=False), max_level)
+        e = e.append_column("xz2_level", pa.array(level))
+        e = e.append_column("xz2_cell", pa.array(cell))
+        return e.append_column(
+            "part", pa.array(_xz2_partition_ids(level, cell, prefix_level)))
+
+    def write_part(group: pa.Table) -> pa.Table:
+        pid = int(group.column("part")[0].as_py())
+        g = group.sort_by([("xz2_level", "ascending"),
+                           ("xz2_cell", "ascending")])
+        pdir = os.path.join(out_dir, f"part={pid}")
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, ".data.parquet.tmp")
+        pq.write_table(g, tmp, row_group_size=65536)
+        os.replace(tmp, os.path.join(pdir, "data.parquet"))
+        write_manifest(out_dir, pid, {"part": pid, "rows": g.num_rows})
+        return pa.table({"part": pa.array([pid], pa.int64()),
+                         "rows": pa.array([g.num_rows], pa.int64())})
+
+    n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    ds = read_images(fixture_dir, columns=["image_id", "phash"],
+                     override_num_blocks=n_blocks)
+    ds.map_batches(keyed, batch_format="pyarrow") \
+        .groupby("part").map_groups(write_part, batch_format="pyarrow") \
+        .count()
+    return skew_stats(completed_partitions(out_dir))
+
+
+def read_extent_store(out_dir: str, qbox,
+                      max_level: int = MAX_XZ2_LEVEL,
+                      prefix_level: int = XZ2_PREFIX_LEVEL):
+    """Pruned extent query over the store: only partitions whose
+    level+prefix can hold a candidate anchor are read, then the exact
+    overlap refine — the XZ2 analog of the point store's pruned read.
+    Returns (dataset of matching image_ids, partitions_read, total)."""
+    import os
+
+    import ray
+
+    from geomesa_ray.state.manifest import completed_partitions
+
+    q0, q1, q2, q3 = qbox
+    plan = xz2_query_ranges(q0, q1, q2, q3, max_level)
+    want = set()
+    for lv, (los, his) in plan.items():
+        p = min(lv, prefix_level)
+        shift = 2 * (lv - p)
+        for lo, hi in zip(los.tolist(), his.tolist()):
+            for pref in range(lo >> shift, (hi >> shift) + 1):
+                want.add(lv * (4 ** prefix_level) + pref)
+    have = {int(b) for b in completed_partitions(out_dir)}
+    read = sorted(want & have)
+    if not read:
+        return (ray.data.from_arrow(
+            pa.table({"image_id": pa.array([], pa.string())})), 0, len(have))
+    paths = [os.path.join(out_dir, f"part={b}", "data.parquet")
+             for b in read]
+
+    def refine(batch: pa.Table) -> pa.Table:
+        from geomesa_ray.curve.xz2 import xz2_candidate_mask
+
+        level = batch.column("xz2_level").to_numpy(zero_copy_only=False)
+        cell = batch.column("xz2_cell").to_numpy(zero_copy_only=False)
+        coarse = xz2_candidate_mask(level, cell, plan)
+        lon_min = batch.column("lon_min").to_numpy(zero_copy_only=False)
+        lon_max = batch.column("lon_max").to_numpy(zero_copy_only=False)
+        lat_min = batch.column("lat_min").to_numpy(zero_copy_only=False)
+        lat_max = batch.column("lat_max").to_numpy(zero_copy_only=False)
+        exact = ((lon_min <= q1) & (q0 <= lon_max)
+                 & (lat_min <= q3) & (q2 <= lat_max))
+        keep = coarse & exact
+        return pa.table({
+            "image_id": batch.column("image_id").filter(pa.array(keep))})
+
+    ds = ray.data.read_parquet(paths).map_batches(
+        refine, batch_format="pyarrow", batch_size=65536)
+    return ds, len(read), len(have)
+
+
 def xz2_extent_query(fixture_dir: str, qbox=(-10.0, 25.0, -5.0, 30.0),
                      max_level: int = MAX_XZ2_LEVEL) -> ray.data.Dataset:
     """image_ids whose ENVELOPE intersects the query box (closed

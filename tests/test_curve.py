@@ -372,3 +372,38 @@ class TestXZ2:
         lv = xz2_level(np.array([360.0, 22.5, 0.01]),
                        np.array([180.0, 11.25, 0.01]))
         assert lv[0] == 0 and lv[1] == 4 and lv[2] == 12  # capped
+
+
+class TestXZ2Store:
+    def test_store_query_matches_scan_and_prunes(self, ray_session,
+                                                 tiny_fixtures, tmp_path):
+        from geomesa_ray.pipelines.extent import (
+            read_extent_store,
+            write_extent_store,
+            xz2_extent_query,
+        )
+
+        store = str(tmp_path / "xz2store")
+        stats = write_extent_store(tiny_fixtures, store)
+        assert stats["rows"] == 6000 and stats["partitions"] > 1
+        qbox = (-10.0, 25.0, -5.0, 30.0)
+        ds, n_read, n_total = read_extent_store(store, qbox)
+        got = {r["image_id"] for r in ds.take_all()}
+        want = {r["image_id"]
+                for r in xz2_extent_query(tiny_fixtures, qbox).take_all()}
+        assert got == want and got
+        assert 0 < n_read < n_total  # genuinely pruned
+
+    def test_partition_layout_is_parallelism_independent(self, ray_session,
+                                                         tiny_fixtures,
+                                                         tmp_path):
+        from geomesa_ray.pipelines.extent import write_extent_store
+        from geomesa_ray.state.manifest import completed_partitions
+
+        a = str(tmp_path / "xa")
+        b = str(tmp_path / "xb")
+        write_extent_store(tiny_fixtures, a)
+        write_extent_store(tiny_fixtures, b)
+        ma = {k: v["rows"] for k, v in completed_partitions(a).items()}
+        mb = {k: v["rows"] for k, v in completed_partitions(b).items()}
+        assert ma == mb
