@@ -64,24 +64,47 @@ def _xz2_partition_ids(level: np.ndarray, cell: np.ndarray,
 
 def write_extent_store(fixture_dir: str, out_dir: str,
                        max_level: int = MAX_XZ2_LEVEL,
-                       prefix_level: int = XZ2_PREFIX_LEVEL) -> dict:
+                       prefix_level: int = XZ2_PREFIX_LEVEL,
+                       override_num_blocks: int | None = None) -> dict:
     """Materialize the extent table into an XZ2-partitioned store (the
     non-point analog of ``state.store.write_store``): ONE co-locating
-    ``groupby(partition)`` shuffle, each partition sorted by (level,
-    cell) and committed with a manifest (resume/skew machinery shared
-    with the point store)."""
+    ``groupby(partition)`` shuffle, each partition TOTALLY ordered by
+    (level, cell, image_id) — byte-deterministic rewrites — and
+    committed through the shared partition protocol. The scheme is
+    meta-guarded and committed partitions are filtered out BEFORE the
+    shuffle, same resume semantics as the point store."""
+    import json
     import os
+    import tempfile
 
-    import pyarrow.parquet as pq
     import ray
 
     from geomesa_ray.state.manifest import (
+        commit_partition,
         completed_partitions,
         skew_stats,
-        write_manifest,
     )
 
     os.makedirs(out_dir, exist_ok=True)
+    done = {int(b) for b in completed_partitions(out_dir)}
+    scheme = {"kind": "xz2_extent", "max_level": max_level,
+              "prefix_level": prefix_level}
+    meta_path = os.path.join(out_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prev = json.load(f)
+        if prev != scheme:
+            raise ValueError(
+                f"resume with different extent-store scheme {scheme} vs "
+                f"committed {prev}; use the original parameters or a "
+                "fresh output dir")
+    elif done:
+        raise ValueError(f"{out_dir} has partitions but no meta.json")
+    else:
+        fd, tmp = tempfile.mkstemp(dir=out_dir, prefix=".meta_")
+        with os.fdopen(fd, "w") as f:
+            json.dump(scheme, f)
+        os.replace(tmp, meta_path)
 
     def keyed(batch: pa.Table) -> pa.Table:
         e = derive_extents(batch)
@@ -92,23 +115,27 @@ def write_extent_store(fixture_dir: str, out_dir: str,
             e.column("lat_max").to_numpy(zero_copy_only=False), max_level)
         e = e.append_column("xz2_level", pa.array(level))
         e = e.append_column("xz2_cell", pa.array(cell))
-        return e.append_column(
+        e = e.append_column(
             "part", pa.array(_xz2_partition_ids(level, cell, prefix_level)))
+        if done:
+            import pyarrow.compute as pc
+
+            m = pc.is_in(e.column("part"),
+                         value_set=pa.array(sorted(done), pa.int64()))
+            e = e.filter(pc.invert(m))
+        return e
 
     def write_part(group: pa.Table) -> pa.Table:
         pid = int(group.column("part")[0].as_py())
         g = group.sort_by([("xz2_level", "ascending"),
-                           ("xz2_cell", "ascending")])
-        pdir = os.path.join(out_dir, f"part={pid}")
-        os.makedirs(pdir, exist_ok=True)
-        tmp = os.path.join(pdir, ".data.parquet.tmp")
-        pq.write_table(g, tmp, row_group_size=65536)
-        os.replace(tmp, os.path.join(pdir, "data.parquet"))
-        write_manifest(out_dir, pid, {"part": pid, "rows": g.num_rows})
+                           ("xz2_cell", "ascending"),
+                           ("image_id", "ascending")])
+        commit_partition(out_dir, pid, g, {"part": pid, "rows": g.num_rows})
         return pa.table({"part": pa.array([pid], pa.int64()),
                          "rows": pa.array([g.num_rows], pa.int64())})
 
-    n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    n_blocks = override_num_blocks or max(
+        8, int(ray.cluster_resources().get("CPU", 8)))
     ds = read_images(fixture_dir, columns=["image_id", "phash"],
                      override_num_blocks=n_blocks)
     ds.map_batches(keyed, batch_format="pyarrow") \
@@ -148,8 +175,6 @@ def read_extent_store(out_dir: str, qbox,
              for b in read]
 
     def refine(batch: pa.Table) -> pa.Table:
-        from geomesa_ray.curve.xz2 import xz2_candidate_mask
-
         level = batch.column("xz2_level").to_numpy(zero_copy_only=False)
         cell = batch.column("xz2_cell").to_numpy(zero_copy_only=False)
         coarse = xz2_candidate_mask(level, cell, plan)
@@ -163,8 +188,18 @@ def read_extent_store(out_dir: str, qbox,
         return pa.table({
             "image_id": batch.column("image_id").filter(pa.array(keep))})
 
-    ds = ray.data.read_parquet(paths).map_batches(
-        refine, batch_format="pyarrow", batch_size=65536)
+    import pyarrow.compute as pc
+
+    # column projection + envelope filter: the overlap condition is part
+    # of the exact test, so pushing it into the read prunes row groups
+    # by parquet min/max stats before any decode
+    expr = ((pc.field("lon_min") <= q1) & (pc.field("lon_max") >= q0)
+            & (pc.field("lat_min") <= q3) & (pc.field("lat_max") >= q2))
+    ds = ray.data.read_parquet(
+        paths, filter=expr,
+        columns=["image_id", "lon_min", "lon_max", "lat_min", "lat_max",
+                 "xz2_level", "xz2_cell"],
+    ).map_batches(refine, batch_format="pyarrow", batch_size=65536)
     return ds, len(read), len(have)
 
 

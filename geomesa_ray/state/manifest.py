@@ -20,6 +20,21 @@ def manifest_path(out_dir: str, partition: int | str) -> str:
     return os.path.join(out_dir, f"part={partition}", "manifest.json")
 
 
+def commit_partition(out_dir: str, partition: int | str,
+                     table, payload: dict) -> None:
+    """THE shared partition-commit protocol (point + extent stores):
+    write parquet to a tmp name, atomically rename, then commit the
+    manifest — any change to the durability protocol lands here once."""
+    import pyarrow.parquet as pq
+
+    pdir = os.path.join(out_dir, f"part={partition}")
+    os.makedirs(pdir, exist_ok=True)
+    tmp = os.path.join(pdir, ".data.parquet.tmp")
+    pq.write_table(table, tmp, row_group_size=65536)
+    os.replace(tmp, os.path.join(pdir, "data.parquet"))
+    write_manifest(out_dir, partition, payload)
+
+
 def write_manifest(out_dir: str, partition: int | str, payload: dict) -> str:
     """Atomically commit a partition manifest (tmp file + rename)."""
     pdir = os.path.join(out_dir, f"part={partition}")

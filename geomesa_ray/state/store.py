@@ -34,6 +34,7 @@ from geomesa_ray.pipelines.scan import SpatialQuery, _ScanFilter, plan_query
 from geomesa_ray.sources.io import read_images
 from geomesa_ray.stages.encode import DEFAULT_CELL_LEVEL, derive_and_encode
 from geomesa_ray.state.manifest import (
+    commit_partition,
     commit_snapshot,
     completed_partitions,
     read_snapshot,
@@ -58,11 +59,6 @@ def _bucket_writer(out_dir: str):
         bucket = int(group.column("bucket")[0].as_py())
         g = group.sort_by([("week", "ascending"), ("z3", "ascending"),
                            ("image_id", "ascending")])
-        pdir = os.path.join(out_dir, f"part={bucket}")
-        os.makedirs(pdir, exist_ok=True)
-        tmp = os.path.join(pdir, ".data.parquet.tmp")
-        pq.write_table(g, tmp, row_group_size=65536)
-        os.replace(tmp, os.path.join(pdir, "data.parquet"))
         n_cells = len(np.unique(g.column("cell").to_numpy(zero_copy_only=False)))
         payload = {
             "bucket": bucket,
@@ -71,7 +67,7 @@ def _bucket_writer(out_dir: str):
             "week_min": int(np.min(g.column("week").to_numpy(zero_copy_only=False))),
             "week_max": int(np.max(g.column("week").to_numpy(zero_copy_only=False))),
         }
-        write_manifest(out_dir, bucket, payload)
+        commit_partition(out_dir, bucket, g, payload)
         return pa.table({
             "bucket": pa.array([bucket], pa.int64()),
             "rows": pa.array([g.num_rows], pa.int64()),

@@ -397,13 +397,45 @@ class TestXZ2Store:
     def test_partition_layout_is_parallelism_independent(self, ray_session,
                                                          tiny_fixtures,
                                                          tmp_path):
+        """Different shuffle parallelism (block counts) must produce
+        BYTE-identical partitions — the layout and row order are pure
+        functions of the data (total sort key incl. image_id)."""
+        import hashlib
+        import os
+
         from geomesa_ray.pipelines.extent import write_extent_store
         from geomesa_ray.state.manifest import completed_partitions
 
         a = str(tmp_path / "xa")
         b = str(tmp_path / "xb")
-        write_extent_store(tiny_fixtures, a)
-        write_extent_store(tiny_fixtures, b)
+        write_extent_store(tiny_fixtures, a, override_num_blocks=3)
+        write_extent_store(tiny_fixtures, b, override_num_blocks=13)
         ma = {k: v["rows"] for k, v in completed_partitions(a).items()}
         mb = {k: v["rows"] for k, v in completed_partitions(b).items()}
         assert ma == mb
+
+        def digest(d):
+            out = {}
+            for name in sorted(os.listdir(d)):
+                if name.startswith("part="):
+                    with open(os.path.join(d, name, "data.parquet"),
+                              "rb") as f:
+                        out[name] = hashlib.md5(f.read()).hexdigest()
+            return out
+
+        assert digest(a) == digest(b)
+
+    def test_scheme_guard_and_resume(self, ray_session, tiny_fixtures,
+                                     tmp_path):
+        import pytest
+
+        from geomesa_ray.pipelines.extent import write_extent_store
+
+        store = str(tmp_path / "xguard")
+        write_extent_store(tiny_fixtures, store)
+        # same scheme re-run: resume no-op (all partitions committed)
+        stats = write_extent_store(tiny_fixtures, store)
+        assert stats["rows"] == 6000
+        # different scheme into the same dir must refuse
+        with pytest.raises(ValueError):
+            write_extent_store(tiny_fixtures, store, prefix_level=2)
