@@ -209,6 +209,97 @@ def build_region_index(regions: pa.Table, max_level: int = DEFAULT_CELL_LEVEL,
     )
 
 
+def build_region_index_distributed(regions_ds,
+                                   max_level: int = DEFAULT_CELL_LEVEL,
+                                   max_cells: int = MAX_COVER_CELLS
+                                   ) -> RegionIndex:
+    """Distributed twin of :func:`build_region_index` for region sets
+    too large to parse/cover on the driver (~10^6+): WKT parsing, IDL
+    splitting, and cell-cover computation run inside ``map_batches``
+    over the regions Dataset; the driver only gathers SKINNY
+    (region_id, level, cell) rows plus per-region metadata and
+    assembles the identical CSR index (equality-tested). The assembled
+    index is still driver-resident — it is the broadcast side — so this
+    moves the COMPUTE off the driver, not the index itself."""
+    import pickle
+
+    import ray.data as _rd
+
+    def cover(batch: pa.Table) -> pa.Table:
+        sub = build_region_index(batch, max_level, max_cells)
+        rid_rows, lvl_rows, cell_rows = [], [], []
+        for level, (cells, offsets, ordinals) in sub.levels.items():
+            for i, c in enumerate(cells):
+                for m in ordinals[offsets[i]:offsets[i + 1]]:
+                    rid_rows.append(sub.region_ids[int(m)])
+                    lvl_rows.append(level)
+                    cell_rows.append(int(c))
+        meta = [pickle.dumps((sub.kinds[i], sub.bbox[i],
+                              int(sub.t_start_s[i]), int(sub.t_end_s[i]),
+                              sub.polys[i], sub.lines[i],
+                              float(sub.line_buf[i])))
+                for i in range(len(sub.region_ids))]
+        n_cells = len(rid_rows)
+        n_meta = len(meta)
+        return pa.table({
+            "region_id": pa.array(rid_rows + list(sub.region_ids),
+                                  pa.string()),
+            "level": pa.array(lvl_rows + [-1] * n_meta, pa.int64()),
+            "cell": pa.array(cell_rows + [0] * n_meta, pa.int64()),
+            "meta": pa.array([b""] * n_cells + meta, pa.binary()),
+        })
+
+    if isinstance(regions_ds, pa.Table):
+        regions_ds = _rd.from_arrow(regions_ds)
+    rows = pa.concat_tables(
+        ray.get(regions_ds.map_batches(
+            cover, batch_format="pyarrow").to_arrow_refs()))
+
+    is_meta = rows.column("level").to_numpy(zero_copy_only=False) == -1
+    meta_t = rows.filter(pa.array(is_meta))
+    cell_t = rows.filter(pa.array(~is_meta))
+
+    rid_order = np.argsort(
+        np.asarray(meta_t.column("region_id").to_pylist(), dtype=object),
+        kind="stable")
+    region_ids = [meta_t.column("region_id")[int(i)].as_py()
+                  for i in rid_order]
+    kinds, bbox, ts, te, polys, lines, bufs = [], [], [], [], [], [], []
+    for i in rid_order:
+        k, b, t0, t1, p, ln, bf = pickle.loads(
+            meta_t.column("meta")[int(i)].as_py())
+        kinds.append(k)
+        bbox.append(b)
+        ts.append(t0)
+        te.append(t1)
+        polys.append(p)
+        lines.append(ln)
+        bufs.append(bf)
+
+    sorted_ids = np.asarray(region_ids, dtype=object)
+    crids = np.asarray(cell_t.column("region_id").to_pylist(), dtype=object)
+    ords = np.searchsorted(sorted_ids, crids).astype(np.int32)
+    lvls = cell_t.column("level").to_numpy(zero_copy_only=False)
+    cells = cell_t.column("cell").to_numpy(zero_copy_only=False)
+    levels = {}
+    for lv in np.unique(lvls):
+        m = lvls == lv
+        c, o = cells[m], ords[m]
+        order = np.lexsort((o, c))
+        cs, os_ = c[order], o[order]
+        uniq, start = np.unique(cs, return_index=True)
+        offsets = np.append(start, len(cs)).astype(np.int64)
+        levels[int(lv)] = (uniq.astype(np.int64), offsets,
+                           os_.astype(np.int32))
+
+    return RegionIndex(
+        max_level=max_level, levels=levels, region_ids=region_ids,
+        kinds=kinds, bbox=np.asarray(bbox), t_start_s=np.asarray(ts),
+        t_end_s=np.asarray(te), polys=polys, lines=lines,
+        line_buf=np.asarray(bufs),
+    )
+
+
 def refine_candidates(idx: RegionIndex, pts: np.ndarray, ords: np.ndarray,
                       lon: np.ndarray, lat: np.ndarray,
                       dtg_s: np.ndarray):

@@ -236,3 +236,52 @@ class TestComplexGeometry:
             region_polys("poly",
                          "POLYGON ((179 0, 182 0, 182 5, 179 5, 179 0), "
                          "(180 1, 181 1, 181 2, 180 2, 180 1))")
+
+
+class TestDistributedIndexBuild:
+    def test_matches_driver_build(self, ray_session, tiny_fixtures):
+        """The distributed cover/parse build must produce an index whose
+        join output is identical to the driver-side build, for every
+        geometry kind (boxes, polys, IDL, holes, multipoly, corridor)."""
+        import pyarrow.compute as pc
+
+        from geomesa_ray.pipelines.pip_join import (
+            build_region_index_distributed,
+            pip_join_points,
+        )
+        from geomesa_ray.sources.fixtures import (
+            gen_complex_regions_table,
+            gen_regions_table,
+        )
+        from geomesa_ray.sources.io import read_images
+        from geomesa_ray.stages.encode import derive_and_encode
+
+        for regions in (gen_regions_table(), gen_complex_regions_table()):
+            ds = read_images(tiny_fixtures, columns=["image_id", "phash"])
+            ds = ds.map_batches(derive_and_encode, batch_format="pyarrow")
+            want = set()
+            for b in pip_join_points(ds, regions).iter_batches(
+                    batch_format="pyarrow"):
+                want.update(zip(b.column("image_id").to_pylist(),
+                                b.column("region_id").to_pylist()))
+            # distributed build, then run the SAME probe stage with it
+            import ray as _ray
+
+            from geomesa_ray.pipelines.pip_join import _refine_batch
+            from geomesa_ray.util import resolve_broadcast
+
+            idx = build_region_index_distributed(regions)
+            ref = _ray.put(idx)
+
+            def refine(batch, _ref=ref):
+                return _refine_batch(resolve_broadcast(_ref), batch,
+                                     ("image_id",))
+
+            ds2 = read_images(tiny_fixtures, columns=["image_id", "phash"])
+            ds2 = ds2.map_batches(derive_and_encode, batch_format="pyarrow")
+            got = set()
+            for b in ds2.map_batches(refine, batch_format="pyarrow") \
+                    .iter_batches(batch_format="pyarrow"):
+                got.update(zip(b.column("image_id").to_pylist(),
+                               b.column("region_id").to_pylist()))
+            assert got == want and got
