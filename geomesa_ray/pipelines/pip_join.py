@@ -218,22 +218,33 @@ def build_region_index_distributed(regions_ds,
     splitting, and cell-cover computation run inside ``map_batches``
     over the regions Dataset; the driver only gathers SKINNY
     (region_id, level, cell) rows plus per-region metadata and
-    assembles the identical CSR index (equality-tested). The assembled
-    index is still driver-resident — it is the broadcast side — so this
-    moves the COMPUTE off the driver, not the index itself."""
+    assembles an EQUIVALENT CSR index (join-output equality-tested —
+    region ordinals are renumbered in sorted-id order, so the index is
+    not byte-identical to the driver build). The assembled index is
+    still driver-resident — it is the broadcast side — so this moves
+    the COMPUTE off the driver, not the index itself.
+
+    Requires unique, non-null region_ids (the id is the cross-block
+    join key; GeoMesa feature ids satisfy this by contract) — raises
+    otherwise rather than silently merging rows."""
     import pickle
 
     import ray.data as _rd
 
     def cover(batch: pa.Table) -> pa.Table:
         sub = build_region_index(batch, max_level, max_cells)
-        rid_rows, lvl_rows, cell_rows = [], [], []
+        rid_parts, lvl_parts, cell_parts = [], [], []
+        ids_arr = np.asarray(sub.region_ids, dtype=object)
         for level, (cells, offsets, ordinals) in sub.levels.items():
-            for i, c in enumerate(cells):
-                for m in ordinals[offsets[i]:offsets[i + 1]]:
-                    rid_rows.append(sub.region_ids[int(m)])
-                    lvl_rows.append(level)
-                    cell_rows.append(int(c))
+            counts = np.diff(offsets)
+            cell_parts.append(np.repeat(cells, counts))
+            lvl_parts.append(np.full(int(counts.sum()), level,
+                                     dtype=np.int64))
+            rid_parts.append(ids_arr[ordinals])
+        rid_rows = (np.concatenate(rid_parts).tolist() if rid_parts else [])
+        lvl_rows = (np.concatenate(lvl_parts).tolist() if lvl_parts else [])
+        cell_rows = (np.concatenate(cell_parts).tolist()
+                     if cell_parts else [])
         meta = [pickle.dumps((sub.kinds[i], sub.bbox[i],
                               int(sub.t_start_s[i]), int(sub.t_end_s[i]),
                               sub.polys[i], sub.lines[i],
@@ -245,29 +256,39 @@ def build_region_index_distributed(regions_ds,
             "region_id": pa.array(rid_rows + list(sub.region_ids),
                                   pa.string()),
             "level": pa.array(lvl_rows + [-1] * n_meta, pa.int64()),
-            "cell": pa.array(cell_rows + [0] * n_meta, pa.int64()),
+            "cell": pa.array([int(c) for c in cell_rows] + [0] * n_meta,
+                             pa.int64()),
             "meta": pa.array([b""] * n_cells + meta, pa.binary()),
         })
 
     if isinstance(regions_ds, pa.Table):
         regions_ds = _rd.from_arrow(regions_ds)
-    rows = pa.concat_tables(
-        ray.get(regions_ds.map_batches(
-            cover, batch_format="pyarrow").to_arrow_refs()))
+    refs = ray.get(regions_ds.map_batches(
+        cover, batch_format="pyarrow").to_arrow_refs())
+    refs = [t for t in refs if t.num_rows and "level" in t.column_names]
+    if not refs:  # zero regions: a valid empty index
+        return RegionIndex(
+            max_level=max_level, levels={}, region_ids=[], kinds=[],
+            bbox=np.zeros((0, 4)), t_start_s=np.zeros(0, dtype=np.int64),
+            t_end_s=np.zeros(0, dtype=np.int64), polys=[], lines=[],
+            line_buf=np.zeros(0))
+    rows = pa.concat_tables(refs)
 
     is_meta = rows.column("level").to_numpy(zero_copy_only=False) == -1
     meta_t = rows.filter(pa.array(is_meta))
     cell_t = rows.filter(pa.array(~is_meta))
 
-    rid_order = np.argsort(
-        np.asarray(meta_t.column("region_id").to_pylist(), dtype=object),
-        kind="stable")
-    region_ids = [meta_t.column("region_id")[int(i)].as_py()
-                  for i in rid_order]
+    all_ids = meta_t.column("region_id").to_pylist()
+    if any(i is None for i in all_ids) or len(set(all_ids)) != len(all_ids):
+        raise ValueError(
+            "build_region_index_distributed requires unique non-null "
+            "region_id values (the cross-block join key)")
+    rid_order = np.argsort(np.asarray(all_ids, dtype=object), kind="stable")
+    metas = meta_t.column("meta").to_pylist()
+    region_ids = [all_ids[int(i)] for i in rid_order]
     kinds, bbox, ts, te, polys, lines, bufs = [], [], [], [], [], [], []
     for i in rid_order:
-        k, b, t0, t1, p, ln, bf = pickle.loads(
-            meta_t.column("meta")[int(i)].as_py())
+        k, b, t0, t1, p, ln, bf = pickle.loads(metas[int(i)])
         kinds.append(k)
         bbox.append(b)
         ts.append(t0)

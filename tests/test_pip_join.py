@@ -243,8 +243,6 @@ class TestDistributedIndexBuild:
         """The distributed cover/parse build must produce an index whose
         join output is identical to the driver-side build, for every
         geometry kind (boxes, polys, IDL, holes, multipoly, corridor)."""
-        import pyarrow.compute as pc
-
         from geomesa_ray.pipelines.pip_join import (
             build_region_index_distributed,
             pip_join_points,
@@ -270,7 +268,12 @@ class TestDistributedIndexBuild:
             from geomesa_ray.pipelines.pip_join import _refine_batch
             from geomesa_ray.util import resolve_broadcast
 
-            idx = build_region_index_distributed(regions)
+            import ray.data as _rd
+
+            # force MULTIPLE blocks so the cross-block gather/ordinal
+            # remap — the actual distributed machinery — is exercised
+            idx = build_region_index_distributed(
+                _rd.from_arrow(regions).repartition(6))
             ref = _ray.put(idx)
 
             def refine(batch, _ref=ref):
@@ -285,3 +288,20 @@ class TestDistributedIndexBuild:
                 got.update(zip(b.column("image_id").to_pylist(),
                                b.column("region_id").to_pylist()))
             assert got == want and got
+
+    def test_empty_and_duplicate_id_handling(self, ray_session):
+        import pyarrow as pa
+        import pytest
+
+        from geomesa_ray.pipelines.pip_join import (
+            build_region_index_distributed,
+        )
+        from geomesa_ray.sources.fixtures import gen_regions_table
+
+        regions = gen_regions_table()
+        empty = regions.slice(0, 0)
+        idx = build_region_index_distributed(empty)
+        assert idx.region_ids == [] and idx.levels == {}
+        dup = pa.concat_tables([regions.slice(0, 2), regions.slice(0, 1)])
+        with pytest.raises(ValueError):
+            build_region_index_distributed(dup)
