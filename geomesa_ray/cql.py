@@ -69,6 +69,33 @@ def _parse_iso(s: str) -> int:
     raise ValueError(f"unparseable CQL timestamp {s!r}")
 
 
+def split_or(expr: str) -> list[str]:
+    """Split on top-level OR (same parens/quote awareness as the AND
+    splitter) — the engine executes each disjunct and de-duplicating
+    unions the results (the reference's OR-split normalization,
+    ``scan_or``'s role at the query-string level)."""
+    parts, depth, start, i = [], 0, 0, 0
+    in_str = False
+    while i < len(expr):
+        ch = expr[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and expr[i:i + 4].upper() == " OR ":
+            parts.append(expr[start:i])
+            i += 3
+            start = i + 1
+        i += 1
+    parts.append(expr[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
 def _split_and(expr: str) -> list[str]:
     """Split on top-level AND (parens- and quote-aware). The AND probe
     slices the ORIGINAL string (upper() can change string length for

@@ -78,8 +78,19 @@ class GeoMesaRayEngine:
         the supported grammar."""
         import ray as _ray
 
-        from geomesa_ray.cql import parse_cql
+        from geomesa_ray.cql import parse_cql, split_or
         from geomesa_ray.util import id_membership_mask, resolve_broadcast
+
+        disjuncts = split_or(expr)
+        if len(disjuncts) > 1:
+            # OR: execute each disjunct and de-duplicating union the id
+            # sets (the reference's OR-split normalization)
+            from geomesa_ray.pipelines.proximity import unique_union
+
+            out = unique_union([
+                self.cql(d).select_columns(["image_id"])
+                for d in disjuncts])
+            return out.limit(limit) if limit is not None else out
 
         q = parse_cql(expr)
         spec = q.spec

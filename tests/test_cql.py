@@ -156,3 +156,42 @@ class TestCqlConjuncts:
             "DWITHIN(geom, POINT(10.0 45.0), 1000000, meters)").take_all()}
         assert both == (inter & near)
         assert both < near and both < inter  # genuinely conjoined
+
+
+class TestCqlOr:
+    def test_or_of_bboxes_matches_union(self, ray_session, tiny_fixtures):
+        from geomesa_ray.engine import GeoMesaRayEngine
+
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        a = "BBOX(geom, -10, -5, 25, 30)"
+        b = "BBOX(geom, 5, 10, 40, 45)"  # overlaps a
+        got = {r["image_id"] for r in eng.cql(f"{a} OR {b}").take_all()}
+        ga = {r["image_id"] for r in eng.cql(a)
+              .select_columns(["image_id"]).take_all()}
+        gb = {r["image_id"] for r in eng.cql(b)
+              .select_columns(["image_id"]).take_all()}
+        assert got == (ga | gb) and ga - gb and gb - ga  # true union
+        # no duplicate rows for the overlap region
+        rows = eng.cql(f"{a} OR {b}").take_all()
+        assert len(rows) == len(got)
+
+    def test_or_mixing_geometry_and_time(self, ray_session, tiny_fixtures):
+        from geomesa_ray.engine import GeoMesaRayEngine
+
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        wkt = "POLYGON ((-30 -20, 10 -20, 10 20, -30 20, -30 -20))"
+        a = f"INTERSECTS(geom, {wkt})"
+        b = ("BBOX(geom, 100, 10, 140, 55) AND "
+             "dtg DURING 2024-01-03T00:00:00Z/2024-01-10T00:00:00Z")
+        got = {r["image_id"] for r in eng.cql(f"{a} OR {b}").take_all()}
+        ga = {r["image_id"] for r in eng.cql(a).take_all()}
+        gb = {r["image_id"] for r in eng.cql(b)
+              .select_columns(["image_id"]).take_all()}
+        assert got == (ga | gb) and got
+
+    def test_or_inside_parens_not_split(self):
+        from geomesa_ray.cql import split_or
+
+        assert len(split_or(
+            "INTERSECTS(geom, POLYGON ((0 0, 1 0, 1 1, 0 0)))")) == 1
+        assert len(split_or("fmt = 'a OR b'")) == 1  # quoted OR ignored
