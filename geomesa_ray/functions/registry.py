@@ -325,13 +325,25 @@ def _json_map(batch, a, value_type="int"):
     null_rows: list = []
     keys: list = []
     vals: list = []
+    cast = ((lambda v: int(str(v))) if value_type == "int"
+            else float if value_type == "double" else str)
     for i, v in enumerate(_col(batch, a).to_pylist()):
         if v is None or v == "":
             null_rows.append(i)  # null input -> NULL map (not {})
             offsets.append(len(keys))
             continue
-        obj = json.loads(v)
-        for k, val in obj.items():
+        # malformed JSON / non-castable values null the ROW, not the batch
+        # (converter convention — parseList/parseMap/fixed_width match)
+        try:
+            obj = json.loads(v)
+            if not isinstance(obj, dict):
+                raise ValueError("not a JSON object")
+            kv = [(str(k), cast(val)) for k, val in obj.items()]
+        except (ValueError, TypeError):
+            null_rows.append(i)
+            offsets.append(len(keys))
+            continue
+        for k, val in kv:
             keys.append(k)
             vals.append(val)
         offsets.append(len(keys))
@@ -370,13 +382,19 @@ def _map_value(batch, a, key):
     m = _col(batch, a)
     if isinstance(m, pa.ChunkedArray):
         m = m.combine_chunks()
+    elif m.offset != 0:
+        # a SLICED MapArray's .keys/.items return the full child arrays;
+        # rebuild zero-offset so entry positions align with map_offsets
+        m = pa.concat_arrays([m])
     keys = m.keys
     items = m.items
     hit = pc.equal(keys, key).to_numpy(zero_copy_only=False)
     offs = map_offsets(m)
+    # mask hits outside this array's entry window (full-child artifacts)
     n = len(m)
     out_idx = np.full(n, -1, dtype=np.int64)
     hit_pos = np.nonzero(hit)[0]
+    hit_pos = hit_pos[(hit_pos >= offs[0]) & (hit_pos < offs[-1])]
     row_of = np.searchsorted(offs[1:], hit_pos, side="right")
     out_idx[row_of] = hit_pos  # last match per row wins (dup keys rare)
     valid = out_idx >= 0

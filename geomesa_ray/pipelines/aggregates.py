@@ -35,14 +35,21 @@ def _counted(ds: ray.data.Dataset, key_cols: list[str]) -> ray.data.Dataset:
     Both stages are ``pa.Table.group_by`` — no per-batch pandas
     round-trip (the partial runs on every block of the input)."""
 
+    # rename the aggregate output columns BY NAME (pyarrow's output
+    # column order has differed across versions; positional renames
+    # would silently swap key/count names on an upgrade)
+    def _to_cnt(out: pa.Table, agg_name: str) -> pa.Table:
+        return out.select([*key_cols, agg_name]) \
+            .rename_columns([*key_cols, "cnt"])
+
     def partial(batch: pa.Table) -> pa.Table:
         out = batch.select(key_cols).group_by(key_cols).aggregate(
             [([], "count_all")])
-        return out.rename_columns([*key_cols, "cnt"])
+        return _to_cnt(out, "count_all")
 
     def final(batch: pa.Table) -> pa.Table:
         out = batch.group_by(key_cols).aggregate([("cnt", "sum")])
-        return out.rename_columns([*key_cols, "cnt"])
+        return _to_cnt(out, "cnt_sum")
 
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     return gather_combine(parts, final)
@@ -114,12 +121,16 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
         })
         out = t.group_by(keys).aggregate(
             [("cnt", "sum"), ("sum_qty", "sum"), ("revenue_centbp", "sum")])
-        return out.rename_columns([*keys, "cnt", "sum_qty", "revenue_centbp"])
+        return out.select([*keys, "cnt_sum", "sum_qty_sum",
+                           "revenue_centbp_sum"]) \
+            .rename_columns([*keys, "cnt", "sum_qty", "revenue_centbp"])
 
     def final(batch: pa.Table) -> pa.Table:
         out = batch.group_by(keys).aggregate(
             [("cnt", "sum"), ("sum_qty", "sum"), ("revenue_centbp", "sum")])
-        return out.rename_columns([*keys, "cnt", "sum_qty", "revenue_centbp"])
+        return out.select([*keys, "cnt_sum", "sum_qty_sum",
+                           "revenue_centbp_sum"]) \
+            .rename_columns([*keys, "cnt", "sum_qty", "revenue_centbp"])
 
     ds = read_table(sf_dir, "lineitem",
                     columns=["l_returnflag", "l_linestatus", "l_quantity",
@@ -150,12 +161,14 @@ def map_value_agg(sf_dir: str) -> ray.data.Dataset:
         t = pa.table({"event_type": et.take(rep),
                       "key": m.keys, "val": m.items})
         out = t.group_by(["event_type", "key"]).aggregate([("val", "sum")])
-        return out.rename_columns(["event_type", "key", "sum_val"])
+        return out.select(["event_type", "key", "val_sum"]) \
+            .rename_columns(["event_type", "key", "sum_val"])
 
     def final(batch: pa.Table) -> pa.Table:
         out = batch.group_by(["event_type", "key"]).aggregate(
             [("sum_val", "sum")])
-        return out.rename_columns(["event_type", "key", "sum_val"])
+        return out.select(["event_type", "key", "sum_val_sum"]) \
+            .rename_columns(["event_type", "key", "sum_val"])
 
     ds = read_table(sf_dir, "events", columns=["event_type", "props"])
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=131072)

@@ -161,7 +161,7 @@ def read_dbf(path: str) -> pa.Table:
     fields = []
     pos = 32
     while data[pos] != 0x0D:
-        name = data[pos:pos + 11].split(b"\x00")[0].decode()
+        name = data[pos:pos + 11].split(b"\x00")[0].decode("latin-1")
         ftype = chr(data[pos + 11])
         flen = data[pos + 16]
         fields.append((name, ftype, flen))
@@ -171,7 +171,10 @@ def read_dbf(path: str) -> pa.Table:
         base = header_len + r * record_len + 1  # +1 deletion flag
         off = 0
         for name, ftype, flen in fields:
-            raw = data[base + off:base + off + flen].decode().strip()
+            # dBASE III text is conventionally cp437/latin-1, not UTF-8;
+            # latin-1 decodes every byte so non-ASCII attributes degrade
+            # readably instead of aborting the ingest
+            raw = data[base + off:base + off + flen].decode("latin-1").strip()
             off += flen
             if ftype in ("N", "F"):
                 cols[name].append(float(raw) if raw else None)

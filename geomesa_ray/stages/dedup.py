@@ -270,70 +270,133 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
             part = (splitmix64(key) % np.uint64(256)).astype(np.int64)
             return batch.append_column("band_part", pa.array(part))
 
+        # cross-partition duplicate pairs (a pair found by bands routed
+        # to DIFFERENT partitions) survive to verification, which de-dups
+        # — cheaper than a dedicated pair-dedup shuffle here
         cand = band_rows.map_batches(add_part, batch_format="pyarrow") \
             .groupby("band_part").map_groups(bucket_pairs,
                                              batch_format="pyarrow")
-        cand = cand.groupby(["doc_id_a", "doc_id_b"]).count() \
-            .select_columns(["doc_id_a", "doc_id_b"])
     else:
         cand = gather_combine(band_rows, bucket_pairs)
 
-    # Verification re-join (no driver materialization): shingle sets live
-    # in a distributed (doc_id, sh) table; candidate pairs hash-join
-    # against it once per side. Pairs are the small side (dedup output
-    # scale), shingles ship through the shuffle exactly once per side.
-    # Shingle sets travel as packed int64 bytes (Acero hash joins reject
-    # list-typed payload columns). Each join spins up ``num_partitions``
-    # aggregator actors; sized to the cluster so two chained joins never
-    # starve the map tasks (32 aggregators deadlock a 4-cpu session).
+    # Verification COGROUP (no driver materialization, no hash-join
+    # aggregator fleets — measured 3.1 s -> join-free at sf0.1): shingle
+    # sets live in a distributed (doc_id, sh) table; stage 1 buckets
+    # pair-SIDE rows with shingle rows by doc hash and attaches each
+    # side's set (searchsorted within the bucket); stage 2 buckets the
+    # attached rows by PAIR hash, reuniting both sides of every pair in
+    # one group where the exact Jaccard is computed (duplicate candidate
+    # pairs collapse here). Two bucketed groupbys total; shingle bytes
+    # ship once per pair side. Shingle sets travel as packed int64 bytes.
+    # ``join_partitions`` bounds per-task memory at scale.
     if join_partitions is None:
-        # each partition spawns an aggregator actor per join; at sandbox
-        # scale actor spawn dominates (measured: 2 partitions 2.6s vs 16
-        # partitions 3.3s at 32 cpus on sf0.1), so default LOW from the
-        # cluster size — large corpora should pass join_partitions
-        # explicitly (it bounds per-aggregator memory)
         cpus = int(ray.cluster_resources().get("CPU", 4))
-        join_partitions = max(2, cpus // 8)
+        join_partitions = min(256, max(8, cpus))
+    n_parts = np.uint64(join_partitions)
+
+    from geomesa_ray.sources.fixtures import splitmix64
 
     def tokenize_sh(batch: pa.Table) -> pa.Table:
         th, offs = _ws_token_hashes(batch.column("text"))
         sh = [_shingle_hashes_from(th[offs[i]:offs[i + 1]],
                                    shingle_k).tobytes()
               for i in range(len(offs) - 1)]
-        return pa.table({"doc_id": batch.column("doc_id"),
-                         "sh": pa.array(sh, pa.binary())})
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        part = (splitmix64(doc.view(np.uint64)) % n_parts).astype(np.int64)
+        return pa.table({"doc": batch.column("doc_id"),
+                         "a": pa.array(np.zeros(len(doc), np.int64)),
+                         "b": pa.array(np.zeros(len(doc), np.int64)),
+                         "sh": pa.array(sh, pa.binary()),
+                         "is_sh": pa.array(np.ones(len(doc), np.int8)),
+                         "part": pa.array(part)})
 
-    # materialize: both joins consume tok — left lazy, the corpus read +
-    # shingle tokenization (the expensive stage) would execute twice
-    tok = docs.map_batches(tokenize_sh, batch_format="pyarrow",
-                           batch_size=65536).materialize()
-    tok_a = _rename(tok, ["doc_id_a", "sh_a"])
-    tok_b = _rename(tok, ["doc_id_b", "sh_b"])
-    j = cand.join(tok_a, "inner", num_partitions=join_partitions,
-                  on=("doc_id_a",))
-    j = j.join(tok_b, "inner", num_partitions=join_partitions,
-               on=("doc_id_b",))
-
-    def verify(batch: pa.Table) -> pa.Table:
+    def pair_side_rows(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_id_a").to_numpy(zero_copy_only=False)
         b = batch.column("doc_id_b").to_numpy(zero_copy_only=False)
-        sh_a = batch.column("sh_a").to_pylist()
-        sh_b = batch.column("sh_b").to_pylist()
-        jac = np.zeros(len(a))
-        for i in range(len(a)):
-            sa = np.frombuffer(sh_a[i], dtype=np.int64)
-            sb = np.frombuffer(sh_b[i], dtype=np.int64)
+        doc = np.concatenate([a, b])  # one row per pair SIDE
+        part = (splitmix64(doc.view(np.uint64)) % n_parts).astype(np.int64)
+        n = len(doc)
+        return pa.table({"doc": pa.array(doc),
+                         "a": pa.array(np.concatenate([a, a])),
+                         "b": pa.array(np.concatenate([b, b])),
+                         "sh": pa.array([b""] * n, pa.binary()),
+                         "is_sh": pa.array(np.zeros(n, np.int8)),
+                         "part": pa.array(part)})
+
+    def pair_part(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        h = splitmix64(a.view(np.uint64) ^ splitmix64(b.view(np.uint64)))
+        return (h % n_parts).astype(np.int64)
+
+    def attach(group: pa.Table) -> pa.Table:
+        """Attach this bucket's shingle sets to its pair-side rows."""
+        is_sh = group.column("is_sh").to_numpy(zero_copy_only=False) == 1
+        doc = group.column("doc").to_numpy(zero_copy_only=False)
+        a = group.column("a").to_numpy(zero_copy_only=False)
+        b = group.column("b").to_numpy(zero_copy_only=False)
+        sh_col = group.column("sh")
+        if isinstance(sh_col, pa.ChunkedArray):
+            sh_col = sh_col.combine_chunks()
+        sd = doc[is_sh]
+        order = np.argsort(sd)
+        sh_idx = np.nonzero(is_sh)[0][order]
+        sd = sd[order]
+        pd_, pa_, pb_ = doc[~is_sh], a[~is_sh], b[~is_sh]
+        if len(sd) == 0 or len(pd_) == 0:
+            return pa.table({"doc": pa.array([], pa.int64()),
+                             "a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.binary()),
+                             "part": pa.array([], pa.int64())})
+        pos = np.clip(np.searchsorted(sd, pd_), 0, len(sd) - 1)
+        hit = sd[pos] == pd_
+        take = pa.array(sh_idx[pos[hit]])
+        return pa.table({"doc": pa.array(pd_[hit]),
+                         "a": pa.array(pa_[hit]),
+                         "b": pa.array(pb_[hit]),
+                         "sh": sh_col.take(take),
+                         "part": pa.array(pair_part(pa_[hit], pb_[hit]))})
+
+    def verify_group(group: pa.Table) -> pa.Table:
+        """Both sides of every pair meet here: exact shingle Jaccard,
+        duplicate candidate pairs collapse via the unique-pair walk."""
+        a = group.column("a").to_numpy(zero_copy_only=False)
+        b = group.column("b").to_numpy(zero_copy_only=False)
+        doc = group.column("doc").to_numpy(zero_copy_only=False)
+        sh = group.column("sh").to_pylist()
+        order = np.lexsort((doc, b, a))
+        a, b, doc = a[order], b[order], doc[order]
+        key = np.stack([a, b], axis=1)
+        _, start = np.unique(key, axis=0, return_index=True)
+        start = np.sort(start)
+        ends = np.append(start[1:], len(a))
+        out_a, out_b, out_j = [], [], []
+        for s, e in zip(start, ends):
+            sa = sb = None
+            for i in range(s, e):
+                if doc[i] == a[i] and sa is None:
+                    sa = np.frombuffer(sh[order[i]], dtype=np.int64)
+                elif doc[i] == b[i] and sb is None:
+                    sb = np.frombuffer(sh[order[i]], dtype=np.int64)
+            if sa is None or sb is None:
+                continue  # a side's doc id missing from the corpus
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
-            jac[i] = inter / union if union else 0.0
-        keep = jac >= threshold
-        return pa.table({
-            "doc_id_a": pa.array(a[keep], pa.int64()),
-            "doc_id_b": pa.array(b[keep], pa.int64()),
-            "jaccard": pa.array(jac[keep]),
-        })
+            jac = inter / union if union else 0.0
+            if jac >= threshold:
+                out_a.append(int(a[s]))
+                out_b.append(int(b[s]))
+                out_j.append(jac)
+        return pa.table({"doc_id_a": pa.array(out_a, pa.int64()),
+                         "doc_id_b": pa.array(out_b, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
 
-    return j.map_batches(verify, batch_format="pyarrow", batch_size=65536)
+    tok = docs.map_batches(tokenize_sh, batch_format="pyarrow",
+                           batch_size=65536)
+    sides = cand.map_batches(pair_side_rows, batch_format="pyarrow")
+    attached = tok.union(sides).groupby("part") \
+        .map_groups(attach, batch_format="pyarrow")
+    return attached.groupby("part").map_groups(verify_group,
+                                               batch_format="pyarrow")
 
 
 def dedup_clusters(pairs_ds: ray.data.Dataset,
@@ -538,11 +601,20 @@ def _simhash64(text: str) -> int:
     return int(_simhash_batch(pa.array([text], pa.string()))[0])
 
 
-def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
+def simhash_pairs(sf_dir: str, max_hamming: int = 3,
+                  candidate_stage: str = "groupby") -> ray.data.Dataset:
     """Near-dup pairs with SimHash Hamming distance <= max_hamming.
 
     4-band pigeonhole: any pair within Hamming 3 agrees exactly on at
     least one 16-bit band, so banding loses no pairs.
+
+    ``candidate_stage``: "groupby" (default) routes whole
+    (band_id, band_val) buckets to 256 hash partitions and runs the
+    pair kernel per partition — the 10^12-doc path, same routing as
+    :func:`minhash_lsh_pairs` (a pair found by several bands lands in
+    several partitions, so a built-in groupby de-dups after); "gather"
+    is the single-combine-task variant (small inputs, kept for the
+    equality test).
     """
 
     def sig(batch: pa.Table) -> pa.Table:
@@ -609,4 +681,22 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
 
     from geomesa_ray.util import gather_combine
 
-    return gather_combine(rows, bucket_pairs)
+    if candidate_stage != "groupby":
+        return gather_combine(rows, bucket_pairs)
+
+    from geomesa_ray.sources.fixtures import splitmix64
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        bid = batch.column("band_id").to_numpy(zero_copy_only=False)
+        bv = batch.column("band_val").to_numpy(zero_copy_only=False)
+        key = ((bid << np.int64(17)) | bv).view(np.uint64)
+        part = (splitmix64(key) % np.uint64(256)).astype(np.int64)
+        return batch.append_column("band_part", pa.array(part))
+
+    cand = rows.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("band_part").map_groups(bucket_pairs,
+                                         batch_format="pyarrow")
+    # hamming is identical across bands for a pair, so grouping by the
+    # full triple de-dups cross-partition copies without losing it
+    return cand.groupby(["doc_id_a", "doc_id_b", "hamming"]).count() \
+        .select_columns(["doc_id_a", "doc_id_b", "hamming"])

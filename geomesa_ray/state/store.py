@@ -513,12 +513,14 @@ def append_store(out_dir: str, new_images: pa.Table,
         bucket = int(group.column("bucket")[0].as_py())
         pdir = os.path.join(out_dir, f"part={bucket}")
         path = os.path.join(pdir, "data.parquet")
-        new_ids = set(group.column("image_id").to_pylist())
         if os.path.exists(path):
+            from geomesa_ray.util import id_membership_mask
+
+            new_ids = np.sort(np.asarray(
+                group.column("image_id").to_pylist(), dtype=object))
             old = pq.read_table(path)
-            keep = pa.array([i not in new_ids
-                             for i in old.column("image_id").to_pylist()])
-            old = old.filter(keep)
+            keep = ~id_membership_mask(old.column("image_id"), new_ids)
+            old = old.filter(pa.array(keep))
             merged = pa.concat_tables([old, group.select(old.schema.names)])
         else:
             merged = group
