@@ -186,19 +186,38 @@ def topk_cosine_ivf(sf_dir: str, num_queries: int = 8, k: int = 10,
     return gather_combine(parts, final)
 
 
-def embed_neardup(sf_dir: str, tau: float = 0.35) -> ray.data.Dataset:
+def embed_neardup(sf_dir: str, tau: float = 0.35, mode: str = "ivf",
+                  n_centroids: int = 16, assign: int = 4) -> ray.data.Dataset:
     """(vec_id_a, vec_id_b, cos): embedding pairs with cosine >= tau,
-    a < b — EXACT, via a distributed block-pair self-join.
+    a < b.
 
-    All-pairs cosine is intrinsically O(N^2) compute; the scale question
-    is data movement. Shape: normalize each block once, pin the blocks in
-    the object store as refs (``to_arrow_refs`` — never collected on the
-    driver), then fan out one task per (block_i, block_j) pair, i <= j.
-    Each task resolves exactly two blocks (worker-cached, zero-copy
-    plasma reads on the same node) and does one cross matmul — no
-    full-matrix broadcast, no driver materialization, per-task memory
-    O(block^2 bits + 2 blocks). An unordered vector pair meets in exactly
-    one task (triu within the diagonal block), so no output dedup."""
+    ``mode="ivf"`` (default — the 10^12-row scale path): rows are
+    assigned to their ``assign`` closest coarse-codebook buckets
+    (multi-probe), pairs are compared only WITHIN a bucket, and a pair
+    whose bucket sets intersect in several buckets is emitted exactly
+    once — by the minimum common bucket (no dedup shuffle). Task count
+    is O(n_centroids) bucket groups of ~N*assign/n_centroids rows, each
+    doing a blocked within-bucket matmul — never an all-pairs task grid.
+    RECALL: a pair is found iff the two rows share a probed bucket;
+    near-dup pairs (cos >= tau for high tau) have near-identical
+    codebook similarities, so their probe sets usually intersect —
+    raise ``assign`` to trade compute for recall (measured on the test
+    fixture at the LOW tau=0.35: 54% at assign=2, 93% at assign=4, with
+    zero false positives/duplicates always), and ``assign=n_centroids``
+    is provably EXACT (every pair shares every bucket; equality-tested
+    vs the numpy oracle). Within-bucket compute relative to all-pairs is
+    ~``assign^2 / n_centroids`` — at scale pick ``n_centroids`` ~ sqrt(N)
+    (so buckets stay block-sized) and the ratio vanishes. Codebook =
+    first ``n_centroids`` embeddings (deterministic; k-means on a sample
+    at scale), same convention as :func:`topk_cosine_ivf`.
+
+    ``mode="exact"``: distributed block-pair self-join — intrinsically
+    O(N^2) compute, the verification oracle for small inputs (the
+    ``jaccard_pairs`` role). Blocks are pinned in the object store as
+    refs (never collected on the driver); one task per (block_i,
+    block_j), i <= j; an unordered pair meets in exactly one task."""
+    if mode == "ivf":
+        return _embed_neardup_ivf(sf_dir, tau, n_centroids, assign)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def pack(batch: pa.Table) -> pa.Table:
@@ -249,3 +268,88 @@ def embed_neardup(sf_dir: str, tau: float = 0.35) -> ray.data.Dataset:
         })
 
     return work.map_batches(compare, batch_format="pyarrow", batch_size=None)
+
+
+def _embed_neardup_ivf(sf_dir: str, tau: float, n_centroids: int,
+                       assign: int, block: int = 8192) -> ray.data.Dataset:
+    """IVF-bucketed near-dup (see :func:`embed_neardup`): one bucketed
+    groupby shuffle of (bucket, row) — rows travel once per probed
+    bucket — then a blocked within-bucket matmul per group."""
+    assign = min(assign, n_centroids)
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"]).sort_by("vec_id")
+    cent = _normalize(_embedding_matrix(t.slice(0, n_centroids)))
+    cent_ref = ray.put(cent)
+
+    from geomesa_ray.util import resolve_broadcast
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        cent_ = resolve_broadcast(cent_ref)
+        m = _normalize(_embedding_matrix(batch))
+        sims = m @ cent_.T  # (B, C)
+        # top-`assign` buckets per row (unique by construction), packed
+        # as an `assign`-byte uint8 blob that travels with each copy
+        top = np.argpartition(-sims, assign - 1, axis=1)[:, :assign]
+        top = np.sort(top, axis=1).astype(np.uint8)
+        n = len(m)
+        rep = np.repeat(np.arange(n), assign)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(top.ravel().astype(np.int64)),
+            "vec_id": pa.array(np.repeat(ids, assign)),
+            "bset": pa.array([top[i].tobytes() for i in range(n)],
+                             pa.binary()).take(pa.array(rep)),
+            "embedding": pa.array(np.repeat(m, assign, axis=0).tolist(),
+                                  pa.list_(pa.float64())),
+        })
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        b = int(group.column("bucket")[0].as_py())
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        m = _embedding_matrix(group)
+        bset = np.frombuffer(b"".join(group.column("bset").to_pylist()),
+                             dtype=np.uint8).reshape(len(ids), -1)
+        out_a, out_b, out_c = [], [], []
+        for i0 in range(0, len(ids), block):
+            mi = m[i0:i0 + block]
+            for j0 in range(i0, len(ids), block):
+                mj = m[j0:j0 + block]
+                sims = mi @ mj.T
+                hit = sims >= tau
+                if j0 == i0:
+                    hit = np.triu(hit, 1)
+                ii, jj = np.nonzero(hit)
+                if len(ii) == 0:
+                    continue
+                gi, gj = ii + i0, jj + j0
+                # min common bucket of the two rows' sorted probe sets:
+                # emit the pair only in THAT bucket (exactly-once)
+                minc = np.full(len(ii), 256, dtype=np.int64)
+                bi, bj = bset[gi], bset[gj]
+                for s in range(bset.shape[1]):
+                    for u in range(bset.shape[1]):
+                        eq = bi[:, s] == bj[:, u]
+                        minc = np.where(eq, np.minimum(
+                            minc, bi[:, s].astype(np.int64)), minc)
+                keep = minc == b
+                if not keep.any():
+                    continue
+                gi, gj = gi[keep], gj[keep]
+                out_a.append(np.minimum(ids[gi], ids[gj]))
+                out_b.append(np.maximum(ids[gi], ids[gj]))
+                out_c.append(sims[ii[keep], jj[keep]])
+        if not out_a:
+            return pa.table({"vec_id_a": pa.array([], pa.int64()),
+                             "vec_id_b": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        return pa.table({
+            "vec_id_a": pa.array(np.concatenate(out_a)),
+            "vec_id_b": pa.array(np.concatenate(out_b)),
+            "cos": pa.array(np.concatenate(out_c)),
+        })
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    rows = ds.map_batches(bucketize, batch_format="pyarrow",
+                          batch_size=65536)
+    return rows.groupby("bucket").map_groups(bucket_pairs,
+                                             batch_format="pyarrow")
