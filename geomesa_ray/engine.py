@@ -76,20 +76,16 @@ class GeoMesaRayEngine:
         INTERSECTS dispatches the PIP join against the WKT geometry;
         DWITHIN dispatches the proximity join. See geomesa_ray.cql for
         the supported grammar."""
-        import ray as _ray
-
         from geomesa_ray.cql import parse_cql, split_or
-        from geomesa_ray.util import id_membership_mask, resolve_broadcast
+        from geomesa_ray.pipelines.proximity import id_setop
 
         disjuncts = split_or(expr)
         if len(disjuncts) > 1:
-            # OR: execute each disjunct and de-duplicating union the id
-            # sets (the reference's OR-split normalization)
-            from geomesa_ray.pipelines.proximity import unique_union
-
-            out = unique_union([
-                self.cql(d).select_columns(["image_id"])
-                for d in disjuncts])
+            # OR: execute each disjunct and union-distinct the id sets
+            # DISTRIBUTED (bucketed groupby — the reference's OR-split
+            # normalization without a single-task combine)
+            out = id_setop([self.cql(d).select_columns(["image_id"])
+                            for d in disjuncts], require=1)
             return out.limit(limit) if limit is not None else out
 
         q = parse_cql(expr)
@@ -134,18 +130,14 @@ class GeoMesaRayEngine:
             branches.append(
                 lambda: self.query(spec).select_columns(["image_id"]))
 
-        out = branches[0]()
-        for br in branches[1:]:
-            ids = np.sort(np.asarray(
-                [r["image_id"] for r in br().take_all()], dtype=object))
-            ref = _ray.put(ids)
-
-            def keep(batch: pa.Table, _ref=ref) -> pa.Table:
-                members = resolve_broadcast(_ref)
-                m = id_membership_mask(batch.column("image_id"), members)
-                return batch.filter(pa.array(m))
-
-            out = out.map_batches(keep, batch_format="pyarrow")
+        if len(branches) == 1:
+            out = branches[0]()
+        else:
+            # AND: distributed intersection of the branch id streams —
+            # ids bucketed by hash, kept when present in EVERY branch
+            # (no branch result ever materializes on the driver)
+            out = id_setop([br() for br in branches],
+                           require=len(branches))
         return out.limit(limit) if limit is not None else out
 
     def _to_spatial_query(self, spec: QuerySpec) -> SpatialQuery:

@@ -109,3 +109,54 @@ def unique_union(datasets: list[ray.data.Dataset],
         return batch.take(pa.array(np.sort(first)))
 
     return gather_combine(ds, drop_dupes)
+
+
+def id_setop(datasets: list[ray.data.Dataset], id_col: str = "image_id",
+             require: int | None = None,
+             n_parts: int = 64) -> ray.data.Dataset:
+    """Distributed id-set algebra over k result streams — UNION-DISTINCT
+    (``require=1``) or INTERSECTION (``require=k``, the default) —
+    with NO driver materialization: each stream's ids are tagged with
+    the stream index, the union is bucketed by an id hash, and each
+    bucket keeps the ids seen in >= ``require`` DISTINCT streams. One
+    bucketed groupby regardless of k; duplicate ids within a stream are
+    collapsed by the distinct-tag count, so the output is also distinct.
+    This is the scale-safe composition for CQL AND/OR over branch
+    queries whose result sizes are corpus-proportional."""
+    from geomesa_ray.stages.sketches import _hash_string_array
+
+    k = len(datasets)
+    if require is None:
+        require = k
+    if k == 1 and require <= 1:
+        return unique_union(datasets, id_col)
+
+    def tag(i: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            h = _hash_string_array(ids)
+            part = (h % np.uint64(n_parts)).astype(np.int64)
+            return pa.table({
+                id_col: ids,
+                "branch": pa.array(np.full(len(ids), i, dtype=np.int64)),
+                "part": pa.array(part),
+            })
+        return fn
+
+    u = datasets[0].map_batches(tag(0), batch_format="pyarrow")
+    for i, other in enumerate(datasets[1:], start=1):
+        u = u.union(other.map_batches(tag(i), batch_format="pyarrow"))
+
+    def keep_ids(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column(id_col).to_pylist(), dtype=object)
+        br = group.column("branch").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        # distinct (id, branch) rows -> per-id distinct-branch count
+        pairs = np.unique(np.stack([inv, br], axis=1), axis=0)
+        cnt = np.bincount(pairs[:, 0], minlength=len(uniq))
+        hit = uniq[cnt >= require]
+        return pa.table({id_col: pa.array(hit.tolist(), pa.string())})
+
+    return u.groupby("part").map_groups(keep_ids, batch_format="pyarrow")
