@@ -18,6 +18,15 @@ The result is a :class:`CqlQuery` carrying a planner ``QuerySpec`` plus
 the geometry/DWithin predicates that dispatch to the join pipelines —
 ``GeoMesaRayEngine.cql(expr)`` executes it end to end.
 
+Beyond that planner-dispatched subset, :func:`parse_cql_tree` parses the
+FULL boolean grammar — ``NOT``, arbitrarily nested parenthesized
+``AND``/``OR`` trees, numeric comparisons (``<  <=  >  >=  =  <>``),
+and ``BETWEEN x AND y`` — into a filter tree that
+:func:`eval_tree` evaluates as one fused vectorized mask per batch
+(the refine-side execution GeoTools ``ECQL.toFilter`` trees get in the
+reference when no index applies). ``GeoMesaRayEngine.cql`` tries the
+planner subset first and falls back to the tree scan.
+
 Timestamps are ISO-8601 UTC (trailing Z optional), parsed with
 ``calendar.timegm`` (naive-UTC convention used throughout the engine).
 """
@@ -28,6 +37,8 @@ import calendar
 import re
 import time as _time
 from dataclasses import dataclass, field
+
+import pyarrow as pa
 
 from geomesa_ray.planner import QuerySpec
 
@@ -187,3 +198,278 @@ def parse_cql(expr: str) -> CqlQuery:
             continue
         raise ValueError(f"unsupported CQL clause: {clause!r}")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Full boolean grammar: NOT / nested parens / numeric comparisons / BETWEEN.
+# Tree nodes: ("and"|"or", [children]) | ("not", child) | ("leaf", (kind, data))
+# ---------------------------------------------------------------------------
+
+_NUM = r"[-+]?[\d.]+(?:[eE][-+]?\d+)?"
+_CMP_RE = re.compile(rf"^(\w+)\s*(<=|>=|<>|<|>|=)\s*({_NUM})$")
+_BETWEEN_RE = re.compile(
+    rf"^(\w+)\s+BETWEEN\s+({_NUM})\s+AND\s+({_NUM})$", re.IGNORECASE)
+_WORD_CH = set("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789_")
+
+
+def _word_at(s: str, i: int) -> str:
+    """Uppercased keyword starting at ``i`` (word-boundary on both
+    sides), or '' when ``i`` is mid-word / not at a word."""
+    if i >= len(s) or s[i] not in _WORD_CH:
+        return ""
+    if i > 0 and s[i - 1] in _WORD_CH:
+        return ""
+    j = i
+    while j < len(s) and s[j] in _WORD_CH:
+        j += 1
+    return s[i:j].upper()
+
+
+def _skip_ws(s: str, i: int) -> int:
+    while i < len(s) and s[i].isspace():
+        i += 1
+    return i
+
+
+def _scan_leaf(s: str, i: int) -> tuple[str, int]:
+    """Consume one leaf clause: stop before a top-level AND / OR or an
+    unmatched ')'. A BETWEEN absorbs its own AND."""
+    start = i
+    depth = 0
+    in_str = False
+    pending_between = False
+    n = len(s)
+    while i < n:
+        ch = s[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+            i += 1
+            continue
+        if ch == ")":
+            if depth == 0:
+                break
+            depth -= 1
+            i += 1
+            continue
+        if depth == 0:
+            w = _word_at(s, i)
+            if w == "BETWEEN":
+                pending_between = True
+                i += 7
+                continue
+            if w == "AND":
+                if pending_between:
+                    pending_between = False
+                    i += 3
+                    continue
+                break
+            if w == "OR":
+                break
+        i += 1
+    return s[start:i].strip(), i
+
+
+def _parse_tree_leaf(clause: str):
+    """One leaf clause -> (kind, data). WKT geometry is pre-parsed here
+    (driver-side, once) so workers evaluate against ready ring arrays."""
+    m = _BBOX_RE.match(clause)
+    if m:
+        x0, y0, x1, y1 = (float(m.group(i)) for i in range(1, 5))
+        return ("bbox", (x0, x1, y0, y1))
+    m = _DURING_RE.match(clause)
+    if m:
+        return ("interval", (_parse_iso(m.group(1)), _parse_iso(m.group(2))))
+    m = _AFTER_RE.match(clause)
+    if m:
+        return ("interval", (_parse_iso(m.group(1)), None))
+    m = _BEFORE_RE.match(clause)
+    if m:
+        return ("interval", (None, _parse_iso(m.group(1))))
+    m = _DWITHIN_RE.match(clause)
+    if m:
+        return ("dwithin", (float(m.group(1)), float(m.group(2)),
+                            float(m.group(3))))
+    m = _INTERSECTS_RE.match(clause)
+    if m:
+        from geomesa_ray.geom.wkt import parse_wkt_geometry
+
+        kind, parts = parse_wkt_geometry(m.group(1).strip())
+        if kind not in ("poly", "multipoly"):
+            raise ValueError(
+                "boolean-tree INTERSECTS supports POLYGON/MULTIPOLYGON "
+                f"(a point never intersects a {kind})")
+        return ("intersects", parts)
+    m = _BETWEEN_RE.match(clause)
+    if m:
+        return ("between", (m.group(1), float(m.group(2)), float(m.group(3))))
+    m = _IN_RE.match(clause)
+    if m:
+        vals = re.findall(r"'([^']*)'", m.group(2))
+        return ("isin", (m.group(1), vals))
+    m = _EQ_RE.match(clause)
+    if m:
+        return ("eq", (m.group(1), m.group(2)))
+    m = _CMP_RE.match(clause)
+    if m:
+        return ("cmp", (m.group(1), m.group(2), float(m.group(3))))
+    raise ValueError(f"unsupported CQL clause: {clause!r}")
+
+
+def _parse_factor(s: str, i: int):
+    i = _skip_ws(s, i)
+    if i >= len(s):
+        raise ValueError("empty CQL factor")
+    if _word_at(s, i) == "NOT":
+        child, i = _parse_factor(s, i + 3)
+        return ("not", child), i
+    if s[i] == "(":
+        node, i = _parse_expr(s, i + 1)
+        i = _skip_ws(s, i)
+        if i >= len(s) or s[i] != ")":
+            raise ValueError("unbalanced parentheses in CQL")
+        return node, i + 1
+    clause, i = _scan_leaf(s, i)
+    if not clause:
+        raise ValueError(f"unparseable CQL at offset {i}")
+    return ("leaf", _parse_tree_leaf(clause)), i
+
+
+def _parse_term(s: str, i: int):
+    node, i = _parse_factor(s, i)
+    kids = [node]
+    while True:
+        i = _skip_ws(s, i)
+        if _word_at(s, i) == "AND":
+            nxt, i = _parse_factor(s, i + 3)
+            kids.append(nxt)
+        else:
+            break
+    return (kids[0] if len(kids) == 1 else ("and", kids)), i
+
+
+def _parse_expr(s: str, i: int):
+    node, i = _parse_term(s, i)
+    kids = [node]
+    while True:
+        i = _skip_ws(s, i)
+        if _word_at(s, i) == "OR":
+            nxt, i = _parse_term(s, i + 2)
+            kids.append(nxt)
+        else:
+            break
+    return (kids[0] if len(kids) == 1 else ("or", kids)), i
+
+
+def parse_cql_tree(expr: str):
+    """Full-grammar CQL parse -> boolean filter tree."""
+    node, i = _parse_expr(expr, 0)
+    i = _skip_ws(expr, i)
+    if i != len(expr):
+        raise ValueError(f"trailing CQL input at offset {i}: {expr[i:]!r}")
+    return node
+
+
+def tree_columns(node) -> set:
+    """Attribute columns a tree's leaves reference (beyond derived
+    geometry/time) — what the scan must project."""
+    tag = node[0]
+    if tag in ("and", "or"):
+        out: set = set()
+        for c in node[1]:
+            out |= tree_columns(c)
+        return out
+    if tag == "not":
+        return tree_columns(node[1])
+    kind, data = node[1]
+    if kind in ("eq", "isin", "between"):
+        return {data[0]}
+    if kind == "cmp":
+        return {data[0]}
+    return set()
+
+
+def eval_tree(node, batch, lon, lat, dtg_s):
+    """Evaluate a filter tree to one boolean mask over the batch —
+    vectorized per leaf, composed with numpy logical ops. Null attribute
+    values evaluate False (and stay False under NOT of the overall
+    row-mask only at the leaf level — matching SQL-ish two-valued
+    semantics the rest of the engine uses)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    tag = node[0]
+    if tag == "and":
+        m = eval_tree(node[1][0], batch, lon, lat, dtg_s)
+        for c in node[1][1:]:
+            m = m & eval_tree(c, batch, lon, lat, dtg_s)
+        return m
+    if tag == "or":
+        m = eval_tree(node[1][0], batch, lon, lat, dtg_s)
+        for c in node[1][1:]:
+            m = m | eval_tree(c, batch, lon, lat, dtg_s)
+        return m
+    if tag == "not":
+        return ~eval_tree(node[1], batch, lon, lat, dtg_s)
+    kind, data = node[1]
+    n = batch.num_rows
+    if kind == "bbox":
+        x0, x1, y0, y1 = data
+        return (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
+    if kind == "interval":
+        t0, t1 = data
+        m = np.ones(n, dtype=bool)
+        if t0 is not None:
+            m &= dtg_s >= t0
+        if t1 is not None:
+            m &= dtg_s <= t1
+        return m
+    if kind == "eq":
+        col, val = data
+        eq = pc.fill_null(pc.equal(batch.column(col), val), False)
+        return eq.to_numpy(zero_copy_only=False).astype(bool)
+    if kind == "isin":
+        col, vals = data
+        hit = pc.fill_null(
+            pc.is_in(batch.column(col),
+                     value_set=pa.array(vals, pa.string())), False)
+        return hit.to_numpy(zero_copy_only=False).astype(bool)
+    if kind == "cmp":
+        col, op, val = data
+        x = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        if op == "<":
+            return x < val
+        if op == "<=":
+            return x <= val
+        if op == ">":
+            return x > val
+        if op == ">=":
+            return x >= val
+        if op == "=":
+            return x == val
+        return x != val  # <>
+    if kind == "between":
+        col, lo, hi = data
+        x = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return (x >= lo) & (x <= hi)
+    if kind == "intersects":
+        from geomesa_ray.geom.kernels import points_in_rings
+
+        m = np.zeros(n, dtype=bool)
+        for ring_set in data:
+            m |= points_in_rings(lon, lat, ring_set)
+        return m
+    if kind == "dwithin":
+        from geomesa_ray.geom.kernels import haversine_m
+
+        plon, plat, dist = data
+        return haversine_m(lon, lat, plon, plat) <= dist
+    raise ValueError(f"unknown leaf kind {kind!r}")

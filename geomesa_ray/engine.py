@@ -74,8 +74,42 @@ class GeoMesaRayEngine:
         query language (GeoTools ECQL parse -> QueryFilterSplitter).
         BBOX/time/id/attr clauses go through the cost-based planner;
         INTERSECTS dispatches the PIP join against the WKT geometry;
-        DWITHIN dispatches the proximity join. See geomesa_ray.cql for
-        the supported grammar."""
+        DWITHIN dispatches the proximity join. Expressions beyond that
+        planner subset — NOT, nested parenthesized boolean trees,
+        numeric comparisons, BETWEEN — fall back to a full scan with
+        ONE fused vectorized filter-tree mask (the reference's
+        refine-only execution when no index strategy applies). See
+        geomesa_ray.cql for both grammars."""
+        from geomesa_ray.cql import parse_cql, split_or
+        from geomesa_ray.pipelines.proximity import id_setop
+
+        try:
+            return self._cql_planner(expr, limit)
+        except ValueError:
+            return self._cql_tree_scan(expr, limit)
+
+    def _cql_tree_scan(self, expr: str,
+                       limit: int | None = None) -> ray.data.Dataset:
+        """Full-grammar CQL: scan + fused boolean-tree mask per batch."""
+        from geomesa_ray.cql import eval_tree, parse_cql_tree, tree_columns
+        from geomesa_ray.sources.io import read_images
+        from geomesa_ray.stages.derive import phash_to_dtg_s, phash_to_lonlat
+
+        tree = parse_cql_tree(expr)
+        cols = sorted({"image_id", "phash"} | tree_columns(tree))
+
+        def fn(batch: pa.Table) -> pa.Table:
+            ph = batch.column("phash").to_numpy(zero_copy_only=False)
+            lon, lat = phash_to_lonlat(ph)
+            m = eval_tree(tree, batch, lon, lat, phash_to_dtg_s(ph))
+            return batch.filter(pa.array(m)).select(["image_id"])
+
+        out = read_images(self.fixture_dir, columns=cols) \
+            .map_batches(fn, batch_format="pyarrow")
+        return out.limit(limit) if limit is not None else out
+
+    def _cql_planner(self, expr: str,
+                     limit: int | None = None) -> ray.data.Dataset:
         from geomesa_ray.cql import parse_cql, split_or
         from geomesa_ray.pipelines.proximity import id_setop
 

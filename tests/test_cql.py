@@ -158,6 +158,99 @@ class TestCqlConjuncts:
         assert both < near and both < inter  # genuinely conjoined
 
 
+class TestCqlTree:
+    """Full-grammar CQL (NOT / nested parens / numeric / BETWEEN) —
+    execution equivalence against the planner path and set algebra,
+    mirroring the reference's FilterHelper normalization semantics."""
+
+    def _ids(self, eng, expr):
+        return {r["image_id"] for r in eng.cql(expr).take_all()}
+
+    def _all_ids(self, eng):
+        return self._ids(eng, "dtg AFTER 1970-01-01")
+
+    def test_parse_nested_not_between(self):
+        from geomesa_ray.cql import parse_cql_tree
+
+        t = parse_cql_tree("NOT (BBOX(geom, 0, 0, 1, 1) OR fmt = 'png') "
+                           "AND w BETWEEN 3 AND 6")
+        assert t[0] == "and" and t[1][0][0] == "not"
+        with pytest.raises(ValueError):
+            parse_cql_tree("BBOX(geom, 0, 0, 1, 1) AND")
+        with pytest.raises(ValueError):
+            parse_cql_tree("(BBOX(geom, 0, 0, 1, 1)")
+
+    def test_not_is_complement(self, ray_session, tiny_fixtures):
+        from geomesa_ray.engine import GeoMesaRayEngine
+
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        box = "BBOX(geom, -10, -5, 25, 30)"
+        inside = self._ids(eng, box)
+        outside = self._ids(eng, f"NOT {box}")
+        everything = self._all_ids(eng)
+        assert inside and outside
+        assert inside | outside == everything
+        assert inside & outside == set()
+
+    def test_parenthesized_or_under_and(self, ray_session, tiny_fixtures):
+        from geomesa_ray.engine import GeoMesaRayEngine
+
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        a = "BBOX(geom, -10, -5, 25, 30)"
+        b = "BBOX(geom, 5, 10, 40, 45)"
+        c = "dtg AFTER 2024-01-15"
+        got = self._ids(eng, f"({a} OR {b}) AND {c}")
+        want = (self._ids(eng, a) | self._ids(eng, b)) & self._ids(eng, c)
+        assert got == want and got
+
+    def test_numeric_comparison_and_between(self, ray_session,
+                                            tiny_fixtures):
+        import pyarrow.parquet as _pq
+
+        from geomesa_ray.engine import GeoMesaRayEngine
+        from geomesa_ray.sources.fixtures import gen_images_table
+
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        t = gen_images_table(6000)
+        ph = t.column("phash").to_numpy()
+        ids = t.column("image_id").to_pylist()
+        got = self._ids(eng, "phash < 0")
+        want = {i for i, p in zip(ids, ph) if p < 0}
+        assert got == want and got and got != set(ids)
+        got2 = self._ids(eng, "phash BETWEEN 0 AND 4611686018427387904")
+        want2 = {i for i, p in zip(ids, ph) if 0 <= p <= 4611686018427387904}
+        assert got2 == want2 and got2
+
+    def test_mixed_spatial_and_numeric(self, ray_session, tiny_fixtures):
+        from geomesa_ray.engine import GeoMesaRayEngine
+
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        box = "BBOX(geom, -10, -5, 25, 30)"
+        got = self._ids(eng, f"{box} AND phash < 0")
+        want = self._ids(eng, box) & self._ids(eng, "phash < 0")
+        assert got == want and got
+
+    def test_not_intersects_via_tree(self, ray_session, tiny_fixtures):
+        """NOT over a geometry predicate: tree path evaluates the same
+        PIP kernel the join uses, so complement holds exactly."""
+        from geomesa_ray.engine import GeoMesaRayEngine
+
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        wkt = "POLYGON ((-30 -20, 10 -20, 10 20, -30 20, -30 -20))"
+        inter = self._ids(eng, f"INTERSECTS(geom, {wkt})")
+        comp = self._ids(eng, f"NOT INTERSECTS(geom, {wkt})")
+        assert inter | comp == self._all_ids(eng)
+        assert inter & comp == set()
+
+    def test_between_absorbs_its_and(self, ray_session, tiny_fixtures):
+        from geomesa_ray.engine import GeoMesaRayEngine
+
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        # the BETWEEN's AND must not split the conjunction
+        got = self._ids(eng, "phash BETWEEN -1e19 AND 1e19 AND fmt = 'raw'")
+        assert got == self._ids(eng, "fmt = 'raw'") and got
+
+
 class TestCqlOr:
     def test_or_of_bboxes_matches_union(self, ray_session, tiny_fixtures):
         from geomesa_ray.engine import GeoMesaRayEngine
