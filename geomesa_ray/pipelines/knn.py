@@ -121,10 +121,13 @@ def knn_indexed(store_dir: str, probes: pa.Table | None = None,
     of the newly-needed partitions for all still-active probes (never
     re-reading a bucket, partitions never loaded on the driver), and each
     read batch runs ONE vectorized (active-probes x rows) distance pass
-    that emits per-probe partial top-k rows — the driver only merges the
-    bounded O(active x k x n_blocks) partials into array-based candidate
-    state. Exactly matches the full-scan planar ``knn()`` (verified in
-    tests, incl. a 10^3-probe run). Returns an arrow Table.
+    that emits per-probe partial top-k rows. The partials merge into the
+    per-probe candidate state in a DISTRIBUTED ``groupby(part-of-probe)``
+    stage (state = a bounded materialized Dataset of ranked candidate
+    rows, <= probes x (k + kth-ties)); the driver reads back ONLY the
+    rank-k row per probe — the kth distance its termination rule needs —
+    plus the final result. Exactly matches the full-scan planar ``knn()``
+    (verified in tests, incl. a 10^3-probe run). Returns an arrow Table.
 
     Probe sets beyond ``probe_wave_size`` run as sequential WAVES: the
     per-batch distance matrix is (active x batch_rows), so an unbounded
@@ -168,10 +171,54 @@ def knn_indexed(store_dir: str, probes: pa.Table | None = None,
     px, py = lonlat_to_xy(plon, plat, blevel, blevel)
     existing = {int(b) for b in completed_partitions(store_dir)}
 
-    # per-probe candidate state: parallel (dist, image_id) ARRAYS kept at
-    # <= k (+ kth-distance ties) — no per-probe Python tuple lists
-    cand_d: list[np.ndarray] = [np.empty(0)] * npr
-    cand_i: list[np.ndarray] = [np.empty(0, dtype=object)] * npr
+    # distributed candidate state: (aidx, image_id, dist, rank, part)
+    # rows, <= k + kth-ties per probe, hash-bucketed by probe — merged
+    # in a groupby stage each iteration, never gathered on the driver
+    state: ray.data.Dataset | None = None
+    kth_of: dict[int, float] = {}  # rank-k distance per filled probe
+    n_parts = 16
+    pk_i64 = pk.astype(np.int64)
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        """Per-probe exact merge: sort by (dist, id), keep k + kth-dist
+        ties, emit rank 1..n — vectorized over the group's probes."""
+        aidx = group.column("aidx").to_numpy(zero_copy_only=False)
+        dist = group.column("dist").to_numpy(zero_copy_only=False)
+        ids_col = group.column("image_id")
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
+        ids = np.asarray(ids_col.to_pylist(), dtype=object)
+        order = np.lexsort((ids, dist, aidx))
+        aidx, dist, ids = aidx[order], dist[order], ids[order]
+        starts = np.nonzero(np.diff(aidx, prepend=aidx[0] - 1))[0] \
+            if len(aidx) else np.empty(0, np.int64)
+        keep_idx, ranks = [], []
+        ends = np.append(starts[1:], len(aidx))
+        for s, e in zip(starts, ends):
+            k = int(pk_i64[aidx[s]])
+            cut = e - s
+            if cut > k:
+                kd = dist[s + k - 1]
+                cut = k
+                while s + cut < e and dist[s + cut] == kd:
+                    cut += 1
+            keep_idx.append(np.arange(s, s + cut))
+            ranks.append(np.arange(1, cut + 1, dtype=np.int64))
+        if not keep_idx:
+            return pa.table({"aidx": pa.array([], pa.int64()),
+                             "image_id": pa.array([], pa.string()),
+                             "dist": pa.array([], pa.float64()),
+                             "rank": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int64())})
+        sel = np.concatenate(keep_idx)
+        return pa.table({
+            "aidx": pa.array(aidx[sel]),
+            "image_id": pa.array(ids[sel].tolist(), pa.string()),
+            "dist": pa.array(dist[sel]),
+            "rank": pa.array(np.concatenate(ranks)),
+            "part": pa.array(aidx[sel] % np.int64(n_parts)),
+        })
+
     read_buckets: set[int] = set()
     active = set(range(npr))
     ring = 0
@@ -213,10 +260,10 @@ def knn_indexed(store_dir: str, probes: pa.Table | None = None,
                      for b in sorted(new)]
             act = np.array(sorted(active), dtype=np.int64)
             ref = ray.put((plon[act], plat[act],
-                           pk[act].astype(np.int64)))
+                           pk[act].astype(np.int64), act))
 
             def ring_partial(batch: pa.Table) -> pa.Table:
-                alon, alat, apk = resolve_broadcast(ref)
+                alon, alat, apk, act_ = resolve_broadcast(ref)
                 lon = batch.column("lon").to_numpy(zero_copy_only=False)
                 lat = batch.column("lat").to_numpy(zero_copy_only=False)
                 if metric == "haversine":
@@ -236,57 +283,49 @@ def knn_indexed(store_dir: str, probes: pa.Table | None = None,
                         sel = np.nonzero(da <= thresh)[0]
                     else:
                         sel = np.arange(n)
-                    out_a.append(np.full(len(sel), ai, dtype=np.int64))
+                    out_a.append(np.full(len(sel), act_[ai], dtype=np.int64))
                     out_i.append(sel)
                     out_d.append(da[sel])
                 ids_col = batch.column("image_id")
                 if isinstance(ids_col, pa.ChunkedArray):
                     ids_col = ids_col.combine_chunks()
+                aidx = np.concatenate(out_a)
                 return pa.table({
-                    "aidx": pa.array(np.concatenate(out_a)),
+                    "aidx": pa.array(aidx),
                     "image_id": ids_col.take(pa.array(np.concatenate(out_i))),
                     "dist": pa.array(np.concatenate(out_d)),
+                    "rank": pa.array(np.zeros(len(aidx), np.int64)),
+                    "part": pa.array(aidx % np.int64(n_parts)),
                 })
 
             parts = ray.data.read_parquet(
                 paths, columns=["image_id", "lon", "lat"]
             ).map_batches(ring_partial, batch_format="pyarrow",
                           batch_size=65536)
-            t = pa.concat_tables(ray.get(parts.to_arrow_refs()))
-            aidx = t.column("aidx").to_numpy(zero_copy_only=False)
-            dist = t.column("dist").to_numpy(zero_copy_only=False)
-            ids = np.asarray(t.column("image_id").to_pylist(), dtype=object)
-            # group the bounded partials by probe and merge into the
-            # candidate arrays (sort by (dist, id), keep k + kth ties)
-            order = np.argsort(aidx, kind="stable")
-            aidx, dist, ids = aidx[order], dist[order], ids[order]
-            starts = np.searchsorted(aidx, np.arange(len(act) + 1))
-            for ai in range(len(act)):
-                s, e = starts[ai], starts[ai + 1]
-                if s == e:
-                    continue
-                p = int(act[ai])
-                k = int(pk[p])
-                md = np.concatenate([cand_d[p], dist[s:e]])
-                mi = np.concatenate([cand_i[p], ids[s:e]])
-                o = np.lexsort((mi, md))
-                md, mi = md[o], mi[o]
-                if len(md) > k:
-                    kd = md[k - 1]
-                    cut = k
-                    while cut < len(md) and md[cut] == kd:
-                        cut += 1
-                    md, mi = md[:cut], mi[:cut]
-                cand_d[p], cand_i[p] = md, mi
+            # distributed merge: bounded partials + previous state,
+            # bucketed by probe — the driver never gathers candidates
+            merged = parts if state is None else parts.union(state)
+            state = merged.groupby("part") \
+                .map_groups(merge_topk, batch_format="pyarrow") \
+                .repartition(min(n_parts, 8)).materialize()
+
+            def rank_k_rows(batch: pa.Table) -> pa.Table:
+                aidx = batch.column("aidx").to_numpy(zero_copy_only=False)
+                rank = batch.column("rank").to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array(rank == pk_i64[aidx])) \
+                    .select(["aidx", "dist"])
+
+            kth_of = {int(r["aidx"]): float(r["dist"])
+                      for r in state.map_batches(
+                          rank_k_rows, batch_format="pyarrow").take_all()}
         # termination (the reference's cell-min-dist > kth-dist rule):
         # rings 0..ring_hi are read, so any unread point sits in a cell
         # at chebyshev > ring_hi — at least ring_hi cells away in lat OR
         # in lon.
         for p in list(active):
-            k = int(pk[p])
-            if len(cand_d[p]) < k:
-                continue
-            kth = float(cand_d[p][k - 1])
+            if p not in kth_of:
+                continue  # fewer than k candidates so far
+            kth = kth_of[p]
             if metric == "haversine":
                 # provable haversine lower bounds for unread points: from
                 # a = sin2(dphi/2) + cos*cos*sin2(dlam/2),
@@ -321,13 +360,32 @@ def knn_indexed(store_dir: str, probes: pa.Table | None = None,
                     active.discard(p)
         ring = ring_hi + 1
 
-    out_p, out_i, out_r = [], [], []
-    for p in range(npr):
-        take = min(int(pk[p]), len(cand_d[p]))  # arrays already sorted
-        for r in range(take):
-            out_p.append(pids[p])
-            out_i.append(cand_i[p][r])
-            out_r.append(r + 1)
-    return pa.table({"probe_id": pa.array(out_p, pa.string()),
-                     "image_id": pa.array(out_i, pa.string()),
-                     "knn_rank": pa.array(out_r, pa.int64())})
+    # the ranked state IS the result (<= probes x k rows): trim ties
+    # beyond rank k, map aidx -> probe_id, order by (probe, rank)
+    if state is None:
+        return pa.table({"probe_id": pa.array([], pa.string()),
+                         "image_id": pa.array([], pa.string()),
+                         "knn_rank": pa.array([], pa.int64())})
+    # the RESULT set (bounded at probes x k rows); empty repartition
+    # blocks carry a null schema — drop them before concat
+    blocks = [b for b in ray.get(state.to_arrow_refs()) if b.num_columns]
+    if not blocks:
+        return pa.table({"probe_id": pa.array([], pa.string()),
+                         "image_id": pa.array([], pa.string()),
+                         "knn_rank": pa.array([], pa.int64())})
+    t = pa.concat_tables(blocks)
+    aidx = t.column("aidx").to_numpy(zero_copy_only=False)
+    rank = t.column("rank").to_numpy(zero_copy_only=False)
+    t = t.filter(pa.array(rank <= pk_i64[aidx]))
+    aidx = t.column("aidx").to_numpy(zero_copy_only=False)
+    rank = t.column("rank").to_numpy(zero_copy_only=False)
+    order = np.lexsort((rank, aidx))
+    ids_col = t.column("image_id")
+    if isinstance(ids_col, pa.ChunkedArray):
+        ids_col = ids_col.combine_chunks()
+    pid_lookup = pa.array(pids, pa.string())
+    return pa.table({
+        "probe_id": pid_lookup.take(pa.array(aidx[order])),
+        "image_id": ids_col.take(pa.array(order)),
+        "knn_rank": pa.array(rank[order]),
+    })

@@ -102,41 +102,117 @@ def tile_assignment(fixture_dir: str, level: int = DEFAULT_TILE_LEVEL) -> ray.da
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
-def mosaic(fixture_dir: str, level: int = DEFAULT_TILE_LEVEL,
-           w: int = 8, h: int = 8) -> ray.data.Dataset:
-    """Per-tile mosaic: mean of member images' pixels (uint8 canvas) +
-    member count.
+CHUNK_PX = 8                       # fixture chunks are 8x8 RGB
+CHUNK_RES_DEG = 360.0 / (256 * 8)  # native ground resolution per pixel
 
-    Shape: tiles are SPARSE relative to rows (at level 8, ~1 row per tile
-    per batch), so per-batch partial sums don't shrink anything and
-    float64 sums would inflate shuffle bytes 8x. Instead the raw payload
+
+def mosaic(fixture_dir: str, level: int = DEFAULT_TILE_LEVEL,
+           canvas: int = 32,
+           res_deg: float = CHUNK_RES_DEG) -> ray.data.Dataset:
+    """Per-tile mosaic by TRUE CANVAS COMPOSITION — the reference's
+    ``RasterUtils.mosaicChunks`` semantics
+    (``geomesa-raster/.../util/RasterUtils.scala:101-162``): each member
+    chunk is positioned onto the tile's canvas at its georeferenced
+    OFFSET and SCALED from its native resolution to the canvas
+    resolution (nearest-neighbor, the integer-exact analog of the
+    reference's Graphics2D scaling), cropped to the tile extent. Chunks
+    draw in image_id order (a deterministic stand-in for the
+    reference's chunk iteration order) — later chunks overwrite where
+    footprints overlap, exactly like drawImage onto the shared canvas.
+
+    Data model: a chunk's footprint is an ``8 x 8`` pixel square of
+    ``res_deg`` degrees per pixel centered on its georeferenced point;
+    a chunk is drawn into EVERY tile its footprint intersects (the
+    keyed explosion below), so tile seams are consistent.
+
+    Shape: tiles are SPARSE relative to rows, so the raw payload
     shuffles ONCE keyed by a tile-prefix bucket (the honest co-location
-    cost of mosaicking), and each bucket does a vectorized segmented
-    reduction (sort + np.add.reduceat) over all its tiles — a few hundred
-    bucket UDF calls, not one per tile.
+    cost of mosaicking); each bucket composes all its tiles' canvases.
+    Returns (level, tile, n_images, tile_bytes) with
+    ``canvas x canvas x 3`` uint8 canvases.
     """
-    nb = w * h * 3
+    n = 1 << level
+    tw = 360.0 / n
+    th = 180.0 / n
+    half = (CHUNK_PX / 2.0) * res_deg
     bucket_level = max(level - 4, 0)  # 4^4 = 256 tiles per bucket group
     shift = 2 * (level - bucket_level)
+    nb = canvas * canvas * 3
+
+    from geomesa_ray.curve.zorder import z2_encode
 
     def keyed(batch: pa.Table) -> pa.Table:
         b = derive_and_encode(batch, cell_level=level)
-        cell = b.column("cell")
-        bucket = pa.array(cell.to_numpy(zero_copy_only=False) >> np.int64(shift))
-        return pa.table({"tile": cell, "bucket": bucket,
-                         "bytes": b.column("bytes")})
+        lon = b.column("lon").to_numpy(zero_copy_only=False)
+        lat = b.column("lat").to_numpy(zero_copy_only=False)
+        # tile index ranges the footprint touches (clipped to the grid)
+        ix0 = np.clip(((lon - half + 180.0) / tw).astype(np.int64), 0, n - 1)
+        ix1 = np.clip(((lon + half + 180.0) / tw).astype(np.int64), 0, n - 1)
+        iy0 = np.clip(((lat - half + 90.0) / th).astype(np.int64), 0, n - 1)
+        iy1 = np.clip(((lat + half + 90.0) / th).astype(np.int64), 0, n - 1)
+        span = ((ix1 - ix0 + 1) * (iy1 - iy0 + 1)).astype(np.int64)
+        rep = np.repeat(np.arange(len(lon), dtype=np.int64), span)
+        # per-copy (tx, ty) via a vectorized within-footprint counter
+        offs = np.concatenate([[0], np.cumsum(span)])
+        local = np.arange(len(rep), dtype=np.int64) - offs[rep]
+        ncols = (ix1 - ix0 + 1)[rep]
+        tx = ix0[rep] + (local % ncols)
+        ty = iy0[rep] + (local // ncols)
+        tile = z2_encode(tx.astype(np.uint64),
+                         ty.astype(np.uint64)).view(np.int64)
+        ids = b.column("image_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        byt = b.column("bytes")
+        if isinstance(byt, pa.ChunkedArray):
+            byt = byt.combine_chunks()
+        take = pa.array(rep)
+        return pa.table({
+            "tile": pa.array(tile),
+            "bucket": pa.array(tile >> np.int64(shift)),
+            "image_id": ids.take(take),
+            "bytes": byt.take(take),
+            "lon": pa.array(lon[rep]),
+            "lat": pa.array(lat[rep]),
+        })
 
-    def combine(group: pa.Table) -> pa.Table:
+    def compose(group: pa.Table) -> pa.Table:
         from geomesa_ray.util import binary_column_to_matrix
 
         tile = group.column("tile").to_numpy(zero_copy_only=False)
-        px = binary_column_to_matrix(group.column("bytes"), nb).astype(np.float64)
-        order = np.argsort(tile, kind="stable")
+        lon = group.column("lon").to_numpy(zero_copy_only=False)
+        lat = group.column("lat").to_numpy(zero_copy_only=False)
+        ids = np.asarray(group.column("image_id").to_pylist(), dtype=object)
+        px = binary_column_to_matrix(
+            group.column("bytes"), CHUNK_PX * CHUNK_PX * 3
+        ).reshape(-1, CHUNK_PX, CHUNK_PX, 3)
+        order = np.lexsort((ids, tile))  # per tile, draw in id order
         tile_s = tile[order]
         uniq, start = np.unique(tile_s, return_index=True)
-        tot = np.add.reduceat(px[order], start, axis=0)
-        cnt = np.diff(np.append(start, len(tile_s)))
-        canvases = np.round(tot / cnt[:, None]).astype(np.uint8)
+        ends = np.append(start[1:], len(tile_s))
+        canvases = np.zeros((len(uniq), canvas, canvas, 3), dtype=np.uint8)
+        half_px = half  # footprint half-width in degrees
+        for t_i, (s, e) in enumerate(zip(start, ends)):
+            tz = int(uniq[t_i])
+            from geomesa_ray.curve.zorder import z2_decode
+
+            tx, ty = z2_decode(np.uint64(tz))
+            tx0 = -180.0 + float(tx) * tw
+            ty1 = -90.0 + (float(ty) + 1.0) * th
+            # geo coords of canvas pixel centers (row 0 = top)
+            xs = tx0 + (np.arange(canvas) + 0.5) * (tw / canvas)
+            ys = ty1 - (np.arange(canvas) + 0.5) * (th / canvas)
+            for gi in order[s:e]:
+                x0 = lon[gi] - half_px
+                y1 = lat[gi] + half_px
+                sc = np.floor((xs - x0) / res_deg).astype(np.int64)
+                sr = np.floor((y1 - ys) / res_deg).astype(np.int64)
+                vc = np.nonzero((sc >= 0) & (sc < CHUNK_PX))[0]
+                vr = np.nonzero((sr >= 0) & (sr < CHUNK_PX))[0]
+                if len(vc) == 0 or len(vr) == 0:
+                    continue
+                canvases[t_i][np.ix_(vr, vc)] = px[gi][np.ix_(sr[vr], sc[vc])]
+        cnt = (ends - start).astype(np.int64)
         offsets = pa.array(np.arange(len(uniq) + 1, dtype=np.int32) * nb)
         tile_bytes = pa.BinaryArray.from_buffers(
             pa.binary(), len(uniq),
@@ -145,10 +221,11 @@ def mosaic(fixture_dir: str, level: int = DEFAULT_TILE_LEVEL,
         return pa.table({
             "level": pa.array(np.full(len(uniq), level, dtype=np.int64)),
             "tile": pa.array(uniq),
-            "n_images": pa.array(cnt.astype(np.int64)),
+            "n_images": pa.array(cnt),
             "tile_bytes": tile_bytes,
         })
 
-    ds = read_images(fixture_dir, columns=["bytes", "phash"])
+    ds = read_images(fixture_dir, columns=["image_id", "bytes", "phash"])
     keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
-    return keyed_ds.groupby("bucket").map_groups(combine, batch_format="pyarrow")
+    return keyed_ds.groupby("bucket").map_groups(compose,
+                                                 batch_format="pyarrow")

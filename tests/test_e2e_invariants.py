@@ -11,25 +11,73 @@ from geomesa_ray.stages.image_ops import psnr
 
 
 class TestMosaicOracle:
-    def test_tile_pixels_match_mean_oracle(self, ray_session, tiny_fixtures):
-        from geomesa_ray.curve.sfc import Z2Grid
+    def _canvas_oracle(self, level, canvas, res_deg):
+        """Independent SCALAR re-implementation of mosaicChunks canvas
+        composition: per tile, walk members in image_id order, draw each
+        chunk pixel-by-pixel at its georeferenced offset + scale."""
         from geomesa_ray.stages.derive import phash_to_lonlat
 
-        rows = mosaic(tiny_fixtures, level=4).take_all()
         ref = gen_images_table(6000)
         lon, lat = phash_to_lonlat(ref.column("phash").to_numpy())
-        cells = np.asarray(Z2Grid(4).encode(lon, lat))
-        bufs = ref.column("bytes").to_pylist()
-        checked = 0
-        for r in rows[:20]:
-            members = np.nonzero(cells == r["tile"])[0]
-            assert len(members) == r["n_images"]
-            px = np.stack([np.frombuffer(bufs[i], np.uint8) for i in members])
-            want = px.mean(axis=0).round().astype(np.uint8)
+        ids = ref.column("image_id").to_pylist()
+        bufs = [np.frombuffer(b, np.uint8).reshape(8, 8, 3)
+                for b in ref.column("bytes").to_pylist()]
+        n = 1 << level
+        tw, th = 360.0 / n, 180.0 / n
+        half = 4.0 * res_deg
+        tiles = {}
+        from geomesa_ray.curve.zorder import z2_encode
+
+        for i in range(len(ids)):
+            ix0 = int(np.clip((lon[i] - half + 180.0) // tw, 0, n - 1))
+            ix1 = int(np.clip((lon[i] + half + 180.0) // tw, 0, n - 1))
+            iy0 = int(np.clip((lat[i] - half + 90.0) // th, 0, n - 1))
+            iy1 = int(np.clip((lat[i] + half + 90.0) // th, 0, n - 1))
+            for ty in range(iy0, iy1 + 1):
+                for tx in range(ix0, ix1 + 1):
+                    tz = int(z2_encode(np.uint64(tx), np.uint64(ty)))
+                    tiles.setdefault(tz, []).append(i)
+        out = {}
+        for tz, members in tiles.items():
+            members = sorted(members, key=lambda i: ids[i])
+            from geomesa_ray.curve.zorder import z2_decode
+
+            tx, ty = z2_decode(np.uint64(tz))
+            tx0 = -180.0 + float(tx) * tw
+            ty1 = -90.0 + (float(ty) + 1.0) * th
+            cv = np.zeros((canvas, canvas, 3), np.uint8)
+            for i in members:
+                for r in range(canvas):
+                    y = ty1 - (r + 0.5) * (th / canvas)
+                    sr = int(np.floor((lat[i] + half - y) / res_deg))
+                    if not 0 <= sr < 8:
+                        continue
+                    for c in range(canvas):
+                        x = tx0 + (c + 0.5) * (tw / canvas)
+                        sc = int(np.floor((x - (lon[i] - half)) / res_deg))
+                        if 0 <= sc < 8:
+                            cv[r, c] = bufs[i][sr, sc]
+            out[tz] = (len(members), cv)
+        return out
+
+    def test_tile_pixels_match_canvas_oracle(self, ray_session,
+                                             tiny_fixtures):
+        level, canvas = 8, 32
+        from geomesa_ray.pipelines.tiles import CHUNK_RES_DEG
+
+        rows = mosaic(tiny_fixtures, level=level, canvas=canvas).take_all()
+        want = self._canvas_oracle(level, canvas, CHUNK_RES_DEG)
+        assert {r["tile"] for r in rows} == set(want)
+        checked = drew = 0
+        for r in rows[:200]:
+            n_img, cv = want[r["tile"]]
+            assert r["n_images"] == n_img
             got = np.frombuffer(r["tile_bytes"], np.uint8)
-            assert psnr(got, want) == float("inf")
+            assert psnr(got, cv.ravel()) == float("inf")
+            if cv.any():
+                drew += 1
             checked += 1
-        assert checked == 20
+        assert checked == 200 and drew > 100  # canvases genuinely drawn
 
     def test_select_level(self):
         assert select_level([2, 4, 8], 6) == 4
