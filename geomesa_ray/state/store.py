@@ -563,12 +563,24 @@ def store_buckets_for_query(query: SpatialQuery, bucket_level: int) -> set[int]:
 def read_store(out_dir: str, query: SpatialQuery | None = None,
                bucket_level: int = DEFAULT_BUCKET_LEVEL,
                columns: list[str] | None = None,
-               version: int | None = None) -> ray.data.Dataset:
+               version: int | None = None,
+               auths: list[str] | None = None) -> ray.data.Dataset:
     """Scan the store; with a query, prunes partitions then applies the
     coarse+exact filters on the stored key columns. With ``version``,
     time-travels: reads the immutable files of that committed snapshot
     (the replay surface — see :func:`snapshot_store`). Partition pruning
-    stays valid across versions (bucket -> cell range is static)."""
+    stays valid across versions (bucket -> cell range is static).
+
+    ``auths``: authorization labels for a store whose rows carry a
+    ``vis`` visibility-expression column (see ``state.security``) —
+    rows whose expression the auth set does not satisfy are filtered
+    FIRST, before any query refinement, matching the reference's
+    server-side visibility evaluation
+    (``AuthorizationsProvider.scala`` / per-feature visibilities in
+    ``AccumuloFeatureWriter.scala:63-96``). ``auths=None`` skips the
+    filter entirely (the trusted-superuser path); pass ``[]`` to see
+    only public rows. When auths are given, the projection must keep
+    the ``vis`` column (enforced here by adding it to ``columns``)."""
     if version is not None:
         snap = read_snapshot(out_dir, version)
         files = {int(b): f for b, f in snap["files"].items()}
@@ -611,7 +623,13 @@ def read_store(out_dir: str, query: SpatialQuery | None = None,
         if query.t_end_s is not None:
             expr = expr & (_pc.field("dtg_s") <= query.t_end_s)
         read_kwargs["filter"] = expr
+    if auths is not None and columns is not None and "vis" not in columns:
+        columns = [*columns, "vis"]
     ds = ray.data.read_parquet(paths, columns=columns, **read_kwargs)
+    if auths is not None:
+        from geomesa_ray.state.security import apply_visibility
+
+        ds = apply_visibility(ds, auths)
     if query is not None:
         ds = ds.map_batches(_ScanFilter(plan_query(query)), batch_format="pyarrow")
     return ds
