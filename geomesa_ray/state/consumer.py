@@ -1,0 +1,108 @@
+"""Continuous-ingest consumer process — the live streaming surface.
+
+Reference parity: GeoMesa's Kafka data store runs a long-lived consumer
+that tails a topic and applies each record batch to the live feature
+cache (``LiveKafkaConsumerFeatureSource.scala:136-160``), with consumer
+OFFSETS making the process restartable and replay possible
+(``ReplayKafkaConsumerFeatureSource.scala:32-72``). This module is the
+file-landing-zone analog of that process — the shape object stores and
+CDC pipelines actually use at 100 TB (files land; a consumer tails the
+directory):
+
+- the "topic" is a landing directory that parquet files arrive in;
+- each poll discovers unconsumed files (offset analog: a commit log of
+  consumed file names under the store, written AFTER the append
+  commits, so a crash between append and log replays the file — safe,
+  because ``append_store`` upserts by image_id and replaying a batch is
+  a no-op);
+- each consumed batch is applied through :func:`append_store` (touched
+  buckets only) and commits a snapshot version, so
+  ``read_store(version=...)`` replays any generation and
+  ``read_store_changes`` is the CDC stream between polls.
+
+The poll loop itself is intentionally a plain driver loop (the consumer
+is a coordinator, not a data path): each applied batch fans out through
+the distributed append (shuffle by bucket, atomic partition rewrites).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+
+import pyarrow.parquet as pq
+
+INGEST_LOG = "_ingest_log.json"
+
+
+def consumed_files(store_dir: str) -> list[dict]:
+    """The consumer's commit log (offset analog): one entry per applied
+    file with rows + the snapshot version that committed it."""
+    path = os.path.join(store_dir, INGEST_LOG)
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return json.load(f)
+
+
+def _commit_log(store_dir: str, entries: list[dict]) -> None:
+    path = os.path.join(store_dir, INGEST_LOG)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(entries, f)
+    os.replace(tmp, path)
+
+
+def poll_once(incoming_dir: str, store_dir: str,
+              pattern: str = "*.parquet") -> list[dict]:
+    """Discover-and-apply one poll: every landed file not yet in the
+    commit log is appended (in name order — the deterministic offset
+    order) and logged. Returns the new log entries."""
+    from geomesa_ray.state.store import append_store
+
+    log = consumed_files(store_dir)
+    seen = {e["file"] for e in log}
+    new = []
+    for path in sorted(glob.glob(os.path.join(incoming_dir, pattern))):
+        name = os.path.basename(path)
+        if name in seen:
+            continue
+        t = pq.read_table(path)
+        out = append_store(store_dir, t, snapshot=True)
+        entry = {"file": name, "rows": t.num_rows,
+                 "snapshot_version": out.get("snapshot_version"),
+                 "touched_buckets": out.get("touched_buckets")}
+        log.append(entry)
+        _commit_log(store_dir, log)  # after the append commits
+        new.append(entry)
+    return new
+
+
+def continuous_ingest(incoming_dir: str, store_dir: str,
+                      poll_interval_s: float = 1.0,
+                      max_polls: int | None = None,
+                      idle_polls_to_stop: int | None = None) -> dict:
+    """Run the consumer loop: poll the landing directory, apply new
+    files, sleep, repeat. Bounded by ``max_polls`` and/or
+    ``idle_polls_to_stop`` (consecutive empty polls) so tests and batch
+    jobs terminate; run unbounded in a real deployment. Restartable at
+    any time — the commit log skips consumed files."""
+    polls = applied = rows = 0
+    idle = 0
+    while True:
+        new = poll_once(incoming_dir, store_dir)
+        polls += 1
+        if new:
+            idle = 0
+            applied += len(new)
+            rows += sum(e["rows"] for e in new)
+        else:
+            idle += 1
+        if max_polls is not None and polls >= max_polls:
+            break
+        if idle_polls_to_stop is not None and idle >= idle_polls_to_stop:
+            break
+        time.sleep(poll_interval_s)
+    return {"polls": polls, "files_applied": applied, "rows_applied": rows}
