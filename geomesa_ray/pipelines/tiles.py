@@ -102,8 +102,11 @@ def tile_assignment(fixture_dir: str, level: int = DEFAULT_TILE_LEVEL) -> ray.da
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
-CHUNK_PX = 8                       # fixture chunks are 8x8 RGB
-CHUNK_RES_DEG = 360.0 / (256 * 8)  # native ground resolution per pixel
+CHUNK_PX = 8                        # fixture chunks are 8x8 RGB
+# native ground resolution per chunk pixel: a chunk footprint is 1/8 of
+# a level-8 tile (8 px x this res), so canvases composite several chunks
+# and a chunk paints a bounded ~(footprint/canvas-cell)^2 pixel window
+CHUNK_RES_DEG = 360.0 / (256 * 64)
 
 
 def mosaic(fixture_dir: str, level: int = DEFAULT_TILE_LEVEL,
@@ -170,49 +173,83 @@ def mosaic(fixture_dir: str, level: int = DEFAULT_TILE_LEVEL,
         return pa.table({
             "tile": pa.array(tile),
             "bucket": pa.array(tile >> np.int64(shift)),
+            "tx": pa.array(tx),
+            "ty": pa.array(ty),
             "image_id": ids.take(take),
             "bytes": byt.take(take),
             "lon": pa.array(lon[rep]),
             "lat": pa.array(lat[rep]),
         })
 
+    # candidate window: canvas rows/cols a footprint can cover (+slack
+    # for the floor/center rounding) — the exact per-candidate validity
+    # mask below discards the slack, so the window only bounds work
+    cell_w, cell_h = tw / canvas, th / canvas
+    kr = int(np.ceil(CHUNK_PX * res_deg / cell_h)) + 3
+    kc = int(np.ceil(CHUNK_PX * res_deg / cell_w)) + 3
+
     def compose(group: pa.Table) -> pa.Table:
+        """Fully vectorized canvas composition: every (member-copy,
+        canvas-pixel) candidate is generated in one broadcast pass, then
+        draw-order overwrite resolves as LAST-WRITER-WINS via one
+        lexsort over (tile, r, c, draw-rank) — no per-member Python
+        draw loop (measured 10.2 s -> vectorized at sf0.1)."""
         from geomesa_ray.util import binary_column_to_matrix
 
         tile = group.column("tile").to_numpy(zero_copy_only=False)
+        txs = group.column("tx").to_numpy(zero_copy_only=False)
+        tys = group.column("ty").to_numpy(zero_copy_only=False)
         lon = group.column("lon").to_numpy(zero_copy_only=False)
         lat = group.column("lat").to_numpy(zero_copy_only=False)
         ids = np.asarray(group.column("image_id").to_pylist(), dtype=object)
         px = binary_column_to_matrix(
             group.column("bytes"), CHUNK_PX * CHUNK_PX * 3
         ).reshape(-1, CHUNK_PX, CHUNK_PX, 3)
-        order = np.lexsort((ids, tile))  # per tile, draw in id order
-        tile_s = tile[order]
-        uniq, start = np.unique(tile_s, return_index=True)
-        ends = np.append(start[1:], len(tile_s))
+        uniq, tile_idx, cnt = np.unique(tile, return_inverse=True,
+                                        return_counts=True)
+        _, rank = np.unique(ids, return_inverse=True)  # draw order by id
         canvases = np.zeros((len(uniq), canvas, canvas, 3), dtype=np.uint8)
-        half_px = half  # footprint half-width in degrees
-        for t_i, (s, e) in enumerate(zip(start, ends)):
-            tz = int(uniq[t_i])
-            from geomesa_ray.curve.zorder import z2_decode
 
-            tx, ty = z2_decode(np.uint64(tz))
-            tx0 = -180.0 + float(tx) * tw
-            ty1 = -90.0 + (float(ty) + 1.0) * th
-            # geo coords of canvas pixel centers (row 0 = top)
-            xs = tx0 + (np.arange(canvas) + 0.5) * (tw / canvas)
-            ys = ty1 - (np.arange(canvas) + 0.5) * (th / canvas)
-            for gi in order[s:e]:
-                x0 = lon[gi] - half_px
-                y1 = lat[gi] + half_px
-                sc = np.floor((xs - x0) / res_deg).astype(np.int64)
-                sr = np.floor((y1 - ys) / res_deg).astype(np.int64)
-                vc = np.nonzero((sc >= 0) & (sc < CHUNK_PX))[0]
-                vr = np.nonzero((sr >= 0) & (sr < CHUNK_PX))[0]
-                if len(vc) == 0 or len(vr) == 0:
-                    continue
-                canvases[t_i][np.ix_(vr, vc)] = px[gi][np.ix_(sr[vr], sc[vc])]
-        cnt = (ends - start).astype(np.int64)
+        out_key, out_rank, out_rgb = [], [], []
+        B = 65536  # copy-block bound: (B x kr x kc) candidate arrays
+        for s in range(0, len(tile), B):
+            e = min(s + B, len(tile))
+            tx0 = -180.0 + txs[s:e].astype(np.float64) * tw
+            ty1 = -90.0 + (tys[s:e].astype(np.float64) + 1.0) * th
+            x0m = lon[s:e] - half
+            y1m = lat[s:e] + half
+            # first canvas row/col the footprint might touch
+            r0 = np.floor((ty1 - y1m) / cell_h - 0.5).astype(np.int64) - 1
+            c0 = np.floor((x0m - tx0) / cell_w - 0.5).astype(np.int64) - 1
+            rr = r0[:, None] + np.arange(kr)[None, :]            # (B, kr)
+            cc = c0[:, None] + np.arange(kc)[None, :]            # (B, kc)
+            y = ty1[:, None] - (rr + 0.5) * cell_h
+            x = tx0[:, None] + (cc + 0.5) * cell_w
+            sr = np.floor((y1m[:, None] - y) / res_deg).astype(np.int64)
+            sc = np.floor((x - x0m[:, None]) / res_deg).astype(np.int64)
+            okr = (rr >= 0) & (rr < canvas) & (sr >= 0) & (sr < CHUNK_PX)
+            okc = (cc >= 0) & (cc < canvas) & (sc >= 0) & (sc < CHUNK_PX)
+            ok = okr[:, :, None] & okc[:, None, :]               # (B,kr,kc)
+            ci, ri, cj = np.nonzero(ok)
+            if len(ci) == 0:
+                continue
+            g = ci + s
+            rv, cv = rr[ci, ri], cc[ci, cj]
+            out_key.append((tile_idx[g].astype(np.int64) * canvas + rv)
+                           * canvas + cv)
+            out_rank.append(rank[g])
+            out_rgb.append(px[g, sr[ci, ri], sc[ci, cj]])
+        if out_key:
+            key = np.concatenate(out_key)
+            rk = np.concatenate(out_rank)
+            rgb = np.concatenate(out_rgb)
+            order = np.lexsort((rk, key))
+            key, rgb = key[order], rgb[order]
+            last = np.append(key[1:] != key[:-1], True)  # last writer wins
+            key, rgb = key[last], rgb[last]
+            ti, rem = key // (canvas * canvas), key % (canvas * canvas)
+            canvases[ti, rem // canvas, rem % canvas] = rgb
+        cnt = cnt.astype(np.int64)
         offsets = pa.array(np.arange(len(uniq) + 1, dtype=np.int32) * nb)
         tile_bytes = pa.BinaryArray.from_buffers(
             pa.binary(), len(uniq),
