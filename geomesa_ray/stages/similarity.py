@@ -102,12 +102,44 @@ def topk_cosine(sf_dir: str, num_queries: int = 8, k: int = 10) -> ray.data.Data
     return gather_combine(parts, final)
 
 
+def kmeans_codebook(sample: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means coarse codebook: seeds = first k
+    sample rows, Lloyd iterations assigning by max cosine and
+    re-centering to the normalized mean (empty clusters keep their old
+    centroid). Fully deterministic (no RNG) so codebooks are
+    reproducible across runs/workers — the k-means the IVF docstrings
+    promise at scale, trained on a driver-side sample."""
+    cent = _normalize(sample[:k].copy())
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def _build_codebook(t, n_centroids: int, codebook: str,
+                    sample_rows: int = 4096) -> np.ndarray:
+    m = _normalize(_embedding_matrix(t.slice(0, max(
+        n_centroids, sample_rows if codebook == "kmeans" else n_centroids))))
+    if codebook == "kmeans":
+        return kmeans_codebook(m, n_centroids)
+    return m[:n_centroids]
+
+
 def topk_cosine_ivf(sf_dir: str, num_queries: int = 8, k: int = 10,
-                    n_centroids: int = 16, nprobe: int = 4) -> ray.data.Dataset:
+                    n_centroids: int = 16, nprobe: int = 4,
+                    codebook: str = "first") -> ray.data.Dataset:
     """IVF-bucketed approximate top-k cosine — the 10^12-row scale path.
 
-    A coarse codebook (here: the first ``n_centroids`` embeddings,
-    deterministic; at scale, k-means on a sample) is broadcast. Each query
+    A coarse codebook — ``codebook="first"`` (the first ``n_centroids``
+    embeddings, the oracle-frozen default) or ``codebook="kmeans"``
+    (deterministic spherical k-means on a leading sample,
+    :func:`kmeans_codebook`) — is broadcast. Each query
     selects its ``nprobe`` closest buckets driver-side; each batch then
     assigns its rows to buckets (one matmul against the codebook) and
     computes exact cosines ONLY for (query, row) pairs sharing a probed
@@ -120,7 +152,7 @@ def topk_cosine_ivf(sf_dir: str, num_queries: int = 8, k: int = 10,
 
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                       columns=["vec_id", "embedding"]).sort_by("vec_id")
-    cent = _normalize(_embedding_matrix(t.slice(0, n_centroids)))
+    cent = _build_codebook(t, n_centroids, codebook)
     qids = t.column("vec_id").to_numpy()[:num_queries]
     q = _normalize(_embedding_matrix(t.slice(0, num_queries)))
     # per-query probed buckets (driver-side, tiny)
@@ -187,7 +219,8 @@ def topk_cosine_ivf(sf_dir: str, num_queries: int = 8, k: int = 10,
 
 
 def embed_neardup(sf_dir: str, tau: float = 0.35, mode: str = "ivf",
-                  n_centroids: int = 16, assign: int = 4) -> ray.data.Dataset:
+                  n_centroids: int = 16, assign: int = 4,
+                  codebook: str = "first") -> ray.data.Dataset:
     """(vec_id_a, vec_id_b, cos): embedding pairs with cosine >= tau,
     a < b.
 
@@ -217,7 +250,8 @@ def embed_neardup(sf_dir: str, tau: float = 0.35, mode: str = "ivf",
     refs (never collected on the driver); one task per (block_i,
     block_j), i <= j; an unordered pair meets in exactly one task."""
     if mode == "ivf":
-        return _embed_neardup_ivf(sf_dir, tau, n_centroids, assign)
+        return _embed_neardup_ivf(sf_dir, tau, n_centroids, assign,
+                                  codebook=codebook)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def pack(batch: pa.Table) -> pa.Table:
@@ -271,14 +305,15 @@ def embed_neardup(sf_dir: str, tau: float = 0.35, mode: str = "ivf",
 
 
 def _embed_neardup_ivf(sf_dir: str, tau: float, n_centroids: int,
-                       assign: int, block: int = 8192) -> ray.data.Dataset:
+                       assign: int, block: int = 8192,
+                       codebook: str = "first") -> ray.data.Dataset:
     """IVF-bucketed near-dup (see :func:`embed_neardup`): one bucketed
     groupby shuffle of (bucket, row) — rows travel once per probed
     bucket — then a blocked within-bucket matmul per group."""
     assign = min(assign, n_centroids)
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                       columns=["vec_id", "embedding"]).sort_by("vec_id")
-    cent = _normalize(_embedding_matrix(t.slice(0, n_centroids)))
+    cent = _build_codebook(t, n_centroids, codebook)
     cent_ref = ray.put(cent)
 
     from geomesa_ray.util import resolve_broadcast

@@ -188,6 +188,39 @@ class TestSimilarity:
         assert set(got) == want
         assert len(got) == len(want)  # min-common-bucket rule: no dups
 
+    def test_kmeans_codebook_deterministic_and_valid(self):
+        from geomesa_ray.stages.similarity import kmeans_codebook
+
+        _, m = self._emb()
+        a = kmeans_codebook(m, 8)
+        b = kmeans_codebook(m, 8)
+        assert np.array_equal(a, b)  # no RNG anywhere
+        assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+        # k-means must not collapse: centroids stay distinct
+        assert len(np.unique(a.round(9), axis=0)) == 8
+
+    def test_embed_neardup_kmeans_codebook_recall(self, ray_session):
+        # the kmeans codebook is a drop-in: still a subset of the oracle
+        # pairs, exactly-once, with recall at least as usable as first-N
+        from geomesa_ray.stages.similarity import embed_neardup
+
+        rows = embed_neardup(SF, codebook="kmeans").take_all()
+        got = [(r["vec_id_a"], r["vec_id_b"]) for r in rows]
+        want = self._neardup_want()
+        assert set(got) <= want
+        assert len(got) == len(set(got))
+        assert len(got) >= 0.9 * len(want)
+
+    def test_topk_ivf_kmeans_full_probe_exact(self, ray_session):
+        from geomesa_ray.stages.similarity import topk_cosine, topk_cosine_ivf
+
+        exact = {(r["query_id"], r["sim_rank"], r["vec_id"])
+                 for r in topk_cosine(SF).take_all()}
+        ivf = {(r["query_id"], r["sim_rank"], r["vec_id"])
+               for r in topk_cosine_ivf(SF, n_centroids=8, nprobe=8,
+                                        codebook="kmeans").take_all()}
+        assert ivf == exact  # full probe: bucketing is lossless
+
     def test_embed_neardup_ivf_default_recall(self, ray_session):
         # default multi-probe: a subset of the oracle pairs, no dups, and
         # recall on this fixture's near-dup structure stays high
