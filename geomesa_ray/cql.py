@@ -57,6 +57,9 @@ _INTERSECTS_RE = re.compile(
 _DWITHIN_RE = re.compile(
     r"^DWITHIN\s*\(\s*geom\s*,\s*POINT\s*\(\s*([-\d.eE+]+)\s+([-\d.eE+]+)"
     r"\s*\)\s*,\s*([-\d.eE+]+)\s*,\s*meters\s*\)$", re.IGNORECASE)
+_BEYOND_RE = re.compile(
+    r"^BEYOND\s*\(\s*geom\s*,\s*POINT\s*\(\s*([-\d.eE+]+)\s+([-\d.eE+]+)"
+    r"\s*\)\s*,\s*([-\d.eE+]+)\s*,\s*meters\s*\)$", re.IGNORECASE)
 
 
 @dataclass
@@ -298,6 +301,11 @@ def _parse_tree_leaf(clause: str):
     if m:
         return ("dwithin", (float(m.group(1)), float(m.group(2)),
                             float(m.group(3))))
+    m = _BEYOND_RE.match(clause)
+    if m:
+        # BEYOND is the ECQL complement of DWITHIN (strictly farther)
+        return ("beyond", (float(m.group(1)), float(m.group(2)),
+                           float(m.group(3))))
     m = _INTERSECTS_RE.match(clause)
     if m:
         from geomesa_ray.geom.wkt import parse_wkt_geometry
@@ -467,9 +475,10 @@ def eval_tree(node, batch, lon, lat, dtg_s):
         for ring_set in data:
             m |= points_in_rings(lon, lat, ring_set)
         return m
-    if kind == "dwithin":
+    if kind in ("dwithin", "beyond"):
         from geomesa_ray.geom.kernels import haversine_m
 
         plon, plat, dist = data
-        return haversine_m(lon, lat, plon, plat) <= dist
+        d = haversine_m(lon, lat, plon, plat)
+        return d <= dist if kind == "dwithin" else d > dist
     raise ValueError(f"unknown leaf kind {kind!r}")

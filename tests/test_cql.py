@@ -242,6 +242,18 @@ class TestCqlTree:
         assert inter | comp == self._all_ids(eng)
         assert inter & comp == set()
 
+    def test_beyond_is_dwithin_complement(self, ray_session, tiny_fixtures):
+        from geomesa_ray.engine import GeoMesaRayEngine
+
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        near = self._ids(eng,
+                         "DWITHIN(geom, POINT(10.0 45.0), 1000000, meters)")
+        far = self._ids(eng,
+                        "BEYOND(geom, POINT(10.0 45.0), 1000000, meters)")
+        assert near and far
+        assert near | far == self._all_ids(eng)
+        assert near & far == set()
+
     def test_between_absorbs_its_and(self, ray_session, tiny_fixtures):
         from geomesa_ray.engine import GeoMesaRayEngine
 
