@@ -21,7 +21,8 @@ the geometry/DWithin predicates that dispatch to the join pipelines —
 Beyond that planner-dispatched subset, :func:`parse_cql_tree` parses the
 FULL boolean grammar — ``NOT``, arbitrarily nested parenthesized
 ``AND``/``OR`` trees, numeric comparisons (``<  <=  >  >=  =  <>``),
-and ``BETWEEN x AND y`` — into a filter tree that
+``BETWEEN x AND y``, and ``BEYOND(geom, POINT(x y), d, meters)`` (the
+DWITHIN complement) — into a filter tree that
 :func:`eval_tree` evaluates as one fused vectorized mask per batch
 (the refine-side execution GeoTools ``ECQL.toFilter`` trees get in the
 reference when no index applies). ``GeoMesaRayEngine.cql`` tries the

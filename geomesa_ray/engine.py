@@ -261,6 +261,28 @@ class GeoMesaRayEngine:
             raise ValueError("ingest_store(...) first")
         return append_store(self.store_dir, new_images)
 
+    def consume(self, incoming_dir: str, **kw) -> dict:
+        """Run the continuous-ingest consumer loop against a landing
+        directory (the live Kafka consumer analog — see
+        state.consumer)."""
+        from geomesa_ray.state.consumer import continuous_ingest
+
+        if self.store_dir is None:
+            raise ValueError("ingest_store(...) first")
+        return continuous_ingest(incoming_dir, self.store_dir, **kw)
+
+    def read_secured(self, auths: list[str],
+                     query: SpatialQuery | None = None,
+                     **kw) -> ray.data.Dataset:
+        """Store read under an authorization label set — rows whose
+        ``vis`` expression the auths don't satisfy are filtered before
+        any refinement (AuthorizationsProvider analog)."""
+        from geomesa_ray.state.store import read_store
+
+        if self.store_dir is None:
+            raise ValueError("ingest_store(...) first")
+        return read_store(self.store_dir, query, auths=auths, **kw)
+
     def proximity(self, lon, lat, ids, dist_m: float) -> ray.data.Dataset:
         from geomesa_ray.pipelines.proximity import proximity_join
 

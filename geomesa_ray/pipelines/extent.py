@@ -49,6 +49,44 @@ def derive_extents(batch: pa.Table) -> pa.Table:
     })
 
 
+def wkt_envelopes(batch: pa.Table, id_col: str = "region_id",
+                  wkt_col: str = "wkt") -> pa.Table:
+    """USER-GEOMETRY adapter: (id, WKT) rows -> the extent store's
+    canonical envelope schema (image_id, lon_min/max, lat_min/max).
+    WKT parsing is per-row (converter-grade, like the reference's WKB
+    attribute decoding) — geometry TABLES are region-scale, orders of
+    magnitude smaller than the point corpus, so this is never the hot
+    path. Envelope = min/max over every ring/part vertex."""
+    from geomesa_ray.geom.wkt import parse_wkt_geometry
+
+    ids = batch.column(id_col).to_pylist()
+    x0 = np.empty(len(ids))
+    x1 = np.empty(len(ids))
+    y0 = np.empty(len(ids))
+    y1 = np.empty(len(ids))
+    for i, wkt in enumerate(batch.column(wkt_col).to_pylist()):
+        kind, parts = parse_wkt_geometry(wkt)
+        xs, ys = [], []
+        if kind == "line":
+            for px, py in parts:
+                xs.append(px)
+                ys.append(py)
+        else:
+            for ring_set in parts:
+                for ring in ring_set:
+                    xs.append(ring.xs)
+                    ys.append(ring.ys)
+        ax = np.concatenate(xs)
+        ay = np.concatenate(ys)
+        x0[i], x1[i] = ax.min(), ax.max()
+        y0[i], y1[i] = ay.min(), ay.max()
+    return pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "lon_min": pa.array(x0), "lon_max": pa.array(x1),
+        "lat_min": pa.array(y0), "lat_max": pa.array(y1),
+    })
+
+
 XZ2_PREFIX_LEVEL = 3  # partition granularity: <= 4^3 cells per level
 
 
@@ -65,14 +103,21 @@ def _xz2_partition_ids(level: np.ndarray, cell: np.ndarray,
 def write_extent_store(fixture_dir: str, out_dir: str,
                        max_level: int = MAX_XZ2_LEVEL,
                        prefix_level: int = XZ2_PREFIX_LEVEL,
-                       override_num_blocks: int | None = None) -> dict:
+                       override_num_blocks: int | None = None,
+                       extents: ray.data.Dataset | None = None) -> dict:
     """Materialize the extent table into an XZ2-partitioned store (the
     non-point analog of ``state.store.write_store``): ONE co-locating
     ``groupby(partition)`` shuffle, each partition TOTALLY ordered by
     (level, cell, image_id) — byte-deterministic rewrites — and
     committed through the shared partition protocol. The scheme is
     meta-guarded and committed partitions are filtered out BEFORE the
-    shuffle, same resume semantics as the point store."""
+    shuffle, same resume semantics as the point store.
+
+    ``extents``: a USER-SUPPLIED envelope dataset (columns image_id,
+    lon_min/lon_max/lat_min/lat_max — adapt a WKT geometry table with
+    :func:`wkt_envelopes`) indexes arbitrary geometries instead of the
+    derived image envelopes — the general line/polygon ingest path the
+    reference's XZ2 tables serve."""
     import json
     import os
     import tempfile
@@ -88,7 +133,8 @@ def write_extent_store(fixture_dir: str, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     done = {int(b) for b in completed_partitions(out_dir)}
     scheme = {"kind": "xz2_extent", "max_level": max_level,
-              "prefix_level": prefix_level}
+              "prefix_level": prefix_level,
+              "source": "user" if extents is not None else "derived"}
     meta_path = os.path.join(out_dir, "meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -107,7 +153,7 @@ def write_extent_store(fixture_dir: str, out_dir: str,
         os.replace(tmp, meta_path)
 
     def keyed(batch: pa.Table) -> pa.Table:
-        e = derive_extents(batch)
+        e = batch if extents is not None else derive_extents(batch)
         level, cell = xz2_encode(
             e.column("lon_min").to_numpy(zero_copy_only=False),
             e.column("lon_max").to_numpy(zero_copy_only=False),
@@ -134,10 +180,14 @@ def write_extent_store(fixture_dir: str, out_dir: str,
         return pa.table({"part": pa.array([pid], pa.int64()),
                          "rows": pa.array([g.num_rows], pa.int64())})
 
-    n_blocks = override_num_blocks or max(
-        8, int(ray.cluster_resources().get("CPU", 8)))
-    ds = read_images(fixture_dir, columns=["image_id", "phash"],
-                     override_num_blocks=n_blocks)
+    if extents is not None:
+        ds = extents.select_columns(["image_id", "lon_min", "lon_max",
+                                     "lat_min", "lat_max"])
+    else:
+        n_blocks = override_num_blocks or max(
+            8, int(ray.cluster_resources().get("CPU", 8)))
+        ds = read_images(fixture_dir, columns=["image_id", "phash"],
+                         override_num_blocks=n_blocks)
     ds.map_batches(keyed, batch_format="pyarrow") \
         .groupby("part").map_groups(write_part, batch_format="pyarrow") \
         .count()

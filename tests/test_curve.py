@@ -439,3 +439,54 @@ class TestXZ2Store:
         # different scheme into the same dir must refuse
         with pytest.raises(ValueError):
             write_extent_store(tiny_fixtures, store, prefix_level=2)
+
+    def test_user_geometry_table_store(self, ray_session, tmp_path):
+        """User-supplied WKT geometries (the reference's line/polygon
+        XZ2 ingest) index and query through the same store machinery."""
+        import numpy as np
+        import pyarrow as pa
+
+        import ray.data
+        from geomesa_ray.pipelines.extent import (
+            read_extent_store,
+            wkt_envelopes,
+            write_extent_store,
+        )
+
+        # deterministic mixed-geometry table spread over the globe
+        rows = []
+        for i in range(300):
+            cx = -170.0 + (i * 37) % 340
+            cy = -80.0 + (i * 53) % 160
+            w, h = 1.0 + (i % 7), 0.5 + (i % 5)
+            if i % 3 == 0:
+                wkt = (f"POLYGON (({cx} {cy}, {cx + w} {cy}, "
+                       f"{cx + w} {cy + h}, {cx} {cy + h}, {cx} {cy}))")
+            elif i % 3 == 1:
+                wkt = (f"MULTIPOLYGON ((({cx} {cy}, {cx + w} {cy}, "
+                       f"{cx + w} {cy + h}, {cx} {cy})), "
+                       f"(({cx - w} {cy - h}, {cx} {cy - h}, "
+                       f"{cx} {cy}, {cx - w} {cy - h})))")
+            else:
+                wkt = f"LINESTRING ({cx} {cy}, {cx + w} {cy + h})"
+            rows.append((f"g{i:04d}", wkt))
+        t = pa.table({"region_id": pa.array([r[0] for r in rows]),
+                      "wkt": pa.array([r[1] for r in rows])})
+        env = wkt_envelopes(t)
+        store = str(tmp_path / "userxz2")
+        ext_ds = ray.data.from_arrow(env).repartition(4)
+        stats = write_extent_store("", store, extents=ext_ds)
+        assert stats["rows"] == 300
+        qbox = (-30.0, 40.0, -20.0, 25.0)
+        ds, n_read, n_total = read_extent_store(store, qbox)
+        got = {r["image_id"] for r in ds.take_all()}
+        x0 = env.column("lon_min").to_numpy()
+        x1 = env.column("lon_max").to_numpy()
+        y0 = env.column("lat_min").to_numpy()
+        y1 = env.column("lat_max").to_numpy()
+        hit = (x0 <= qbox[1]) & (qbox[0] <= x1) \
+            & (y0 <= qbox[3]) & (qbox[2] <= y1)
+        want = {i for i, h in zip(env.column("image_id").to_pylist(), hit)
+                if h}
+        assert got == want and got
+        assert 0 < n_read < n_total  # pruning applies to user tables too
