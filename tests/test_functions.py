@@ -93,6 +93,30 @@ class TestCollectionFns:
         assert pa.types.is_map(m.type)
         assert pa.types.is_int64(m.type.item_type)
 
+    def test_json_map_malformed_rows_null_out(self):
+        """Converter convention: a malformed JSON or non-castable value
+        nulls that ROW, never aborts the batch (ADVICE r02)."""
+        t = T(s=['{"k": 1}', "not json", '{"k": "xyz"}', "[1,2]",
+                 '{"k": 2}'])
+        out = transform_batch(t, {"m": ("jsonMap", "col:s")})
+        assert out.column("m").to_pylist() == [
+            [("k", 1)], None, None, None, [("k", 2)]]
+
+    def test_map_value_on_sliced_map_array(self):
+        """mapValue must be offset-correct on a SLICED MapArray (ADVICE
+        r02: full child arrays + unrebased offsets gave wrong values)."""
+        from geomesa_ray.functions.registry import FUNCTIONS as F
+
+        t = T(s=["a->1,b->2", "a->3", "a->4,c->5", "b->6"])
+        m = F["parseMap"](t, "col:s")
+        if isinstance(m, pa.ChunkedArray):
+            m = m.combine_chunks()
+        sliced = pa.table({"m": m.slice(1, 2)})
+        got = F["mapValue"](sliced, "col:m", "a")
+        assert got.to_pylist() == [3, 4]
+        got_b = F["mapValue"](sliced, "col:m", "b")
+        assert got_b.to_pylist() == [None, None]
+
 
 class TestRegistryExtension:
     def test_user_registered_fn(self):
