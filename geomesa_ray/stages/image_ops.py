@@ -47,6 +47,15 @@ def decode_batch(batch: pa.Table) -> list[np.ndarray]:
     return out
 
 
+def _uniform_fmt(batch: pa.Table) -> str | None:
+    """The batch's single fmt value, or None if mixed — probed with an
+    Arrow unique (no 64k-string to_pylist per batch on the hot path)."""
+    import pyarrow.compute as pc
+
+    u = pc.unique(batch.column("fmt"))
+    return u[0].as_py() if len(u) == 1 else None
+
+
 class ImageStats:
     """Feature extraction: per-channel means + a recomputed average-hash
     (the verifiable stand-in for model-based feature extraction).
@@ -61,8 +70,7 @@ class ImageStats:
 
         w = batch.column("w").to_numpy(zero_copy_only=False)
         h = batch.column("h").to_numpy(zero_copy_only=False)
-        fmts = batch.column("fmt").to_pylist()
-        uniform_raw = (len(set(fmts)) == 1 and fmts[0] == "raw"
+        uniform_raw = (_uniform_fmt(batch) == "raw"
                        and len(np.unique(w)) == 1 and len(np.unique(h)) == 1)
         if uniform_raw:
             npx = int(w[0]) * int(h[0])
@@ -113,9 +121,8 @@ class ImageResize:
 
         w = batch.column("w").to_numpy(zero_copy_only=False)
         h = batch.column("h").to_numpy(zero_copy_only=False)
-        fmts = batch.column("fmt").to_pylist()
         n = batch.num_rows
-        uniform_raw = (len(set(fmts)) == 1 and fmts[0] == "raw"
+        uniform_raw = (_uniform_fmt(batch) == "raw"
                        and len(np.unique(w)) == 1 and len(np.unique(h)) == 1)
         if uniform_raw:
             hh, ww = int(h[0]), int(w[0])
