@@ -406,6 +406,29 @@ def tree_columns(node) -> set:
     return set()
 
 
+def _cmp_operands(batch, col: str, vals: tuple):
+    """Column + literals prepared for a numeric comparison: returns
+    (x, literals, null_mask). Integer columns compare in INT64 when
+    every literal is integral and in-range — float64 only holds 53 bits,
+    so casting a full-range int64 attribute (e.g. phash at 2^62 + 1)
+    would silently misclassify near-boundary rows."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    c = batch.column(col)
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    null = np.asarray(pc.is_null(c).to_numpy(zero_copy_only=False),
+                      dtype=bool)
+    if pa.types.is_integer(c.type) and all(
+            float(v).is_integer() and -(2**63) <= v <= 2**63 - 1
+            for v in vals):
+        x = c.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        return x, tuple(np.int64(int(v)) for v in vals), null
+    x = c.to_numpy(zero_copy_only=False).astype(np.float64)
+    return x, tuple(np.float64(v) for v in vals), null
+
+
 def eval_tree(node, batch, lon, lat, dtg_s):
     """Evaluate a filter tree to one boolean mask over the batch —
     vectorized per leaf, composed with numpy logical ops. Null attribute
@@ -453,22 +476,25 @@ def eval_tree(node, batch, lon, lat, dtg_s):
         return hit.to_numpy(zero_copy_only=False).astype(bool)
     if kind == "cmp":
         col, op, val = data
-        x = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        x, v, null = _cmp_operands(batch, col, (val,))
         if op == "<":
-            return x < val
-        if op == "<=":
-            return x <= val
-        if op == ">":
-            return x > val
-        if op == ">=":
-            return x >= val
-        if op == "=":
-            return x == val
-        return x != val  # <>
+            m = x < v[0]
+        elif op == "<=":
+            m = x <= v[0]
+        elif op == ">":
+            m = x > v[0]
+        elif op == ">=":
+            m = x >= v[0]
+        elif op == "=":
+            m = x == v[0]
+        else:  # <> — nulls must evaluate False here too (NaN != v is
+            # True in float math, which would silently include null rows)
+            m = x != v[0]
+        return m & ~null
     if kind == "between":
         col, lo, hi = data
-        x = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
-        return (x >= lo) & (x <= hi)
+        x, v, null = _cmp_operands(batch, col, (lo, hi))
+        return (x >= v[0]) & (x <= v[1]) & ~null
     if kind == "intersects":
         from geomesa_ray.geom.kernels import points_in_rings
 

@@ -83,14 +83,30 @@ class GeoMesaRayEngine:
         from geomesa_ray.cql import parse_cql, split_or
         from geomesa_ray.pipelines.proximity import id_setop
 
+        disjuncts = split_or(expr)
+        if len(disjuncts) > 1:
+            # OR: execute each disjunct (each independently picks the
+            # planner or tree path) and union-distinct the id sets
+            # DISTRIBUTED (bucketed groupby — the reference's OR-split
+            # normalization without a single-task combine)
+            out = id_setop([self.cql(d).select_columns(["image_id"])
+                            for d in disjuncts], require=1)
+            return out.limit(limit) if limit is not None else out
+        # the except is NARROW: only the PARSE decides the fallback —
+        # execution errors from the planner path must surface, not be
+        # silently retried through the tree scan
         try:
-            return self._cql_planner(expr, limit)
+            q = parse_cql(expr)
         except ValueError:
             return self._cql_tree_scan(expr, limit)
+        return self._cql_planner(q, limit)
 
     def _cql_tree_scan(self, expr: str,
                        limit: int | None = None) -> ray.data.Dataset:
-        """Full-grammar CQL: scan + fused boolean-tree mask per batch."""
+        """Full-grammar CQL: scan + fused boolean-tree mask per batch.
+        Reads the ingested store when one is attached (the same source
+        the planner's spatial path uses — consume()/append() results are
+        visible to both grammars), else the fixture table."""
         from geomesa_ray.cql import eval_tree, parse_cql_tree, tree_columns
         from geomesa_ray.sources.io import read_images
         from geomesa_ray.stages.derive import phash_to_dtg_s, phash_to_lonlat
@@ -104,25 +120,18 @@ class GeoMesaRayEngine:
             m = eval_tree(tree, batch, lon, lat, phash_to_dtg_s(ph))
             return batch.filter(pa.array(m)).select(["image_id"])
 
-        out = read_images(self.fixture_dir, columns=cols) \
-            .map_batches(fn, batch_format="pyarrow")
+        if self.store_dir is not None:
+            from geomesa_ray.state.store import read_store
+
+            ds = read_store(self.store_dir, columns=cols)
+        else:
+            ds = read_images(self.fixture_dir, columns=cols)
+        out = ds.map_batches(fn, batch_format="pyarrow")
         return out.limit(limit) if limit is not None else out
 
-    def _cql_planner(self, expr: str,
-                     limit: int | None = None) -> ray.data.Dataset:
-        from geomesa_ray.cql import parse_cql, split_or
+    def _cql_planner(self, q, limit: int | None = None) -> ray.data.Dataset:
         from geomesa_ray.pipelines.proximity import id_setop
 
-        disjuncts = split_or(expr)
-        if len(disjuncts) > 1:
-            # OR: execute each disjunct and union-distinct the id sets
-            # DISTRIBUTED (bucketed groupby — the reference's OR-split
-            # normalization without a single-task combine)
-            out = id_setop([self.cql(d).select_columns(["image_id"])
-                            for d in disjuncts], require=1)
-            return out.limit(limit) if limit is not None else out
-
-        q = parse_cql(expr)
         spec = q.spec
         rest = (spec.ids is not None or spec.id_sets is not None
                 or bool(spec.attr_eq) or spec.bbox is not None

@@ -332,13 +332,16 @@ def _json_map(batch, a, value_type="int"):
             null_rows.append(i)  # null input -> NULL map (not {})
             offsets.append(len(keys))
             continue
-        # malformed JSON / non-castable values null the ROW, not the batch
-        # (converter convention — parseList/parseMap/fixed_width match)
+        # malformed JSON / non-castable values null the ROW, not the
+        # batch (converter convention — parseList/parseMap/fixed_width
+        # match); a JSON null VALUE stays a null map entry, it is not a
+        # parse failure and must not drop the row's other entries
         try:
             obj = json.loads(v)
             if not isinstance(obj, dict):
                 raise ValueError("not a JSON object")
-            kv = [(str(k), cast(val)) for k, val in obj.items()]
+            kv = [(str(k), None if val is None else cast(val))
+                  for k, val in obj.items()]
         except (ValueError, TypeError):
             null_rows.append(i)
             offsets.append(len(keys))

@@ -148,19 +148,28 @@ def mosaic(fixture_dir: str, level: int = DEFAULT_TILE_LEVEL,
         b = derive_and_encode(batch, cell_level=level)
         lon = b.column("lon").to_numpy(zero_copy_only=False)
         lat = b.column("lat").to_numpy(zero_copy_only=False)
-        # tile index ranges the footprint touches (clipped to the grid)
-        ix0 = np.clip(((lon - half + 180.0) / tw).astype(np.int64), 0, n - 1)
-        ix1 = np.clip(((lon + half + 180.0) / tw).astype(np.int64), 0, n - 1)
-        iy0 = np.clip(((lat - half + 90.0) / th).astype(np.int64), 0, n - 1)
-        iy1 = np.clip(((lat + half + 90.0) / th).astype(np.int64), 0, n - 1)
+        # tile index ranges the footprint touches: lon WRAPS at the
+        # antimeridian (a chunk straddling ±180 paints both sides —
+        # consistent seams), lat clips at the poles
+        ix0 = np.floor((lon - half + 180.0) / tw).astype(np.int64)
+        ix1 = np.floor((lon + half + 180.0) / tw).astype(np.int64)
+        iy0 = np.clip(np.floor((lat - half + 90.0) / th).astype(np.int64),
+                      0, n - 1)
+        iy1 = np.clip(np.floor((lat + half + 90.0) / th).astype(np.int64),
+                      0, n - 1)
         span = ((ix1 - ix0 + 1) * (iy1 - iy0 + 1)).astype(np.int64)
         rep = np.repeat(np.arange(len(lon), dtype=np.int64), span)
         # per-copy (tx, ty) via a vectorized within-footprint counter
         offs = np.concatenate([[0], np.cumsum(span)])
         local = np.arange(len(rep), dtype=np.int64) - offs[rep]
         ncols = (ix1 - ix0 + 1)[rep]
-        tx = ix0[rep] + (local % ncols)
+        tx_raw = ix0[rep] + (local % ncols)
+        wrap = np.floor_divide(tx_raw, n)  # -1/0/+1 world copies
+        tx = tx_raw - wrap * n
         ty = iy0[rep] + (local // ncols)
+        # the chunk's lon SHIFTED into the wrapped tile's frame, so the
+        # canvas sampling below works in plain planar coordinates
+        lon_emit = lon[rep] - wrap * 360.0
         tile = z2_encode(tx.astype(np.uint64),
                          ty.astype(np.uint64)).view(np.int64)
         ids = b.column("image_id")
@@ -177,7 +186,7 @@ def mosaic(fixture_dir: str, level: int = DEFAULT_TILE_LEVEL,
             "ty": pa.array(ty),
             "image_id": ids.take(take),
             "bytes": byt.take(take),
-            "lon": pa.array(lon[rep]),
+            "lon": pa.array(lon_emit),
             "lat": pa.array(lat[rep]),
         })
 

@@ -311,6 +311,8 @@ def _embed_neardup_ivf(sf_dir: str, tau: float, n_centroids: int,
     groupby shuffle of (bucket, row) — rows travel once per probed
     bucket — then a blocked within-bucket matmul per group."""
     assign = min(assign, n_centroids)
+    if n_centroids > (1 << 16):
+        raise ValueError("n_centroids must fit uint16 bucket ids (<= 65536)")
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                       columns=["vec_id", "embedding"]).sort_by("vec_id")
     cent = _build_codebook(t, n_centroids, codebook)
@@ -323,9 +325,11 @@ def _embed_neardup_ivf(sf_dir: str, tau: float, n_centroids: int,
         m = _normalize(_embedding_matrix(batch))
         sims = m @ cent_.T  # (B, C)
         # top-`assign` buckets per row (unique by construction), packed
-        # as an `assign`-byte uint8 blob that travels with each copy
+        # as a 2-byte-per-entry uint16 blob that travels with each copy
+        # (uint16 holds any practical n_centroids; uint8 would silently
+        # WRAP past 256 and corrupt the exactly-once rule)
         top = np.argpartition(-sims, assign - 1, axis=1)[:, :assign]
-        top = np.sort(top, axis=1).astype(np.uint8)
+        top = np.sort(top, axis=1).astype(np.uint16)
         n = len(m)
         rep = np.repeat(np.arange(n), assign)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
@@ -343,7 +347,7 @@ def _embed_neardup_ivf(sf_dir: str, tau: float, n_centroids: int,
         ids = group.column("vec_id").to_numpy(zero_copy_only=False)
         m = _embedding_matrix(group)
         bset = np.frombuffer(b"".join(group.column("bset").to_pylist()),
-                             dtype=np.uint8).reshape(len(ids), -1)
+                             dtype=np.uint16).reshape(len(ids), -1)
         out_a, out_b, out_c = [], [], []
         for i0 in range(0, len(ids), block):
             mi = m[i0:i0 + block]
@@ -359,7 +363,7 @@ def _embed_neardup_ivf(sf_dir: str, tau: float, n_centroids: int,
                 gi, gj = ii + i0, jj + j0
                 # min common bucket of the two rows' sorted probe sets:
                 # emit the pair only in THAT bucket (exactly-once)
-                minc = np.full(len(ii), 256, dtype=np.int64)
+                minc = np.full(len(ii), 1 << 16, dtype=np.int64)
                 bi, bj = bset[gi], bset[gj]
                 for s in range(bset.shape[1]):
                     for u in range(bset.shape[1]):

@@ -623,13 +623,18 @@ def read_store(out_dir: str, query: SpatialQuery | None = None,
         if query.t_end_s is not None:
             expr = expr & (_pc.field("dtg_s") <= query.t_end_s)
         read_kwargs["filter"] = expr
-    if auths is not None and columns is not None and "vis" not in columns:
+    drop_vis = (auths is not None and columns is not None
+                and "vis" not in columns)
+    if drop_vis:
         columns = [*columns, "vis"]
     ds = ray.data.read_parquet(paths, columns=columns, **read_kwargs)
     if auths is not None:
         from geomesa_ray.state.security import apply_visibility
 
         ds = apply_visibility(ds, auths)
+        if drop_vis:  # restore the caller's exact projection
+            ds = ds.map_batches(lambda b: b.drop_columns(["vis"]),
+                                batch_format="pyarrow")
     if query is not None:
         ds = ds.map_batches(_ScanFilter(plan_query(query)), batch_format="pyarrow")
     return ds

@@ -242,6 +242,29 @@ class TestCqlTree:
         assert inter | comp == self._all_ids(eng)
         assert inter & comp == set()
 
+    def test_numeric_null_and_int64_precision_semantics(self):
+        """Leaf-level semantics (review r03): nulls evaluate False under
+        EVERY comparison incl. <>; int64 comparisons stay exact past
+        2^53 (no float64 round-trip)."""
+        import numpy as np
+        import pyarrow as pa
+
+        from geomesa_ray.cql import eval_tree, parse_cql_tree
+
+        big = 4611686018427387904  # 2^62
+        batch = pa.table({"v": pa.array([1, None, 5, big + 1], pa.int64())})
+        lon = lat = dtg = np.zeros(4)
+        ne = eval_tree(parse_cql_tree("v <> 5"), batch, lon, lat, dtg)
+        assert ne.tolist() == [True, False, False, True]  # null -> False
+        eq = eval_tree(parse_cql_tree("v = 5"), batch, lon, lat, dtg)
+        assert eq.tolist() == [False, False, True, False]
+        # 2^62 + 1 would cast to exactly 2^62 in float64 and pass <=
+        le = eval_tree(parse_cql_tree(f"v <= {big}"), batch, lon, lat, dtg)
+        assert le.tolist() == [True, False, True, False]
+        bt = eval_tree(parse_cql_tree(f"v BETWEEN 0 AND {big}"),
+                       batch, lon, lat, dtg)
+        assert bt.tolist() == [True, False, True, False]
+
     def test_beyond_is_dwithin_complement(self, ray_session, tiny_fixtures):
         from geomesa_ray.engine import GeoMesaRayEngine
 

@@ -29,24 +29,29 @@ class TestMosaicOracle:
         from geomesa_ray.curve.zorder import z2_encode
 
         for i in range(len(ids)):
-            ix0 = int(np.clip((lon[i] - half + 180.0) // tw, 0, n - 1))
-            ix1 = int(np.clip((lon[i] + half + 180.0) // tw, 0, n - 1))
-            iy0 = int(np.clip((lat[i] - half + 90.0) // th, 0, n - 1))
-            iy1 = int(np.clip((lat[i] + half + 90.0) // th, 0, n - 1))
+            ix0 = int(np.floor((lon[i] - half + 180.0) / tw))
+            ix1 = int(np.floor((lon[i] + half + 180.0) / tw))
+            iy0 = int(np.clip(np.floor((lat[i] - half + 90.0) / th),
+                              0, n - 1))
+            iy1 = int(np.clip(np.floor((lat[i] + half + 90.0) / th),
+                              0, n - 1))
             for ty in range(iy0, iy1 + 1):
-                for tx in range(ix0, ix1 + 1):
+                for tx_raw in range(ix0, ix1 + 1):
+                    wrap = tx_raw // n  # lon wraps at the antimeridian
+                    tx = tx_raw - wrap * n
                     tz = int(z2_encode(np.uint64(tx), np.uint64(ty)))
-                    tiles.setdefault(tz, []).append(i)
+                    tiles.setdefault(tz, []).append((i, wrap))
         out = {}
         for tz, members in tiles.items():
-            members = sorted(members, key=lambda i: ids[i])
+            members = sorted(members, key=lambda m: ids[m[0]])
             from geomesa_ray.curve.zorder import z2_decode
 
             tx, ty = z2_decode(np.uint64(tz))
             tx0 = -180.0 + float(tx) * tw
             ty1 = -90.0 + (float(ty) + 1.0) * th
             cv = np.zeros((canvas, canvas, 3), np.uint8)
-            for i in members:
+            for i, wrap in members:
+                li = lon[i] - wrap * 360.0  # shift into the tile's frame
                 for r in range(canvas):
                     y = ty1 - (r + 0.5) * (th / canvas)
                     sr = int(np.floor((lat[i] + half - y) / res_deg))
@@ -54,7 +59,7 @@ class TestMosaicOracle:
                         continue
                     for c in range(canvas):
                         x = tx0 + (c + 0.5) * (tw / canvas)
-                        sc = int(np.floor((x - (lon[i] - half)) / res_deg))
+                        sc = int(np.floor((x - (li - half)) / res_deg))
                         if 0 <= sc < 8:
                             cv[r, c] = bufs[i][sr, sc]
             out[tz] = (len(members), cv)

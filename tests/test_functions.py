@@ -102,6 +102,15 @@ class TestCollectionFns:
         assert out.column("m").to_pylist() == [
             [("k", 1)], None, None, None, [("k", 2)]]
 
+    def test_json_map_null_value_is_null_entry(self):
+        # a JSON null VALUE is a null map entry, not a row failure —
+        # the row's other entries survive
+        t = T(s=['{"a": 1, "b": null}'])
+        out = transform_batch(t, {"m": ("jsonMap", "col:s")})
+        assert out.column("m").to_pylist() == [[("a", 1), ("b", None)]]
+        s = transform_batch(t, {"m": ("jsonMap", "col:s", "string")})
+        assert s.column("m").to_pylist() == [[("a", "1"), ("b", None)]]
+
     def test_map_value_on_sliced_map_array(self):
         """mapValue must be offset-correct on a SLICED MapArray (ADVICE
         r02: full child arrays + unrebased offsets gave wrong values)."""

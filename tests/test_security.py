@@ -139,3 +139,6 @@ class TestStoreIntegration:
         assert rows and all(
             evaluate_visibility(vis[r["image_id"]], {"admin"})
             for r in rows)
+        # the caller's exact projection is restored after filtering —
+        # the vis expressions must not leak downstream
+        assert set(rows[0].keys()) == {"image_id"}
