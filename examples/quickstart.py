@@ -25,8 +25,10 @@ from geomesa_ray.sources.fixtures import ensure_fixtures  # noqa: E402
 corpus = ensure_fixtures("/root/testdata/sf0.001")
 eng = GeoMesaRayEngine(corpus)
 
-# 2. Ingest into the spatial store (cell-bucketed, sorted, manifested)
-stats = eng.ingest_store(tempfile.mkdtemp(prefix="quickstart_store_"))
+# 2. Ingest into the spatial store (cell-bucketed, sorted, manifested);
+# include the attributes CQL queries will reference
+stats = eng.ingest_store(tempfile.mkdtemp(prefix="quickstart_store_"),
+                         columns=["image_id", "phash", "caption", "fmt"])
 print(f"ingested {stats['rows']} rows into {stats['partitions']} partitions "
       f"(skew {stats['skew_factor']:.2f})")
 
@@ -62,6 +64,16 @@ print("complex-geometry join:",
       pip_join(corpus, regions=gen_complex_regions_table(),
                kinds=("poly", "multipoly", "line")).count(), "pairs")
 
+# 6b. CQL — planner subset AND the full boolean grammar
+print("CQL bbox+time:",
+      eng.cql("BBOX(geom, -10, -5, 25, 30) AND "
+              "dtg DURING 2024-01-01T00:00:00Z/2024-01-08T00:00:00Z")
+      .count(), "rows")
+print("CQL boolean tree:",
+      eng.cql("(BBOX(geom, -10, -5, 25, 30) OR BBOX(geom, 5, 10, 40, 45)) "
+              "AND NOT fmt = 'png' AND phash BETWEEN -1e19 AND 0")
+      .count(), "rows")
+
 # 7. Versioned snapshots: append, then time-travel to the prior state
 from geomesa_ray.sources.fixtures import gen_images_table_range  # noqa: E402
 from geomesa_ray.state.store import (  # noqa: E402
@@ -77,5 +89,35 @@ v1 = snapshot_store(snap_store)
 append_store(snap_store, gen_images_table_range(6000, 25))
 print(f"store now {read_store(snap_store).count()} rows; "
       f"as of v{v1}: {read_store(snap_store, version=v1).count()} rows")
+
+# 8. Continuous ingest: a consumer tails a landing directory
+import pyarrow.parquet as _pq  # noqa: E402
+
+from geomesa_ray.state.consumer import continuous_ingest  # noqa: E402
+
+landing = tempfile.mkdtemp(prefix="quickstart_landing_")
+_pq.write_table(gen_images_table_range(6025, 25),
+                os.path.join(landing, "batch000.parquet"))
+out = continuous_ingest(landing, snap_store, poll_interval_s=0.1,
+                        max_polls=1)
+print(f"consumer applied {out['files_applied']} files "
+      f"({out['rows_applied']} rows); store now "
+      f"{read_store(snap_store).count()} rows")
+
+# 9. Visibility labels: secured rows filter by authorizations
+import pyarrow as pa  # noqa: E402
+
+from geomesa_ray.sources.fixtures import gen_images_table  # noqa: E402
+
+sec_fix = tempfile.mkdtemp(prefix="quickstart_sec_")
+t = gen_images_table(1000)
+t = t.append_column("vis", pa.array(
+    ["" if i % 2 else "admin&fr" for i in range(t.num_rows)], pa.string()))
+_pq.write_table(t, os.path.join(sec_fix, "images.parquet"))
+sec_store = tempfile.mkdtemp(prefix="quickstart_secstore_")
+write_store(sec_fix, sec_store, columns=["image_id", "phash", "vis"])
+print("public rows:", read_store(sec_store, auths=[]).count(),
+      "| admin+fr rows:",
+      read_store(sec_store, auths=["admin", "fr"]).count())
 
 ray.shutdown()

@@ -121,8 +121,16 @@ class GeoMesaRayEngine:
             return batch.filter(pa.array(m)).select(["image_id"])
 
         if self.store_dir is not None:
-            from geomesa_ray.state.store import read_store
+            from geomesa_ray.state.store import read_meta, read_store
 
+            have = set(read_meta(self.store_dir).get("columns", []))
+            missing = set(cols) - have
+            if missing:
+                raise ValueError(
+                    f"CQL references columns {sorted(missing)} not ingested "
+                    f"into the attached store (has {sorted(have)}); "
+                    "ingest_store(columns=[...]) with them, or query an "
+                    "engine without a store to scan the source table")
             ds = read_store(self.store_dir, columns=cols)
         else:
             ds = read_images(self.fixture_dir, columns=cols)
