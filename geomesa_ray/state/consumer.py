@@ -55,8 +55,30 @@ def _commit_log(store_dir: str, entries: list[dict]) -> None:
     os.replace(tmp, path)
 
 
+def read_landed(path: str) -> "object":
+    """Read one landed file by extension — parquet natively, csv/json/
+    avro through the converter surface (the reference's streaming ingest
+    is likewise converter-fed). Returns an arrow Table."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".parquet":
+        return pq.read_table(path)
+    if ext == ".avro":
+        from geomesa_ray.sources.avro import read_avro_file
+
+        return read_avro_file(path)
+    if ext == ".csv":
+        import pyarrow.csv as pcsv
+
+        return pcsv.read_csv(path)
+    if ext in (".json", ".jsonl", ".ndjson"):
+        import pyarrow.json as pjson
+
+        return pjson.read_json(path)
+    raise ValueError(f"unsupported landed format {ext!r} ({path})")
+
+
 def poll_once(incoming_dir: str, store_dir: str,
-              pattern: str = "*.parquet") -> list[dict]:
+              pattern: str = "*.*") -> list[dict]:
     """Discover-and-apply one poll: every landed file not yet in the
     commit log is appended (in name order — the deterministic offset
     order) and logged. Returns the new log entries."""
@@ -69,7 +91,7 @@ def poll_once(incoming_dir: str, store_dir: str,
         name = os.path.basename(path)
         if name in seen:
             continue
-        t = pq.read_table(path)
+        t = read_landed(path)
         out = append_store(store_dir, t, snapshot=True)
         entry = {"file": name, "rows": t.num_rows,
                  "snapshot_version": out.get("snapshot_version"),

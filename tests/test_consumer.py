@@ -77,6 +77,34 @@ class TestConsumer:
         added = {r["image_id"] for r in changed if r["change"] == "added"}
         assert added == set(t.column("image_id").to_pylist()[1800:2400])
 
+    def test_converter_formats_land_too(self, ray_session, tmp_path):
+        """CSV / JSON-lines / Avro landings apply through the converter
+        surface, mirroring the reference's converter-fed streaming."""
+        import pyarrow.csv as pcsv
+
+        from geomesa_ray.sources.avro import write_avro_file
+        from geomesa_ray.state.store import read_meta, read_store
+
+        t, store, incoming = self._base(tmp_path)
+        cols = read_meta(store)["columns"]
+        pcsv.write_csv(t.slice(1200, 300).select(cols),
+                       os.path.join(incoming, "a.csv"))
+        avro_schema = {"type": "record", "name": "img", "fields": [
+            {"name": "image_id", "type": "string"},
+            {"name": "phash", "type": "long"},
+            {"name": "caption", "type": "string"}]}
+        write_avro_file(os.path.join(incoming, "b.avro"), avro_schema,
+                        t.slice(1500, 300).select(cols).to_pylist())
+        with open(os.path.join(incoming, "c.jsonl"), "w") as f:
+            for r in t.slice(1800, 600).select(cols).to_pylist():
+                import json
+
+                f.write(json.dumps(r) + "\n")
+        new = poll_once(incoming, store)
+        assert [e["file"] for e in new] == ["a.csv", "b.avro", "c.jsonl"]
+        got = {r["image_id"] for r in read_store(store).take_all()}
+        assert got == set(t.column("image_id").to_pylist())
+
     def test_idle_stop_bound(self, ray_session, tmp_path):
         _, store, incoming = self._base(tmp_path)
         out = continuous_ingest(incoming, store, poll_interval_s=0.01,
