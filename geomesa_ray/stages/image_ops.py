@@ -74,12 +74,22 @@ class ImageStats:
                        and len(np.unique(w)) == 1 and len(np.unique(h)) == 1)
         if uniform_raw:
             npx = int(w[0]) * int(h[0])
-            m = binary_column_to_matrix(batch.column("bytes"), npx * 3) \
-                .reshape(batch.num_rows, npx, 3)
-            # integer arithmetic end-to-end: no (n, hw, 3) float64
-            # materialization (8x the payload bytes); sums are exact
-            means = m.sum(axis=1, dtype=np.int64) / float(npx)  # (n, 3)
-            g3 = m.sum(axis=2, dtype=np.int64)  # (n, hw) gray*3
+            flat = binary_column_to_matrix(batch.column("bytes"), npx * 3)
+            m = flat.reshape(batch.num_rows, npx, 3)
+            # exact integer results via the FAST reduction shapes: numpy's
+            # dtype-promoting axis sums over uint8 are scalar-loop slow
+            # (measured 8x), so channel sums go through one float32 BLAS
+            # matmul (exact: each sum <= npx*255 < 2^24) and the per-pixel
+            # gray sum is two elementwise adds into int16 (<= 765)
+            if npx * 255 < (1 << 24):
+                sel = np.zeros((npx * 3, 3), dtype=np.float32)
+                sel[np.arange(npx * 3), np.arange(npx * 3) % 3] = 1.0
+                ch_sums = (flat.astype(np.float32) @ sel).astype(np.int64)
+            else:  # gigantic frames: exactness over speed
+                ch_sums = m.sum(axis=1, dtype=np.int64)
+            means = ch_sums / float(npx)  # (n, 3)
+            g3 = m[:, :, 0].astype(np.int16) + m[:, :, 1] + m[:, :, 2]
+            g3 = g3.astype(np.int64)  # (n, hw) gray*3
             # g > mean(g)  <=>  hw * g3 > sum(g3)   (exact rationals)
             total = g3.sum(axis=1)
             bits = (g3[:, :64] * np.int64(npx) > total[:, None]).astype(np.uint64)
