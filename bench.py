@@ -254,6 +254,23 @@ def run_scaling(sf_dir: str, cpus_list=(2, 8, 32)) -> dict:
     return result
 
 
+def run_stats(sf_dir: str, num_cpus: int) -> None:
+    """--stats: print the headline pipeline's per-operator ds.stats() —
+    the evidence loop for 'wall-time dominated by useful compute'
+    (stage wall times, block counts, per-node memory)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 log_to_driver=False, logging_level="ERROR")
+    from geomesa_ray.pipelines.flagship import flagship
+    from geomesa_ray.sources.fixtures import ensure_fixtures
+
+    ds = flagship(ensure_fixtures(sf_dir)).materialize()
+    print(ds.stats())
+    ray.shutdown()
+
+
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -261,6 +278,8 @@ def main():
         print(json.dumps(run_scaling_worker(num_cpus)))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
+    elif "--stats" in sys.argv:
+        run_stats(sf_dir, num_cpus)
     else:
         print(json.dumps(run_bench(sf_dir, num_cpus,
                                    "--headline-only" in sys.argv)))
