@@ -319,7 +319,8 @@ def _parse_tree_leaf(clause: str):
         return ("intersects", parts)
     m = _BETWEEN_RE.match(clause)
     if m:
-        return ("between", (m.group(1), float(m.group(2)), float(m.group(3))))
+        return ("between", (m.group(1), _num_literal(m.group(2)),
+                            _num_literal(m.group(3))))
     m = _IN_RE.match(clause)
     if m:
         vals = re.findall(r"'([^']*)'", m.group(2))
@@ -329,8 +330,15 @@ def _parse_tree_leaf(clause: str):
         return ("eq", (m.group(1), m.group(2)))
     m = _CMP_RE.match(clause)
     if m:
-        return ("cmp", (m.group(1), m.group(2), float(m.group(3))))
+        return ("cmp", (m.group(1), m.group(2), _num_literal(m.group(3))))
     raise ValueError(f"unsupported CQL clause: {clause!r}")
+
+
+def _num_literal(s: str):
+    """Numeric literal keeping INTEGER literals as Python ints — going
+    through float() first would round anything past 2^53 (e.g. an int64
+    hash literal) before the int64-exact comparison path ever sees it."""
+    return int(s) if re.fullmatch(r"[-+]?\d+", s) else float(s)
 
 
 def _parse_factor(s: str, i: int):
@@ -420,9 +428,14 @@ def _cmp_operands(batch, col: str, vals: tuple):
         c = c.combine_chunks()
     null = np.asarray(pc.is_null(c).to_numpy(zero_copy_only=False),
                       dtype=bool)
-    if pa.types.is_integer(c.type) and all(
-            float(v).is_integer() and -(2**63) <= v <= 2**63 - 1
-            for v in vals):
+    # int64-exact path: signed/int<64 integer columns with integral
+    # in-range literals. uint64 columns are EXCLUDED — astype(int64)
+    # would wrap values >= 2^63 negative and invert comparisons.
+    if (pa.types.is_integer(c.type)
+            and not (pa.types.is_unsigned_integer(c.type)
+                     and c.type.bit_width == 64)
+            and all((isinstance(v, int) or float(v).is_integer())
+                    and -(2**63) <= v <= 2**63 - 1 for v in vals)):
         x = c.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
         return x, tuple(np.int64(int(v)) for v in vals), null
     x = c.to_numpy(zero_copy_only=False).astype(np.float64)
@@ -430,32 +443,44 @@ def _cmp_operands(batch, col: str, vals: tuple):
 
 
 def eval_tree(node, batch, lon, lat, dtg_s):
-    """Evaluate a filter tree to one boolean mask over the batch —
-    vectorized per leaf, composed with numpy logical ops. Null attribute
-    values evaluate False (and stay False under NOT of the overall
-    row-mask only at the leaf level — matching SQL-ish two-valued
-    semantics the rest of the engine uses)."""
+    """Evaluate a filter tree to one boolean selection mask over the
+    batch — vectorized per leaf, composed under SQL/Kleene THREE-VALUED
+    logic: a null attribute makes its leaf UNKNOWN, unknown propagates
+    through AND/OR/NOT the SQL way (``NOT unknown`` is still unknown,
+    never True), and only definitely-TRUE rows are selected. So
+    ``fmt <> 'png'`` and ``NOT fmt = 'png'`` agree on null rows (both
+    exclude them), matching the ECQL/GeoTools filter semantics."""
+    is_true, _ = _eval3(node, batch, lon, lat, dtg_s)
+    return is_true
+
+
+def _eval3(node, batch, lon, lat, dtg_s):
+    """(is_true, is_false) masks; UNKNOWN = neither."""
     import numpy as np
     import pyarrow.compute as pc
 
     tag = node[0]
     if tag == "and":
-        m = eval_tree(node[1][0], batch, lon, lat, dtg_s)
+        t, f = _eval3(node[1][0], batch, lon, lat, dtg_s)
         for c in node[1][1:]:
-            m = m & eval_tree(c, batch, lon, lat, dtg_s)
-        return m
+            ct, cf = _eval3(c, batch, lon, lat, dtg_s)
+            t, f = t & ct, f | cf
+        return t, f
     if tag == "or":
-        m = eval_tree(node[1][0], batch, lon, lat, dtg_s)
+        t, f = _eval3(node[1][0], batch, lon, lat, dtg_s)
         for c in node[1][1:]:
-            m = m | eval_tree(c, batch, lon, lat, dtg_s)
-        return m
+            ct, cf = _eval3(c, batch, lon, lat, dtg_s)
+            t, f = t | ct, f & cf
+        return t, f
     if tag == "not":
-        return ~eval_tree(node[1], batch, lon, lat, dtg_s)
+        t, f = _eval3(node[1], batch, lon, lat, dtg_s)
+        return f, t
     kind, data = node[1]
     n = batch.num_rows
     if kind == "bbox":
         x0, x1, y0, y1 = data
-        return (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
+        m = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
+        return m, ~m
     if kind == "interval":
         t0, t1 = data
         m = np.ones(n, dtype=bool)
@@ -463,17 +488,23 @@ def eval_tree(node, batch, lon, lat, dtg_s):
             m &= dtg_s >= t0
         if t1 is not None:
             m &= dtg_s <= t1
-        return m
+        return m, ~m
     if kind == "eq":
         col, val = data
-        eq = pc.fill_null(pc.equal(batch.column(col), val), False)
-        return eq.to_numpy(zero_copy_only=False).astype(bool)
+        eq = pc.equal(batch.column(col), val)
+        t = pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+        f = pc.fill_null(pc.invert(eq), False) \
+            .to_numpy(zero_copy_only=False)
+        return t.astype(bool), f.astype(bool)
     if kind == "isin":
         col, vals = data
-        hit = pc.fill_null(
-            pc.is_in(batch.column(col),
-                     value_set=pa.array(vals, pa.string())), False)
-        return hit.to_numpy(zero_copy_only=False).astype(bool)
+        hit = pc.is_in(batch.column(col),
+                       value_set=pa.array(vals, pa.string()))
+        null = pc.is_null(batch.column(col)) \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        t = pc.fill_null(hit, False).to_numpy(zero_copy_only=False) \
+            .astype(bool)
+        return t, ~t & ~null
     if kind == "cmp":
         col, op, val = data
         x, v, null = _cmp_operands(batch, col, (val,))
@@ -487,25 +518,26 @@ def eval_tree(node, batch, lon, lat, dtg_s):
             m = x >= v[0]
         elif op == "=":
             m = x == v[0]
-        else:  # <> — nulls must evaluate False here too (NaN != v is
-            # True in float math, which would silently include null rows)
+        else:  # <> (NaN != v is True in float math, masked via `null`)
             m = x != v[0]
-        return m & ~null
+        return m & ~null, ~m & ~null
     if kind == "between":
         col, lo, hi = data
         x, v, null = _cmp_operands(batch, col, (lo, hi))
-        return (x >= v[0]) & (x <= v[1]) & ~null
+        m = (x >= v[0]) & (x <= v[1])
+        return m & ~null, ~m & ~null
     if kind == "intersects":
         from geomesa_ray.geom.kernels import points_in_rings
 
         m = np.zeros(n, dtype=bool)
         for ring_set in data:
             m |= points_in_rings(lon, lat, ring_set)
-        return m
+        return m, ~m
     if kind in ("dwithin", "beyond"):
         from geomesa_ray.geom.kernels import haversine_m
 
         plon, plat, dist = data
         d = haversine_m(lon, lat, plon, plat)
-        return d <= dist if kind == "dwithin" else d > dist
+        m = d <= dist if kind == "dwithin" else d > dist
+        return m, ~m
     raise ValueError(f"unknown leaf kind {kind!r}")

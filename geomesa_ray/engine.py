@@ -18,6 +18,17 @@ from geomesa_ray.pipelines.scan import SpatialQuery
 from geomesa_ray.planner import QuerySpec, Strategy, choose_strategy, intersect_id_sets
 
 
+def _planner_parses(clause: str) -> bool:
+    """True when the planner subset can parse this (single) disjunct."""
+    from geomesa_ray.cql import parse_cql
+
+    try:
+        parse_cql(clause)
+        return True
+    except ValueError:
+        return False
+
+
 class GeoMesaRayEngine:
     """Engine over one image+caption corpus directory (parquet or lance)."""
 
@@ -34,6 +45,31 @@ class GeoMesaRayEngine:
 
         self.store_dir = store_dir
         return write_store(self.fixture_dir, store_dir, **kw)
+
+    # ---- source selection
+
+    def _source(self, columns: list[str]) -> ray.data.Dataset:
+        """The engine's ROW SOURCE for non-spatial scans: the attached
+        store when one exists (so consume()/append() results are visible
+        to EVERY strategy — spatial, attribute, record, and the CQL tree
+        scan — consistently), else the fixture table. A store missing a
+        referenced column is a clear error, not a silent fixture
+        fallback (which would resurrect pre-append data)."""
+        from geomesa_ray.sources.io import read_images
+
+        if self.store_dir is None:
+            return read_images(self.fixture_dir, columns=columns)
+        from geomesa_ray.state.store import read_meta, read_store
+
+        have = set(read_meta(self.store_dir).get("columns", []))
+        missing = set(columns) - have
+        if missing:
+            raise ValueError(
+                f"query references columns {sorted(missing)} not ingested "
+                f"into the attached store (has {sorted(have)}); "
+                "ingest_store(columns=[...]) with them, or query an "
+                "engine without a store to scan the source table")
+        return read_store(self.store_dir, columns=columns)
 
     # ---- query path (strategy-decided)
 
@@ -53,7 +89,10 @@ class GeoMesaRayEngine:
             # projection must carry every column later predicates refine on
             cols = list(dict.fromkeys(
                 ["image_id", "phash", "caption", *spec.attr_eq.keys()]))
-            ds = record_lookup(self.fixture_dir, ids or [], columns=cols)
+            ds = record_lookup(self.fixture_dir, ids or [], columns=cols,
+                               source_ds=self._source(cols)
+                               .select_columns(cols)
+                               if self.store_dir is not None else None)
             out = self._refine(ds, spec, skip_ids=True)
         elif strat is Strategy.ATTRIBUTE:
             ds = self._attribute_scan(spec)
@@ -85,6 +124,12 @@ class GeoMesaRayEngine:
 
         disjuncts = split_or(expr)
         if len(disjuncts) > 1:
+            # OR-split only pays off when at least one disjunct can use
+            # a planner strategy (pruned scan / join); if EVERY disjunct
+            # is tree-grammar, one fused-mask scan beats N full scans +
+            # a union shuffle
+            if not any(_planner_parses(d) for d in disjuncts):
+                return self._cql_tree_scan(expr, limit)
             # OR: execute each disjunct (each independently picks the
             # planner or tree path) and union-distinct the id sets
             # DISTRIBUTED (bucketed groupby — the reference's OR-split
@@ -103,12 +148,11 @@ class GeoMesaRayEngine:
 
     def _cql_tree_scan(self, expr: str,
                        limit: int | None = None) -> ray.data.Dataset:
-        """Full-grammar CQL: scan + fused boolean-tree mask per batch.
-        Reads the ingested store when one is attached (the same source
-        the planner's spatial path uses — consume()/append() results are
-        visible to both grammars), else the fixture table."""
+        """Full-grammar CQL: scan + fused boolean-tree mask per batch,
+        over :meth:`_source` (the attached store when one exists — the
+        same row source every other strategy uses, so consume()/append()
+        results are visible to all grammars consistently)."""
         from geomesa_ray.cql import eval_tree, parse_cql_tree, tree_columns
-        from geomesa_ray.sources.io import read_images
         from geomesa_ray.stages.derive import phash_to_dtg_s, phash_to_lonlat
 
         tree = parse_cql_tree(expr)
@@ -120,21 +164,7 @@ class GeoMesaRayEngine:
             m = eval_tree(tree, batch, lon, lat, phash_to_dtg_s(ph))
             return batch.filter(pa.array(m)).select(["image_id"])
 
-        if self.store_dir is not None:
-            from geomesa_ray.state.store import read_meta, read_store
-
-            have = set(read_meta(self.store_dir).get("columns", []))
-            missing = set(cols) - have
-            if missing:
-                raise ValueError(
-                    f"CQL references columns {sorted(missing)} not ingested "
-                    f"into the attached store (has {sorted(have)}); "
-                    "ingest_store(columns=[...]) with them, or query an "
-                    "engine without a store to scan the source table")
-            ds = read_store(self.store_dir, columns=cols)
-        else:
-            ds = read_images(self.fixture_dir, columns=cols)
-        out = ds.map_batches(fn, batch_format="pyarrow")
+        out = self._source(cols).map_batches(fn, batch_format="pyarrow")
         return out.limit(limit) if limit is not None else out
 
     def _cql_planner(self, q, limit: int | None = None) -> ray.data.Dataset:
@@ -197,7 +227,6 @@ class GeoMesaRayEngine:
         return SpatialQuery(*bbox, t0, t1)
 
     def _attribute_scan(self, spec: QuerySpec) -> ray.data.Dataset:
-        from geomesa_ray.sources.io import read_images
         from geomesa_ray.stages.encode import derive_and_encode
 
         cols = list({"image_id", "phash", *spec.attr_eq.keys()})
@@ -210,7 +239,9 @@ class GeoMesaRayEngine:
                 m = pc.and_(m, pc.equal(batch.column(col), val))
             return batch.filter(m)
 
-        ds = read_images(self.fixture_dir, columns=cols)
+        # select BEFORE derive: the store source may carry derived cols
+        # already; derive_and_encode recomputes them from phash either way
+        ds = self._source(cols).select_columns(cols)
         return ds.map_batches(keep, batch_format="pyarrow").map_batches(
             derive_and_encode, batch_format="pyarrow")
 

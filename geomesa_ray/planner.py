@@ -80,10 +80,12 @@ def choose_strategy(spec: QuerySpec, override: Strategy | None = None) -> Strate
 
 
 def record_lookup(fixture_dir: str, ids: list[str],
-                  columns: list[str] | None = None) -> ray.data.Dataset:
+                  columns: list[str] | None = None,
+                  source_ds: ray.data.Dataset | None = None) -> ray.data.Dataset:
     """Record-index lookup: rows by exact id set (RecordIdxStrategy).
     The id set is broadcast-sorted; probe is a vectorized searchsorted
-    (the 32768-entry batched-lookup precedent)."""
+    (the 32768-entry batched-lookup precedent). ``source_ds`` overrides
+    the default fixture read (e.g. the engine's attached store)."""
     from geomesa_ray.sources.io import read_images
     from geomesa_ray.util import id_membership_mask
 
@@ -93,6 +95,8 @@ def record_lookup(fixture_dir: str, ids: list[str],
         return batch.filter(pa.array(
             id_membership_mask(batch.column("image_id"), want)))
 
-    need = columns if columns is not None else ["image_id", "phash", "caption"]
-    ds = read_images(fixture_dir, columns=need)
-    return ds.map_batches(probe, batch_format="pyarrow")
+    if source_ds is None:
+        need = columns if columns is not None \
+            else ["image_id", "phash", "caption"]
+        source_ds = read_images(fixture_dir, columns=need)
+    return source_ds.map_batches(probe, batch_format="pyarrow")

@@ -55,6 +55,9 @@ def _commit_log(store_dir: str, entries: list[dict]) -> None:
     os.replace(tmp, path)
 
 
+KNOWN_EXTS = (".parquet", ".avro", ".csv", ".json", ".jsonl", ".ndjson")
+
+
 def read_landed(path: str) -> "object":
     """Read one landed file by extension — parquet natively, csv/json/
     avro through the converter surface (the reference's streaming ingest
@@ -77,25 +80,71 @@ def read_landed(path: str) -> "object":
     raise ValueError(f"unsupported landed format {ext!r} ({path})")
 
 
+def _store_input_schema(store_dir: str):
+    """The store's INPUT column schema (names from meta, types from a
+    committed partition footer) — landed csv/json tables are CAST to it
+    so type inference ('00123' -> int64) can't poison partitions."""
+    import pyarrow as pa
+
+    from geomesa_ray.state.manifest import completed_partitions
+    from geomesa_ray.state.store import read_meta
+
+    cols = read_meta(store_dir).get("columns", [])
+    parts = completed_partitions(store_dir)
+    if not parts:
+        return None
+    b = sorted(int(k) for k in parts)[0]
+    full = pq.read_schema(
+        os.path.join(store_dir, f"part={b}", "data.parquet"))
+    return pa.schema([full.field(c) for c in cols if c in full.names])
+
+
 def poll_once(incoming_dir: str, store_dir: str,
-              pattern: str = "*.*") -> list[dict]:
-    """Discover-and-apply one poll: every landed file not yet in the
-    commit log is appended (in name order — the deterministic offset
-    order) and logged. Returns the new log entries."""
+              pattern: str = "*.*",
+              min_quiesce_s: float = 0.0) -> list[dict]:
+    """Discover-and-apply one poll: every landed file with a KNOWN
+    extension not yet in the commit log is applied (in name order — the
+    deterministic offset order) and logged. Unknown extensions (editor
+    temp files, producers' ``.tmp`` staging names) are IGNORED, so the
+    recommended atomic-rename landing pattern composes cleanly.
+
+    ``min_quiesce_s`` skips files modified less than that many seconds
+    ago — the stabilization guard for producers that write text formats
+    IN PLACE (a truncated csv/jsonl parses 'successfully'; parquet
+    self-protects via its footer). Prefer atomic rename; the guard is
+    for producers you don't control.
+
+    A file that fails to read or cast is DEAD-LETTERED: logged with an
+    ``error`` and never retried (a poison pill must not wedge the
+    loop); fix and re-land it under a new name. Returns the new log
+    entries (applied and dead-lettered)."""
+    import time as _time
+
+    import pyarrow as pa
+
     from geomesa_ray.state.store import append_store
 
     log = consumed_files(store_dir)
     seen = {e["file"] for e in log}
+    schema = _store_input_schema(store_dir)
     new = []
     for path in sorted(glob.glob(os.path.join(incoming_dir, pattern))):
         name = os.path.basename(path)
-        if name in seen:
+        if name in seen or not name.lower().endswith(KNOWN_EXTS):
             continue
-        t = read_landed(path)
-        out = append_store(store_dir, t, snapshot=True)
-        entry = {"file": name, "rows": t.num_rows,
-                 "snapshot_version": out.get("snapshot_version"),
-                 "touched_buckets": out.get("touched_buckets")}
+        if min_quiesce_s > 0.0 and \
+                _time.time() - os.path.getmtime(path) < min_quiesce_s:
+            continue  # still settling; next poll picks it up
+        try:
+            t = read_landed(path)
+            if schema is not None:
+                t = t.select(schema.names).cast(schema)
+            out = append_store(store_dir, t, snapshot=True)
+            entry = {"file": name, "rows": t.num_rows,
+                     "snapshot_version": out.get("snapshot_version"),
+                     "touched_buckets": out.get("touched_buckets")}
+        except (pa.ArrowInvalid, KeyError, ValueError, OSError) as e:
+            entry = {"file": name, "rows": 0, "error": str(e)[:500]}
         log.append(entry)
         _commit_log(store_dir, log)  # after the append commits
         new.append(entry)
