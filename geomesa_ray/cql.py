@@ -53,6 +53,7 @@ _BEFORE_RE = re.compile(r"^dtg\s+BEFORE\s+(\S+)$", re.IGNORECASE)
 _IN_RE = re.compile(r"^(\w+)\s+IN\s*\(\s*(.*)\s*\)$",
                     re.IGNORECASE | re.DOTALL)
 _EQ_RE = re.compile(r"^(\w+)\s*=\s*'([^']*)'$")
+_NE_STR_RE = re.compile(r"^(\w+)\s*<>\s*'([^']*)'$")
 _INTERSECTS_RE = re.compile(
     r"^INTERSECTS\s*\(\s*geom\s*,\s*(.+)\)$", re.IGNORECASE | re.DOTALL)
 _DWITHIN_RE = re.compile(
@@ -328,6 +329,11 @@ def _parse_tree_leaf(clause: str):
     m = _EQ_RE.match(clause)
     if m:
         return ("eq", (m.group(1), m.group(2)))
+    m = _NE_STR_RE.match(clause)
+    if m:
+        # string not-equal: ECQL `col <> 'v'` (UNKNOWN on null rows,
+        # same as NOT col = 'v' under the Kleene eval)
+        return ("ne", (m.group(1), m.group(2)))
     m = _CMP_RE.match(clause)
     if m:
         return ("cmp", (m.group(1), m.group(2), _num_literal(m.group(3))))
@@ -407,7 +413,7 @@ def tree_columns(node) -> set:
     if tag == "not":
         return tree_columns(node[1])
     kind, data = node[1]
-    if kind in ("eq", "isin", "between"):
+    if kind in ("eq", "ne", "isin", "between"):
         return {data[0]}
     if kind == "cmp":
         return {data[0]}
@@ -489,13 +495,14 @@ def _eval3(node, batch, lon, lat, dtg_s):
         if t1 is not None:
             m &= dtg_s <= t1
         return m, ~m
-    if kind == "eq":
+    if kind in ("eq", "ne"):
         col, val = data
         eq = pc.equal(batch.column(col), val)
-        t = pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+        t = pc.fill_null(eq, False).to_numpy(zero_copy_only=False) \
+            .astype(bool)
         f = pc.fill_null(pc.invert(eq), False) \
-            .to_numpy(zero_copy_only=False)
-        return t.astype(bool), f.astype(bool)
+            .to_numpy(zero_copy_only=False).astype(bool)
+        return (t, f) if kind == "eq" else (f, t)
     if kind == "isin":
         col, vals = data
         hit = pc.is_in(batch.column(col),

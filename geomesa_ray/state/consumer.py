@@ -58,10 +58,15 @@ def _commit_log(store_dir: str, entries: list[dict]) -> None:
 KNOWN_EXTS = (".parquet", ".avro", ".csv", ".json", ".jsonl", ".ndjson")
 
 
-def read_landed(path: str) -> "object":
+def read_landed(path: str, schema=None) -> "object":
     """Read one landed file by extension — parquet natively, csv/json/
     avro through the converter surface (the reference's streaming ingest
-    is likewise converter-fed). Returns an arrow Table."""
+    is likewise converter-fed). Returns an arrow Table.
+
+    ``schema`` (the store's input schema) is pushed INTO the csv/json
+    readers so type inference never runs on those columns — a cast
+    after inference could not recover e.g. the leading zeros of an
+    all-digit string id that inference turned into int64."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".parquet":
         return pq.read_table(path)
@@ -72,11 +77,18 @@ def read_landed(path: str) -> "object":
     if ext == ".csv":
         import pyarrow.csv as pcsv
 
-        return pcsv.read_csv(path)
+        conv = None
+        if schema is not None:
+            conv = pcsv.ConvertOptions(
+                column_types={f.name: f.type for f in schema})
+        return pcsv.read_csv(path, convert_options=conv)
     if ext in (".json", ".jsonl", ".ndjson"):
         import pyarrow.json as pjson
 
-        return pjson.read_json(path)
+        popts = None
+        if schema is not None:
+            popts = pjson.ParseOptions(explicit_schema=schema)
+        return pjson.read_json(path, parse_options=popts)
     raise ValueError(f"unsupported landed format {ext!r} ({path})")
 
 
@@ -136,7 +148,7 @@ def poll_once(incoming_dir: str, store_dir: str,
                 _time.time() - os.path.getmtime(path) < min_quiesce_s:
             continue  # still settling; next poll picks it up
         try:
-            t = read_landed(path)
+            t = read_landed(path, schema=schema)
             if schema is not None:
                 t = t.select(schema.names).cast(schema)
             out = append_store(store_dir, t, snapshot=True)

@@ -110,3 +110,85 @@ class TestConsumer:
         out = continuous_ingest(incoming, store, poll_interval_s=0.01,
                                 idle_polls_to_stop=3)
         assert out == {"polls": 3, "files_applied": 0, "rows_applied": 0}
+
+
+class TestConsumerHardening:
+    """Review-r03 consumer hardening: stray files are ignored (atomic-
+    rename staging composes), poison files dead-letter instead of
+    wedging the loop, the store schema is pushed into text readers so
+    inference can't poison partitions, and a quiesce window guards
+    in-place writers."""
+
+    def _base(self, tmp_path, n_seed=1200):
+        from geomesa_ray.sources.fixtures import gen_images_table
+        from geomesa_ray.state.store import write_store
+
+        t = gen_images_table(2400)
+        fdir = str(tmp_path / "seed")
+        os.makedirs(fdir)
+        _slice_to_file(t, 0, n_seed, os.path.join(fdir, "images.parquet"))
+        store = str(tmp_path / "store")
+        write_store(fdir, store, columns=["image_id", "phash", "caption"])
+        incoming = str(tmp_path / "incoming")
+        os.makedirs(incoming)
+        return t, store, incoming
+
+    def test_unknown_extensions_ignored(self, ray_session, tmp_path):
+        t, store, incoming = self._base(tmp_path)
+        staged = os.path.join(incoming, "b000.parquet.tmp")
+        _slice_to_file(t, 1200, 1800, staged)
+        with open(os.path.join(incoming, "notes.txt"), "w") as f:
+            f.write("hello")
+        assert poll_once(incoming, store) == []
+        # atomic rename completes the landing; next poll applies it
+        os.rename(staged, os.path.join(incoming, "b000.parquet"))
+        new = poll_once(incoming, store)
+        assert [e["file"] for e in new] == ["b000.parquet"]
+        assert new[0]["rows"] == 600
+
+    def test_poison_file_dead_letters_and_loop_continues(
+            self, ray_session, tmp_path):
+        t, store, incoming = self._base(tmp_path)
+        with open(os.path.join(incoming, "aa_bad.parquet"), "wb") as f:
+            f.write(b"this is not parquet")
+        _slice_to_file(t, 1200, 1800,
+                       os.path.join(incoming, "zz_good.parquet"))
+        new = poll_once(incoming, store)
+        assert [e["file"] for e in new] == \
+            ["aa_bad.parquet", "zz_good.parquet"]
+        assert new[0]["rows"] == 0 and "error" in new[0]
+        assert new[1]["rows"] == 600 and "error" not in new[1]
+        # the poison entry is committed: never retried
+        assert poll_once(incoming, store) == []
+
+    def test_schema_pushed_into_csv_reader(self, ray_session, tmp_path):
+        """All-digit string ids land via CSV: inference alone would
+        read them int64 and lose leading zeros; the store schema is
+        pushed into the reader so they stay strings bit-exactly."""
+        import pyarrow.csv as pcsv
+
+        from geomesa_ray.state.store import read_meta, read_store
+
+        t, store, incoming = self._base(tmp_path)
+        cols = read_meta(store)["columns"]
+        sl = t.slice(1200, 100).select(cols)
+        digit_ids = pa.array([f"{900000 + i:010d}" for i in range(100)])
+        sl = sl.set_column(sl.schema.get_field_index("image_id"),
+                           "image_id", digit_ids)
+        pcsv.write_csv(sl, os.path.join(incoming, "d.csv"))
+        new = poll_once(incoming, store)
+        assert new[0]["rows"] == 100 and "error" not in new[0]
+        got = {r["image_id"] for r in read_store(store).take_all()}
+        assert "0000900000" in got and "0000900099" in got
+
+    def test_quiesce_defers_fresh_files(self, ray_session, tmp_path):
+        import time as _t
+
+        t, store, incoming = self._base(tmp_path)
+        path = os.path.join(incoming, "b000.parquet")
+        _slice_to_file(t, 1200, 1800, path)
+        assert poll_once(incoming, store, min_quiesce_s=60.0) == []
+        old = _t.time() - 120
+        os.utime(path, (old, old))
+        new = poll_once(incoming, store, min_quiesce_s=60.0)
+        assert [e["file"] for e in new] == ["b000.parquet"]

@@ -323,3 +323,98 @@ class TestCqlOr:
         assert len(split_or(
             "INTERSECTS(geom, POLYGON ((0 0, 1 0, 1 1, 0 0)))")) == 1
         assert len(split_or("fmt = 'a OR b'")) == 1  # quoted OR ignored
+
+
+class TestKleene3VL:
+    """Three-valued NULL semantics through the boolean tree (review
+    r03): ``NOT col = v`` and ``col <> v`` must agree on null rows
+    (both exclude them), unknown must propagate through AND/OR/NOT the
+    SQL way, integer literals must stay exact past 2^53, and uint64
+    columns must not wrap through the int64-exact path."""
+
+    def _m(self, expr, batch):
+        import numpy as np
+
+        from geomesa_ray.cql import eval_tree, parse_cql_tree
+
+        z = np.zeros(batch.num_rows)
+        return eval_tree(parse_cql_tree(expr), batch, z, z, z).tolist()
+
+    def test_not_agrees_with_ne_on_nulls(self):
+        import pyarrow as pa
+
+        batch = pa.table({"fmt": pa.array(["png", None, "jpg"])})
+        assert self._m("fmt <> 'png'", batch) == [False, False, True]
+        assert self._m("NOT fmt = 'png'", batch) == [False, False, True]
+        assert self._m("NOT fmt <> 'png'", batch) == [True, False, False]
+
+    def test_not_between_and_cmp_exclude_nulls(self):
+        import pyarrow as pa
+
+        batch = pa.table({"v": pa.array([1, None, 10], pa.int64())})
+        assert self._m("NOT v BETWEEN 0 AND 5", batch) == \
+            [False, False, True]
+        assert self._m("NOT v < 5", batch) == [False, False, True]
+
+    def test_unknown_propagates_through_and_or(self):
+        import pyarrow as pa
+
+        batch = pa.table({"v": pa.array([5, None], pa.int64()),
+                          "w": pa.array([1, 1], pa.int64())})
+        # unknown OR unknown = unknown -> excluded (NOT a tautology)
+        assert self._m("v = 5 OR v <> 5", batch) == [True, False]
+        # true OR unknown = true
+        assert self._m("w = 1 OR v = 5", batch) == [True, True]
+        # NOT (true AND unknown) = NOT unknown = unknown -> excluded
+        assert self._m("NOT (w = 1 AND v = 5)", batch) == [False, False]
+        # NOT (false AND unknown) = NOT false = true -> included
+        assert self._m("NOT (w = 2 AND v = 5)", batch) == [True, True]
+
+    def test_not_isin_excludes_nulls(self):
+        import pyarrow as pa
+
+        batch = pa.table({"fmt": pa.array(["png", None, "gif"])})
+        assert self._m("fmt IN ('png', 'jpg')", batch) == \
+            [True, False, False]
+        assert self._m("NOT fmt IN ('png', 'jpg')", batch) == \
+            [False, False, True]
+
+    def test_int_literal_exact_past_2_53(self):
+        import pyarrow as pa
+
+        big = 9007199254740993  # 2^53 + 1: float64 rounds it to 2^53
+        batch = pa.table(
+            {"v": pa.array([big - 1, big, None], pa.int64())})
+        assert self._m(f"v = {big}", batch) == [False, True, False]
+        assert self._m(f"v BETWEEN {big} AND {big}", batch) == \
+            [False, True, False]
+        assert self._m(f"v < {big}", batch) == [True, False, False]
+
+    def test_uint64_column_does_not_wrap(self):
+        import pyarrow as pa
+
+        batch = pa.table({"v": pa.array([3, 2**63 + 5], pa.uint64())})
+        # int64-exact path would wrap 2^63+5 negative; must fall back
+        assert self._m("v > 5", batch) == [False, True]
+        assert self._m("v < 5", batch) == [True, False]
+
+
+class TestOrAllTreeFused:
+    def test_or_of_tree_only_disjuncts_single_scan_equivalence(
+            self, ray_session, tiny_fixtures):
+        """When NO disjunct is planner-parseable the engine hands the
+        whole expression to one fused-mask tree scan (no N-scan union
+        shuffle); result must equal the disjunct union."""
+        from geomesa_ray.engine import GeoMesaRayEngine, _planner_parses
+
+        a = "phash < 0"
+        b = "phash BETWEEN 100 AND 4611686018427387904"
+        assert not _planner_parses(a) and not _planner_parses(b)
+        eng = GeoMesaRayEngine(tiny_fixtures)
+
+        def ids(e):
+            return {r["image_id"] for r in eng.cql(e).take_all()}
+
+        got = ids(f"{a} OR {b}")
+        want = ids(a) | ids(b)
+        assert got == want and ids(a) - ids(b)

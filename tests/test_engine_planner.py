@@ -281,3 +281,58 @@ class TestQueryTimeout:
         with pytest.raises(QueryTimeout):
             take_all_with_timeout(ds, 1.0)
         assert time.monotonic() - t0 < 5.0  # the watchdog, not the query
+
+
+class TestStoreConsistentSource:
+    """Review r03: once a store is attached, EVERY strategy (attribute,
+    record, CQL tree) must read it — equivalent CQL phrasings may not
+    return different row sets after the store diverges from the fixture
+    via append()."""
+
+    def _store_eng(self, tiny_fixtures, tmp_path):
+        from geomesa_ray.sources.fixtures import gen_images_table_range
+
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        eng.ingest_store(
+            str(tmp_path / "store"),
+            columns=["image_id", "phash", "caption", "fmt"])
+        appended = gen_images_table_range(6000, 300)
+        eng.append(appended)
+        new_ids = set(appended.column("image_id").to_pylist())
+        return eng, new_ids
+
+    def test_attribute_strategy_sees_appended_rows(
+            self, ray_session, tiny_fixtures, tmp_path):
+        eng, new_ids = self._store_eng(tiny_fixtures, tmp_path)
+        spec = QuerySpec(attr_eq={"fmt": "raw"})
+        assert choose_strategy(spec) is Strategy.ATTRIBUTE
+        got = {r["image_id"] for r in eng.query(spec)
+               .select_columns(["image_id"]).take_all()}
+        assert new_ids <= got and len(got) == 6300
+
+    def test_record_strategy_sees_appended_rows(
+            self, ray_session, tiny_fixtures, tmp_path):
+        eng, new_ids = self._store_eng(tiny_fixtures, tmp_path)
+        probe = sorted(new_ids)[0]
+        spec = QuerySpec(ids=[probe, "img00000007"])
+        assert choose_strategy(spec) is Strategy.RECORD
+        got = {r["image_id"] for r in eng.query(spec)
+               .select_columns(["image_id"]).take_all()}
+        assert got == {probe, "img00000007"}
+
+    def test_planner_and_tree_phrasings_agree(
+            self, ray_session, tiny_fixtures, tmp_path):
+        """`fmt = 'raw'` (planner ATTRIBUTE) and `(fmt = 'raw')` (parens
+        force the tree grammar) must scan the same source."""
+        eng, new_ids = self._store_eng(tiny_fixtures, tmp_path)
+        a = {r["image_id"] for r in eng.cql("fmt = 'raw'")
+             .select_columns(["image_id"]).take_all()}
+        b = {r["image_id"] for r in eng.cql("(fmt = 'raw')").take_all()}
+        assert a == b and new_ids <= a
+
+    def test_missing_store_column_is_clear_error(
+            self, ray_session, tiny_fixtures, tmp_path):
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        eng.ingest_store(str(tmp_path / "store"))  # no fmt ingested
+        with pytest.raises(ValueError, match="not ingested"):
+            eng.query(QuerySpec(attr_eq={"fmt": "raw"})).take_all()
