@@ -434,16 +434,28 @@ def _cmp_operands(batch, col: str, vals: tuple):
         c = c.combine_chunks()
     null = np.asarray(pc.is_null(c).to_numpy(zero_copy_only=False),
                       dtype=bool)
+    def _integral(v):
+        return (isinstance(v, int) or float(v).is_integer())
+
+    is_u64 = (pa.types.is_unsigned_integer(c.type)
+              and c.type.bit_width == 64)
+    # uint64-exact path: compare in uint64 when every literal fits
+    # [0, 2^64) — astype(int64) would wrap values >= 2^63 negative,
+    # and float64 would merge neighbors above 2^53.
+    if is_u64 and all(_integral(v) and 0 <= v <= 2**64 - 1
+                      for v in vals):
+        x = c.fill_null(0).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        return x, tuple(np.uint64(int(v)) for v in vals), null
     # int64-exact path: signed/int<64 integer columns with integral
-    # in-range literals. uint64 columns are EXCLUDED — astype(int64)
-    # would wrap values >= 2^63 negative and invert comparisons.
-    if (pa.types.is_integer(c.type)
-            and not (pa.types.is_unsigned_integer(c.type)
-                     and c.type.bit_width == 64)
-            and all((isinstance(v, int) or float(v).is_integer())
+    # in-range literals.
+    if (pa.types.is_integer(c.type) and not is_u64
+            and all(_integral(v)
                     and -(2**63) <= v <= 2**63 - 1 for v in vals)):
         x = c.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
         return x, tuple(np.int64(int(v)) for v in vals), null
+    # fallback (float columns; out-of-range literals): float64. A
+    # NEGATIVE literal against a uint64 column stays sign-correct here.
     x = c.to_numpy(zero_copy_only=False).astype(np.float64)
     return x, tuple(np.float64(v) for v in vals), null
 

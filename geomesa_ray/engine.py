@@ -48,17 +48,22 @@ class GeoMesaRayEngine:
 
     # ---- source selection
 
-    def _source(self, columns: list[str]) -> ray.data.Dataset:
+    def _source(self, columns: list[str],
+                optional: list[str] | None = None) -> ray.data.Dataset:
         """The engine's ROW SOURCE for non-spatial scans: the attached
         store when one exists (so consume()/append() results are visible
         to EVERY strategy — spatial, attribute, record, and the CQL tree
         scan — consistently), else the fixture table. A store missing a
-        referenced column is a clear error, not a silent fixture
-        fallback (which would resurrect pre-append data)."""
+        QUERY-REFERENCED column is a clear error, not a silent fixture
+        fallback (which would resurrect pre-append data); ``optional``
+        columns (output-only projections like caption) are simply
+        dropped when a thin store lacks them."""
         from geomesa_ray.sources.io import read_images
 
+        optional = optional or []
         if self.store_dir is None:
-            return read_images(self.fixture_dir, columns=columns)
+            return read_images(self.fixture_dir,
+                               columns=[*columns, *optional])
         from geomesa_ray.state.store import read_meta, read_store
 
         have = set(read_meta(self.store_dir).get("columns", []))
@@ -69,7 +74,8 @@ class GeoMesaRayEngine:
                 f"into the attached store (has {sorted(have)}); "
                 "ingest_store(columns=[...]) with them, or query an "
                 "engine without a store to scan the source table")
-        return read_store(self.store_dir, columns=columns)
+        cols = [*columns, *[c for c in optional if c in have]]
+        return read_store(self.store_dir, columns=cols)
 
     # ---- query path (strategy-decided)
 
@@ -86,13 +92,15 @@ class GeoMesaRayEngine:
         strat = choose_strategy(spec, strategy_override)
         if strat is Strategy.RECORD:
             ids = intersect_id_sets(spec)
-            # projection must carry every column later predicates refine on
+            # projection must carry every column later predicates refine
+            # on; caption is output-only (dropped if a thin store lacks it)
             cols = list(dict.fromkeys(
-                ["image_id", "phash", "caption", *spec.attr_eq.keys()]))
-            ds = record_lookup(self.fixture_dir, ids or [], columns=cols,
-                               source_ds=self._source(cols)
-                               .select_columns(cols)
-                               if self.store_dir is not None else None)
+                ["image_id", "phash", *spec.attr_eq.keys()]))
+            ds = record_lookup(
+                self.fixture_dir, ids or [],
+                columns=[*cols, "caption"],
+                source_ds=self._source(cols, optional=["caption"])
+                if self.store_dir is not None else None)
             out = self._refine(ds, spec, skip_ids=True)
         elif strat is Strategy.ATTRIBUTE:
             ds = self._attribute_scan(spec)
@@ -239,9 +247,7 @@ class GeoMesaRayEngine:
                 m = pc.and_(m, pc.equal(batch.column(col), val))
             return batch.filter(m)
 
-        # select BEFORE derive: the store source may carry derived cols
-        # already; derive_and_encode recomputes them from phash either way
-        ds = self._source(cols).select_columns(cols)
+        ds = self._source(cols)
         return ds.map_batches(keep, batch_format="pyarrow").map_batches(
             derive_and_encode, batch_format="pyarrow")
 

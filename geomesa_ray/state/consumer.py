@@ -56,6 +56,7 @@ def _commit_log(store_dir: str, entries: list[dict]) -> None:
 
 
 KNOWN_EXTS = (".parquet", ".avro", ".csv", ".json", ".jsonl", ".ndjson")
+_UNSET = object()  # lazy-schema sentinel (None is a valid schema result)
 
 
 def read_landed(path: str, schema=None) -> "object":
@@ -126,10 +127,14 @@ def poll_once(incoming_dir: str, store_dir: str,
     self-protects via its footer). Prefer atomic rename; the guard is
     for producers you don't control.
 
-    A file that fails to read or cast is DEAD-LETTERED: logged with an
+    A file that fails to READ or CAST is DEAD-LETTERED: logged with an
     ``error`` and never retried (a poison pill must not wedge the
-    loop); fix and re-land it under a new name. Returns the new log
-    entries (applied and dead-lettered)."""
+    loop); fix and re-land it under a new name. Failures INSIDE the
+    append itself (disk full, task errors) are NOT dead-lettered — they
+    propagate, the file stays un-logged, and the next poll replays it
+    (``append_store`` upserts by id, so replay is a no-op for the rows
+    that did land). Returns the new log entries (applied and
+    dead-lettered)."""
     import time as _time
 
     import pyarrow as pa
@@ -138,25 +143,35 @@ def poll_once(incoming_dir: str, store_dir: str,
 
     log = consumed_files(store_dir)
     seen = {e["file"] for e in log}
-    schema = _store_input_schema(store_dir)
+    schema = _UNSET  # computed lazily: idle polls never touch the store
     new = []
     for path in sorted(glob.glob(os.path.join(incoming_dir, pattern))):
         name = os.path.basename(path)
         if name in seen or not name.lower().endswith(KNOWN_EXTS):
             continue
-        if min_quiesce_s > 0.0 and \
-                _time.time() - os.path.getmtime(path) < min_quiesce_s:
-            continue  # still settling; next poll picks it up
+        if min_quiesce_s > 0.0:
+            try:
+                age = _time.time() - os.path.getmtime(path)
+            except OSError:
+                continue  # renamed/deleted mid-poll; next poll resolves
+            if age < min_quiesce_s:
+                continue  # still settling; next poll picks it up
+        if schema is _UNSET:
+            schema = _store_input_schema(store_dir)
         try:
             t = read_landed(path, schema=schema)
             if schema is not None:
                 t = t.select(schema.names).cast(schema)
-            out = append_store(store_dir, t, snapshot=True)
-            entry = {"file": name, "rows": t.num_rows,
-                     "snapshot_version": out.get("snapshot_version"),
-                     "touched_buckets": out.get("touched_buckets")}
         except (pa.ArrowInvalid, KeyError, ValueError, OSError) as e:
             entry = {"file": name, "rows": 0, "error": str(e)[:500]}
+            log.append(entry)
+            _commit_log(store_dir, log)
+            new.append(entry)
+            continue
+        out = append_store(store_dir, t, snapshot=True)
+        entry = {"file": name, "rows": t.num_rows,
+                 "snapshot_version": out.get("snapshot_version"),
+                 "touched_buckets": out.get("touched_buckets")}
         log.append(entry)
         _commit_log(store_dir, log)  # after the append commits
         new.append(entry)
@@ -166,20 +181,26 @@ def poll_once(incoming_dir: str, store_dir: str,
 def continuous_ingest(incoming_dir: str, store_dir: str,
                       poll_interval_s: float = 1.0,
                       max_polls: int | None = None,
-                      idle_polls_to_stop: int | None = None) -> dict:
+                      idle_polls_to_stop: int | None = None,
+                      pattern: str = "*.*",
+                      min_quiesce_s: float = 0.0) -> dict:
     """Run the consumer loop: poll the landing directory, apply new
     files, sleep, repeat. Bounded by ``max_polls`` and/or
     ``idle_polls_to_stop`` (consecutive empty polls) so tests and batch
     jobs terminate; run unbounded in a real deployment. Restartable at
-    any time — the commit log skips consumed files."""
-    polls = applied = rows = 0
+    any time — the commit log skips consumed files. ``pattern`` and
+    ``min_quiesce_s`` pass through to :func:`poll_once`; dead-lettered
+    files count in ``files_dead_lettered``, not ``files_applied``."""
+    polls = applied = rows = dead = 0
     idle = 0
     while True:
-        new = poll_once(incoming_dir, store_dir)
+        new = poll_once(incoming_dir, store_dir, pattern=pattern,
+                        min_quiesce_s=min_quiesce_s)
         polls += 1
         if new:
             idle = 0
-            applied += len(new)
+            applied += sum(1 for e in new if "error" not in e)
+            dead += sum(1 for e in new if "error" in e)
             rows += sum(e["rows"] for e in new)
         else:
             idle += 1
@@ -188,4 +209,7 @@ def continuous_ingest(incoming_dir: str, store_dir: str,
         if idle_polls_to_stop is not None and idle >= idle_polls_to_stop:
             break
         time.sleep(poll_interval_s)
-    return {"polls": polls, "files_applied": applied, "rows_applied": rows}
+    out = {"polls": polls, "files_applied": applied, "rows_applied": rows}
+    if dead:
+        out["files_dead_lettered"] = dead
+    return out

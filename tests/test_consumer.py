@@ -7,6 +7,7 @@ snapshots give replay + CDC between polls."""
 import os
 
 import pyarrow as pa
+import pytest
 import pyarrow.parquet as pq
 
 from geomesa_ray.state.consumer import consumed_files, continuous_ingest, poll_once
@@ -192,3 +193,55 @@ class TestConsumerHardening:
         os.utime(path, (old, old))
         new = poll_once(incoming, store, min_quiesce_s=60.0)
         assert [e["file"] for e in new] == ["b000.parquet"]
+
+
+class TestDeadLetterScope:
+    """Dead-lettering is scoped to read/cast failures only: an append
+    failure propagates and leaves the file un-logged so the next poll
+    replays it (upsert-by-id makes replay safe)."""
+
+    def _base(self, tmp_path):
+        from geomesa_ray.sources.fixtures import gen_images_table
+        from geomesa_ray.state.store import write_store
+
+        t = gen_images_table(2400)
+        fdir = str(tmp_path / "seed")
+        os.makedirs(fdir)
+        _slice_to_file(t, 0, 1200, os.path.join(fdir, "images.parquet"))
+        store = str(tmp_path / "store")
+        write_store(fdir, store, columns=["image_id", "phash", "caption"])
+        incoming = str(tmp_path / "incoming")
+        os.makedirs(incoming)
+        return t, store, incoming
+
+    def test_append_failure_propagates_and_file_replays(
+            self, ray_session, tmp_path, monkeypatch):
+        from geomesa_ray.state import store as store_mod
+        from geomesa_ray.state.store import read_store
+
+        t, store, incoming = self._base(tmp_path)
+        _slice_to_file(t, 1200, 1800, os.path.join(incoming, "b.parquet"))
+
+        def boom(*a, **kw):
+            raise OSError("disk full")
+
+        monkeypatch.setattr(store_mod, "append_store", boom)
+        with pytest.raises(OSError, match="disk full"):
+            poll_once(incoming, store)
+        # NOT dead-lettered: the commit log has no entry for the file
+        assert consumed_files(store) == []
+        monkeypatch.undo()
+        new = poll_once(incoming, store)  # replay applies it
+        assert [e["file"] for e in new] == ["b.parquet"]
+        got = {r["image_id"] for r in read_store(store).take_all()}
+        assert len(got) == 1800
+
+    def test_dead_letters_counted_separately(self, ray_session, tmp_path):
+        t, store, incoming = self._base(tmp_path)
+        with open(os.path.join(incoming, "bad.csv"), "wb") as f:
+            f.write(b"\x00\x01\x02 not a csv \xff")
+        _slice_to_file(t, 1200, 1800, os.path.join(incoming, "ok.parquet"))
+        out = continuous_ingest(incoming, store, poll_interval_s=0.01,
+                                max_polls=1)
+        assert out["files_applied"] == 1 and out["rows_applied"] == 600
+        assert out["files_dead_lettered"] == 1

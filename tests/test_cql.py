@@ -398,6 +398,21 @@ class TestKleene3VL:
         assert self._m("v > 5", batch) == [False, True]
         assert self._m("v < 5", batch) == [True, False]
 
+    def test_uint64_exact_above_2_63(self):
+        """uint64 comparisons are EXACT past 2^63 (a float64 fallback
+        would merge neighbors: both 2^63+4 and 2^63+5 round to 2^63)."""
+        import pyarrow as pa
+
+        big = 2**63 + 5
+        batch = pa.table(
+            {"v": pa.array([big - 1, big, None], pa.uint64())})
+        assert self._m(f"v = {big}", batch) == [False, True, False]
+        assert self._m(f"v < {big}", batch) == [True, False, False]
+        # a negative literal can't enter the uint64 path; the float
+        # fallback must stay sign-correct
+        assert self._m(f"v BETWEEN -5 AND {2**64 - 1}", batch) == \
+            [True, True, False]
+
 
 class TestOrAllTreeFused:
     def test_or_of_tree_only_disjuncts_single_scan_equivalence(
