@@ -54,6 +54,11 @@ _IN_RE = re.compile(r"^(\w+)\s+IN\s*\(\s*(.*)\s*\)$",
                     re.IGNORECASE | re.DOTALL)
 _EQ_RE = re.compile(r"^(\w+)\s*=\s*'([^']*)'$")
 _NE_STR_RE = re.compile(r"^(\w+)\s*<>\s*'([^']*)'$")
+_NOTNULL_RE = re.compile(r"^(\w+)\s+IS\s+NOT\s+NULL$", re.IGNORECASE)
+_ISNULL_RE = re.compile(r"^(\w+)\s+IS\s+NULL$", re.IGNORECASE)
+_LIKE_RE = re.compile(r"^(\w+)\s+(I?LIKE)\s+'([^']*)'$", re.IGNORECASE)
+_DISJOINT_RE = re.compile(
+    r"^DISJOINT\s*\(\s*geom\s*,\s*(.+)\)$", re.IGNORECASE | re.DOTALL)
 _INTERSECTS_RE = re.compile(
     r"^INTERSECTS\s*\(\s*geom\s*,\s*(.+)\)$", re.IGNORECASE | re.DOTALL)
 _DWITHIN_RE = re.compile(
@@ -334,6 +339,27 @@ def _parse_tree_leaf(clause: str):
         # string not-equal: ECQL `col <> 'v'` (UNKNOWN on null rows,
         # same as NOT col = 'v' under the Kleene eval)
         return ("ne", (m.group(1), m.group(2)))
+    m = _NOTNULL_RE.match(clause)
+    if m:
+        return ("notnull", m.group(1))
+    m = _ISNULL_RE.match(clause)
+    if m:
+        # IS NULL is two-valued: a null row is definitely TRUE here
+        return ("isnull", m.group(1))
+    m = _LIKE_RE.match(clause)
+    if m:
+        # SQL LIKE wildcards (% any run, _ one char); ILIKE folds case
+        return ("like", (m.group(1), m.group(3),
+                         m.group(2).upper() == "ILIKE"))
+    m = _DISJOINT_RE.match(clause)
+    if m:
+        from geomesa_ray.geom.wkt import parse_wkt_geometry
+
+        kind, parts = parse_wkt_geometry(m.group(1).strip())
+        if kind not in ("poly", "multipoly"):
+            raise ValueError(
+                "DISJOINT supports POLYGON/MULTIPOLYGON references")
+        return ("disjoint", parts)
     m = _CMP_RE.match(clause)
     if m:
         return ("cmp", (m.group(1), m.group(2), _num_literal(m.group(3))))
@@ -413,10 +439,12 @@ def tree_columns(node) -> set:
     if tag == "not":
         return tree_columns(node[1])
     kind, data = node[1]
-    if kind in ("eq", "ne", "isin", "between"):
+    if kind in ("eq", "ne", "isin", "between", "like"):
         return {data[0]}
     if kind == "cmp":
         return {data[0]}
+    if kind in ("isnull", "notnull"):
+        return {data}
     return set()
 
 
@@ -545,13 +573,27 @@ def _eval3(node, batch, lon, lat, dtg_s):
         x, v, null = _cmp_operands(batch, col, (lo, hi))
         m = (x >= v[0]) & (x <= v[1])
         return m & ~null, ~m & ~null
-    if kind == "intersects":
+    if kind in ("isnull", "notnull"):
+        isnull = pc.is_null(batch.column(data)) \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        # two-valued: null rows are definitely TRUE/FALSE, never unknown
+        return (isnull, ~isnull) if kind == "isnull" \
+            else (~isnull, isnull)
+    if kind == "like":
+        col, pat, fold = data
+        hit = pc.match_like(batch.column(col), pat, ignore_case=fold)
+        t = pc.fill_null(hit, False).to_numpy(zero_copy_only=False) \
+            .astype(bool)
+        f = pc.fill_null(pc.invert(hit), False) \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        return t, f
+    if kind in ("intersects", "disjoint"):
         from geomesa_ray.geom.kernels import points_in_rings
 
         m = np.zeros(n, dtype=bool)
         for ring_set in data:
             m |= points_in_rings(lon, lat, ring_set)
-        return m, ~m
+        return (m, ~m) if kind == "intersects" else (~m, m)
     if kind in ("dwithin", "beyond"):
         from geomesa_ray.geom.kernels import haversine_m
 

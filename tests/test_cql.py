@@ -433,3 +433,68 @@ class TestOrAllTreeFused:
         got = ids(f"{a} OR {b}")
         want = ids(a) | ids(b)
         assert got == want and ids(a) - ids(b)
+
+
+class TestEcqlExtraLeaves:
+    """IS [NOT] NULL, LIKE/ILIKE, DISJOINT — the remaining common ECQL
+    predicates (GeoTools ECQL.toFilter accepts all of these)."""
+
+    def _m(self, expr, batch):
+        import numpy as np
+
+        from geomesa_ray.cql import eval_tree, parse_cql_tree
+
+        z = np.zeros(batch.num_rows)
+        return eval_tree(parse_cql_tree(expr), batch, z, z, z).tolist()
+
+    def test_is_null_is_two_valued(self):
+        import pyarrow as pa
+
+        batch = pa.table({"fmt": pa.array(["png", None, "jpg"])})
+        assert self._m("fmt IS NULL", batch) == [False, True, False]
+        assert self._m("fmt IS NOT NULL", batch) == [True, False, True]
+        # NOT (IS NULL) == IS NOT NULL exactly — no unknowns here
+        assert self._m("NOT fmt IS NULL", batch) == [True, False, True]
+
+    def test_like_and_ilike(self):
+        import pyarrow as pa
+
+        batch = pa.table({"cap": pa.array(
+            ["red fox", None, "Red FOX", "dog"])})
+        assert self._m("cap LIKE '%fox'", batch) == \
+            [True, False, False, False]
+        assert self._m("cap ILIKE '%fox'", batch) == \
+            [True, False, True, False]
+        assert self._m("cap LIKE 'r__ fox'", batch) == \
+            [True, False, False, False]
+        # null rows stay excluded under NOT LIKE (Kleene)
+        assert self._m("NOT cap LIKE '%fox'", batch) == \
+            [False, False, True, True]
+
+    def test_disjoint_is_intersects_complement(self, ray_session,
+                                               tiny_fixtures):
+        from geomesa_ray.engine import GeoMesaRayEngine
+
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        wkt = "POLYGON ((-30 -20, 10 -20, 10 20, -30 20, -30 -20))"
+        inter = {r["image_id"] for r in
+                 eng.cql(f"INTERSECTS(geom, {wkt})").take_all()}
+        disj = {r["image_id"] for r in
+                eng.cql(f"(DISJOINT(geom, {wkt}))").take_all()}
+        both = {r["image_id"] for r in
+                eng.cql("dtg AFTER 1970-01-01").take_all()}
+        assert inter | disj == both and inter & disj == set()
+
+    def test_like_projects_column_from_store(self, ray_session,
+                                             tiny_fixtures, tmp_path):
+        """LIKE over the caption column end-to-end (tree_columns must
+        project it into the scan)."""
+        from geomesa_ray.engine import GeoMesaRayEngine
+
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        got = {r["image_id"] for r in
+               eng.cql("caption LIKE '%#fjord%'").take_all()}
+        assert got  # the word list contains 'fjord'
+        got2 = {r["image_id"] for r in
+                eng.cql("caption ILIKE '%#FJORD%'").take_all()}
+        assert got == got2
