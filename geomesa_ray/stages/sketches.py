@@ -126,3 +126,137 @@ def approx_distinct(sf_dir_table_col, table: str | None = None,
     ds = read_table(sf_dir, table, columns=[col])
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     return gather_combine(parts, final)
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: exact distributed top-k and a mergeable Misra-Gries
+# (space-saving) summary. At 100 TB the exact path's shuffle volume is
+# one row per distinct value per block (already pre-aggregated); the
+# sketch path caps every partial at m counters regardless of
+# cardinality — the mergeable-summaries shape (Agarwal et al., PODS'12).
+# ---------------------------------------------------------------------------
+
+
+def topk_values(sf_dir: str, table: str, col: str,
+                k: int = 20) -> ray.data.Dataset:
+    """EXACT top-k values of a column by count: per-batch vectorized
+    group-counts (one row per distinct per block leaves the node), one
+    bounded merge, deterministic order (cnt desc, value asc)."""
+    from geomesa_ray.sources.io import read_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = batch.select([col]).group_by([col]).aggregate(
+            [([], "count_all")])
+        return out.select([col, "count_all"]).rename_columns([col, "cnt"])
+
+    def final(batch: pa.Table) -> pa.Table:
+        out = batch.group_by([col]).aggregate([("cnt", "sum")])
+        out = out.select([col, "cnt_sum"]).rename_columns([col, "cnt"])
+        order = [("cnt", "descending"), (col, "ascending")]
+        return out.sort_by(order).slice(0, k)
+
+    ds = read_table(sf_dir, table, columns=[col])
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+    return gather_combine(parts, final)
+
+
+def topk_words(sf_dir: str, k: int = 20,
+               table: str = "documents",
+               col: str = "text") -> ray.data.Dataset:
+    """EXACT top-k whitespace tokens over a text column (token heavy
+    hitters — the LLM-corpus staple). Tokenization is a single Arrow
+    split_pattern + flatten per batch (empty tokens from runs of
+    spaces are dropped), then the same partial/merge as topk_values."""
+    import pyarrow.compute as pc
+
+    from geomesa_ray.sources.io import read_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(batch.column(col), " "))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        t = pa.table({"word": toks})
+        out = t.group_by(["word"]).aggregate([([], "count_all")])
+        return out.select(["word", "count_all"]) \
+            .rename_columns(["word", "cnt"])
+
+    def final(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(["word"]).aggregate([("cnt", "sum")])
+        out = out.select(["word", "cnt_sum"]).rename_columns(
+            ["word", "cnt"])
+        order = [("cnt", "descending"), ("word", "ascending")]
+        return out.sort_by(order).slice(0, k)
+
+    ds = read_table(sf_dir, table, columns=[col])
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+    return gather_combine(parts, final)
+
+
+def _mg_truncate(t: pa.Table, col: str, m: int):
+    """Misra-Gries reduction of exact (value, cnt) rows to <= m
+    counters: subtract the (m+1)-th largest count from every counter
+    and keep the positive ones. Returns (table, subtracted) — the
+    subtraction is this step's error contribution."""
+    cnts = t.column("cnt").to_numpy(zero_copy_only=False)
+    if len(cnts) <= m:
+        return t, 0
+    thr = int(np.partition(cnts, -(m + 1))[-(m + 1)])
+    keep = cnts > thr
+    out = t.filter(pa.array(keep))
+    new_cnts = out.column("cnt").to_numpy(zero_copy_only=False) - thr
+    out = out.set_column(out.schema.get_field_index("cnt"), "cnt",
+                         pa.array(new_cnts, pa.int64()))
+    return out, thr
+
+
+def topk_sketch(sf_dir: str, table: str, col: str, k: int = 20,
+                m: int = 1024) -> pa.Table:
+    """APPROXIMATE top-k via mergeable Misra-Gries summaries: each
+    batch reduces its exact counts to <= m counters (a null-value row
+    carries the summary's error mass); the merge sums counters,
+    re-truncates, and reports per-value bounds
+
+        est <= true_count <= est + err  (err = total subtracted mass).
+
+    Any value with true count > N * (sum of per-summary thresholds)/N
+    survives; with m >> k and skewed data the top-k set equals the
+    exact one. Driver holds only the k result rows."""
+    from geomesa_ray.sources.io import read_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = batch.select([col]).group_by([col]).aggregate(
+            [([], "count_all")])
+        out = out.select([col, "count_all"]).rename_columns([col, "cnt"])
+        out = out.set_column(
+            out.schema.get_field_index("cnt"), "cnt",
+            out.column("cnt").cast(pa.int64()))
+        out, err = _mg_truncate(out, col, m)
+        if err:
+            out = pa.concat_tables([out, pa.table(
+                {col: pa.array([None], out.schema.field(col).type),
+                 "cnt": pa.array([err], pa.int64())})])
+        return out
+
+    def final(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        nulls = pc.is_null(batch.column(col))
+        err = int(pc.sum(batch.filter(nulls).column("cnt")).as_py() or 0)
+        t = batch.filter(pc.invert(nulls)).group_by([col]).aggregate(
+            [("cnt", "sum")])
+        t = t.select([col, "cnt_sum"]).rename_columns([col, "cnt"])
+        t, thr = _mg_truncate(t, col, m)
+        err += thr
+        order = [("cnt", "descending"), (col, "ascending")]
+        t = t.sort_by(order).slice(0, k)
+        est = t.column("cnt").to_numpy(zero_copy_only=False)
+        return pa.table({col: t.column(col),
+                         "est": pa.array(est, pa.int64()),
+                         "est_hi": pa.array(est + err, pa.int64())})
+
+    ds = read_table(sf_dir, table, columns=[col])
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+    return gather_combine(parts, final)

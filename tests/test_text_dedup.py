@@ -437,3 +437,85 @@ class TestDistributedClustering:
         assert got == want
         # sanity: chain collapses to min label 100
         assert (106, 100) in got
+
+
+class TestTopK:
+    """Heavy hitters: exact distributed top-k cross-checked against
+    DuckDB, and the mergeable Misra-Gries sketch's bounds + top-k
+    agreement on skewed data."""
+
+    def test_topk_values_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from geomesa_ray.stages.sketches import topk_values
+
+        got = topk_values(SF, "events", "event_type", k=3).take_all()
+        want = duckdb.sql(
+            "SELECT event_type, count(*)::BIGINT cnt FROM "
+            f"read_parquet('{SF}/events.parquet') GROUP BY event_type "
+            "ORDER BY cnt DESC, event_type LIMIT 3").fetchall()
+        assert [(r["event_type"], r["cnt"]) for r in got] == want
+
+    def test_topk_words_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from geomesa_ray.stages.sketches import topk_words
+
+        got = topk_words(SF, k=10).take_all()
+        want = duckdb.sql(
+            "SELECT word, count(*)::BIGINT cnt FROM ("
+            "  SELECT unnest(string_split(text, ' ')) AS word FROM "
+            f" read_parquet('{SF}/documents.parquet')) "
+            "WHERE word <> '' GROUP BY word "
+            "ORDER BY cnt DESC, word LIMIT 10").fetchall()
+        assert [(r["word"], r["cnt"]) for r in got] == want
+
+    def _zipf_dir(self, tmp_path):
+        """Skewed corpus: value i appears ~40000/i times, 5000
+        distinct values (> the sketch's m), deterministic."""
+        import pyarrow.parquet as _pq
+
+        from geomesa_ray.sources.fixtures import splitmix64
+
+        reps = (40000 // np.arange(1, 5001)).clip(min=1)
+        vals = np.repeat(np.arange(1, 5001), reps)
+        # deterministic shuffle so batches see mixed values
+        order = np.argsort(splitmix64(np.arange(len(vals), dtype=np.int64)
+                                      .view(np.uint64)))
+        t = pa.table({"v": pa.array(
+            np.char.add("val", vals[order].astype("U6")))})
+        d = tmp_path / "zipf"
+        d.mkdir()
+        _pq.write_table(t, str(d / "zipf.parquet"), row_group_size=20000)
+        return str(d), t
+
+    def test_sketch_bounds_and_topk_agree(self, ray_session, tmp_path):
+        import collections
+
+        from geomesa_ray.stages.sketches import topk_sketch
+
+        d, t = self._zipf_dir(tmp_path)
+        exact = collections.Counter(t.column("v").to_pylist())
+        got = topk_sketch(d, "zipf", "v", k=10, m=1024).take_all()
+        assert len(got) == 10
+        for r in got:
+            true = exact[r["v"]]
+            assert r["est"] <= true <= r["est_hi"], r
+        want_top = [v for v, _ in sorted(
+            exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]]
+        assert [r["v"] for r in got] == want_top
+
+    def test_sketch_summary_is_capped(self, ray_session, tmp_path):
+        """No partial ships more than m+1 rows regardless of distinct
+        count — the property that makes the op safe at any scale."""
+        from geomesa_ray.stages.sketches import _mg_truncate
+
+        t = pa.table({"v": pa.array([f"x{i}" for i in range(5000)]),
+                      "cnt": pa.array(
+                          (np.arange(5000) % 97 + 1).astype(np.int64))})
+        out, err = _mg_truncate(t, "v", 256)
+        assert out.num_rows <= 256 and err > 0
+        # every surviving counter shrank by exactly err
+        survivors = {r["v"]: r["cnt"] for r in out.to_pylist()}
+        orig = {r["v"]: r["cnt"] for r in t.to_pylist()}
+        assert all(orig[v] - c == err for v, c in survivors.items())
