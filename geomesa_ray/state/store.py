@@ -357,6 +357,137 @@ def delete_store(out_dir: str, image_ids: list[str],
     return out
 
 
+def expire_store(out_dir: str, before_week: int,
+                 snapshot: bool = True) -> dict:
+    """Age-off: drop every feature whose ``week`` is older than
+    ``before_week`` — the batch analog of the reference's feature
+    expiration (``KafkaDataStore.scala:66`` ``expirationPeriod`` /
+    ``LiveKafkaConsumerFeatureSource.scala:137-160`` cache
+    ``expireAfterWrite`` + ``cleanUp``), expressed against the stored
+    time key instead of wall-clock age so the operation is
+    deterministic and replayable.
+
+    Scale shape: the per-partition manifests record ``week_min`` /
+    ``week_max``, so partitions entirely newer than the cutoff are
+    SKIPPED without reading a byte; only candidate partitions get the
+    one-task-per-partition distributed rewrite (tmp + rename +
+    manifest recommit, same protocol as :func:`delete_store`). A
+    partition expired to zero rows keeps an empty manifest (rows=0) so
+    resume/pruning invariants hold. Pre/post snapshots make the
+    age-off replayable via ``read_store(version=...)``."""
+    import ray
+
+    if snapshot:
+        from geomesa_ray.state.manifest import list_versions
+
+        if not list_versions(out_dir) or not _state_matches_snapshot(
+                out_dir, read_snapshot(out_dir)):
+            snapshot_store(out_dir)
+    manifests = completed_partitions(out_dir)
+    # manifest-level prune: only partitions that can hold expired rows
+    candidates = [int(b) for b, m in manifests.items()
+                  if int(m.get("week_min", -2**62)) < before_week]
+    out = {"expired_rows": 0, "touched_buckets": 0,
+           "pruned_buckets": len(manifests) - len(candidates)}
+    if candidates:
+        items = [{"bucket": b} for b in sorted(candidates)]
+        ds = ray.data.from_items(items, override_num_blocks=len(items))
+
+        def drop_old(batch: pa.Table) -> pa.Table:
+            out_b, out_n = [], []
+            for bucket in batch.column("bucket").to_pylist():
+                pdir = os.path.join(out_dir, f"part={bucket}")
+                path = os.path.join(pdir, "data.parquet")
+                t = pq.read_table(path)
+                wk = t.column("week").to_numpy(zero_copy_only=False)
+                m = wk < before_week
+                n_hit = int(m.sum())
+                if n_hit:
+                    kept = t.filter(pa.array(~m))
+                    tmp = os.path.join(pdir, ".data.parquet.tmp")
+                    pq.write_table(kept, tmp, row_group_size=65536)
+                    os.replace(tmp, path)
+                    if kept.num_rows:
+                        n_cells = len(np.unique(kept.column("cell")
+                                      .to_numpy(zero_copy_only=False)))
+                        kw = kept.column("week").to_numpy(
+                            zero_copy_only=False)
+                        wmin, wmax = int(np.min(kw)), int(np.max(kw))
+                    else:
+                        n_cells, wmin, wmax = 0, 0, 0
+                    write_manifest(out_dir, bucket, {
+                        "bucket": bucket, "rows": kept.num_rows,
+                        "n_cells": n_cells, "week_min": wmin,
+                        "week_max": wmax})
+                out_b.append(bucket)
+                out_n.append(n_hit)
+            return pa.table({"bucket": pa.array(out_b, pa.int64()),
+                             "expired": pa.array(out_n, pa.int64())})
+
+        rows = ds.map_batches(drop_old, batch_format="pyarrow",
+                              batch_size=1).take_all()
+        out["expired_rows"] = int(sum(r["expired"] for r in rows))
+        out["touched_buckets"] = int(sum(1 for r in rows if r["expired"]))
+    if snapshot and out["expired_rows"]:
+        out["snapshot_version"] = snapshot_store(out_dir)
+    return out
+
+
+def vacuum_store(out_dir: str, keep_last: int = 1) -> dict:
+    """Retire old snapshot versions and garbage-collect their pinned
+    files — the replay-surface cleanup the reference performs when a
+    replay schema is removed (``KafkaDataStoreSchemaManager.scala:
+    116-128`` deletes the replay topic; Kafka itself ages segments out
+    by topic retention). Keeps the newest ``keep_last`` versions; every
+    older ``versions/v{N}.json`` is removed, then each partition's
+    ``data_v*.parquet`` hardlinks not referenced by any RETAINED
+    version are unlinked. The live ``data.parquet`` name is never
+    touched, and a pinned file shared by a retained version (same
+    name) survives, so retained time-travel reads stay valid.
+
+    Metadata-only driver op (no data scan, no task launch): O(versions
+    + partitions) unlinks. Assumes the store's single-writer contract —
+    vacuuming while a reader time-travels a retired version is a race
+    the caller must not create (same contract as the reference's
+    topic deletion). Returns counts and bytes actually freed (a
+    hardlinked inode frees bytes only when its last name goes)."""
+    import json
+
+    from geomesa_ray.state.manifest import _versions_dir, list_versions
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the latest snapshot "
+                         "is the append/delete replay anchor)")
+    versions = list_versions(out_dir)
+    retire = versions[:-keep_last]
+    retained = versions[len(retire):]
+    keep_names: set[tuple[str, str]] = set()
+    for v in retained:
+        snap = read_snapshot(out_dir, v)
+        keep_names.update((str(b), f) for b, f in snap["files"].items())
+    out = {"retired_versions": retire, "unlinked_files": 0,
+           "freed_bytes": 0}
+    # version records go first; a crash before the sweep leaves only
+    # unreferenced orphan links, and re-running vacuum collects them
+    # (the sweep scans partition dirs, not the retired jsons)
+    for v in retire:
+        os.remove(os.path.join(_versions_dir(out_dir), f"v{v}.json"))
+    for b in completed_partitions(out_dir):
+        pdir = os.path.join(out_dir, f"part={b}")
+        for fname in os.listdir(pdir):
+            if not (fname.startswith("data_v")
+                    and fname.endswith(".parquet")):
+                continue
+            if (str(b), fname) in keep_names:
+                continue
+            st = os.stat(os.path.join(pdir, fname))
+            os.remove(os.path.join(pdir, fname))
+            out["unlinked_files"] += 1
+            if st.st_nlink == 1:  # last name for the inode -> bytes freed
+                out["freed_bytes"] += st.st_size
+    return out
+
+
 def read_store_changes(out_dir: str, v_from: int,
                        v_to: int | None = None) -> ray.data.Dataset:
     """Change-data-capture between two committed snapshots — the batch

@@ -447,3 +447,116 @@ class TestCdcDeletions:
         # idempotent re-delete mints no new version
         r2 = delete_store(store, ["img00000010"])
         assert r2["deleted_rows"] == 0 and "snapshot_version" not in r2
+
+
+class TestExpire:
+    def test_age_off_by_week(self, ray_session, tiny_fixtures, tmp_path):
+        """expire_store drops every row older than the cutoff week,
+        prunes all-newer partitions at the manifest level, and leaves
+        the pre-expiry generation replayable (KafkaDataStore
+        expirationPeriod semantics, batch-deterministic)."""
+        from geomesa_ray.state.store import expire_store
+
+        store = str(tmp_path / "ageoff")
+        write_store(tiny_fixtures, store)
+        weeks = np.array([r["week"] for r in read_store(store)
+                          .select_columns(["week"]).take_all()])
+        cutoff = int(np.median(weeks))
+        expect_gone = int((weeks < cutoff).sum())
+        assert 0 < expect_gone < len(weeks)  # cutoff splits the corpus
+
+        r = expire_store(store, before_week=cutoff)
+        assert r["expired_rows"] == expect_gone
+        assert r["snapshot_version"] == 2  # pre-state pinned as v1
+        after = np.array([x["week"] for x in read_store(store)
+                          .select_columns(["week"]).take_all()])
+        assert len(after) == len(weeks) - expect_gone
+        assert after.min() >= cutoff
+        # pre-expiry generation fully replayable
+        assert read_store(store, version=1).count() == len(weeks)
+        # idempotent: nothing older than the cutoff remains
+        r2 = expire_store(store, before_week=cutoff)
+        assert r2["expired_rows"] == 0 and "snapshot_version" not in r2
+        # second call prunes everything at the manifest level: every
+        # surviving partition has week_min >= cutoff
+        assert r2["touched_buckets"] == 0
+
+    def test_manifest_prune_skips_new_partitions(self, ray_session,
+                                                 tiny_fixtures, tmp_path):
+        from geomesa_ray.state.store import expire_store
+
+        store = str(tmp_path / "ageprune")
+        write_store(tiny_fixtures, store)
+        manifests = completed_partitions(store)
+        wmins = sorted(int(m["week_min"]) for m in manifests.values())
+        cutoff = wmins[0] + 1  # only the oldest-starting partitions qualify
+        r = expire_store(store, before_week=cutoff, snapshot=False)
+        n_cand = sum(1 for m in manifests.values()
+                     if int(m["week_min"]) < cutoff)
+        assert r["pruned_buckets"] == len(manifests) - n_cand
+        assert r["touched_buckets"] <= n_cand
+
+
+class TestVacuum:
+    def test_retire_old_snapshots(self, ray_session, tiny_fixtures, tmp_path):
+        """vacuum_store removes retired version records and their
+        now-unreferenced pinned hardlinks; retained time travel and the
+        live view survive."""
+        from geomesa_ray.sources.fixtures import gen_images_table_range
+        from geomesa_ray.state.manifest import list_versions
+        from geomesa_ray.state.store import (
+            append_store,
+            snapshot_store,
+            vacuum_store,
+        )
+
+        store = str(tmp_path / "vac")
+        write_store(tiny_fixtures, store)
+        snapshot_store(store)                               # v1
+        append_store(store, gen_images_table_range(6000, 40))   # v2
+        append_store(store, gen_images_table_range(6040, 20))   # v3
+        n3 = read_store(store, version=3).count()
+
+        r = vacuum_store(store, keep_last=1)
+        assert r["retired_versions"] == [1, 2]
+        assert r["unlinked_files"] > 0
+        assert list_versions(store) == [3]
+        # retained version and live view still read correctly
+        assert read_store(store, version=3).count() == n3 == 6060
+        assert read_store(store).count() == 6060
+        # retired versions are gone
+        with pytest.raises(ValueError):
+            read_store(store, version=1).count()
+        # only the retained pins remain on disk
+        for b in completed_partitions(store):
+            pins = [f for f in os.listdir(os.path.join(store, f"part={b}"))
+                    if f.startswith("data_v")]
+            assert len(pins) <= 1
+        # idempotent
+        r2 = vacuum_store(store, keep_last=1)
+        assert r2["retired_versions"] == [] and r2["unlinked_files"] == 0
+
+    def test_keep_last_validation_and_shared_pins(self, ray_session,
+                                                 tiny_fixtures, tmp_path):
+        """keep_last=0 refuses (latest snapshot anchors append CDC);
+        a vacuum keeping several versions preserves each one's reads."""
+        from geomesa_ray.sources.fixtures import gen_images_table_range
+        from geomesa_ray.state.manifest import list_versions
+        from geomesa_ray.state.store import (
+            append_store,
+            snapshot_store,
+            vacuum_store,
+        )
+
+        store = str(tmp_path / "vac2")
+        write_store(tiny_fixtures, store)
+        snapshot_store(store)
+        append_store(store, gen_images_table_range(6000, 10))
+        append_store(store, gen_images_table_range(6010, 10))
+        with pytest.raises(ValueError):
+            vacuum_store(store, keep_last=0)
+        r = vacuum_store(store, keep_last=2)
+        assert r["retired_versions"] == [1]
+        assert list_versions(store) == [2, 3]
+        assert read_store(store, version=2).count() == 6010
+        assert read_store(store, version=3).count() == 6020
