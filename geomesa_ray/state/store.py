@@ -90,13 +90,44 @@ def salt_partition_ids(bucket: np.ndarray, phash: np.ndarray, n_salt: int,
     return bucket * np.int64(n_salt) + salt
 
 
+def _fixture_source(fixture_dir: str):
+    """Default ingest source: the image fixture table."""
+
+    def factory(columns: list[str], n_blocks: int | None = None):
+        kw = {}
+        if n_blocks is not None:
+            kw["override_num_blocks"] = n_blocks
+        return read_images(fixture_dir, columns=columns, **kw)
+
+    return factory
+
+
+def _store_source(src_dir: str):
+    """Ingest source backed by an EXISTING store's live partitions —
+    the input side of :func:`reindex_store` (a distributed scan of the
+    committed layout, original columns projected back out)."""
+    manifests = completed_partitions(src_dir)
+    paths = [os.path.join(src_dir, f"part={b}", "data.parquet")
+             for b in sorted(manifests, key=int)]
+    if not paths:
+        raise FileNotFoundError(f"{src_dir}: no committed partitions")
+
+    def factory(columns: list[str], n_blocks: int | None = None):
+        kw = {}
+        if n_blocks is not None:
+            kw["override_num_blocks"] = n_blocks
+        return ray.data.read_parquet(paths, columns=columns, **kw)
+
+    return factory
+
+
 def bucket_counts(fixture_dir: str, cell_level: int,
-                  bucket_level: int) -> dict[int, int]:
+                  bucket_level: int, source=None) -> dict[int, int]:
     """Per-bucket row histogram from a phash-only scan (the skew
     detector; reference precedent: pre-split planning from data stats)."""
     import pyarrow.compute as _pc
 
-    ds = read_images(fixture_dir, columns=["phash"])
+    ds = (source or _fixture_source(fixture_dir))(["phash"])
     ds = ds.map_batches(derive_and_encode, batch_format="pyarrow",
                         fn_kwargs={"cell_level": cell_level})
     ds = ds.map_batches(add_bucket, batch_format="pyarrow",
@@ -119,7 +150,7 @@ def write_store(fixture_dir: str, out_dir: str,
                 bucket_level: int = DEFAULT_BUCKET_LEVEL,
                 columns: list[str] | None = None,
                 hot_rows_threshold: int | None = None,
-                n_salt: int = 4) -> dict:
+                n_salt: int = 4, source=None) -> dict:
     """Ingest the image table into a cell-bucketed store. Returns skew/row
     metrics aggregated from the per-partition manifests.
 
@@ -140,7 +171,8 @@ def write_store(fixture_dir: str, out_dir: str,
 
     hot: set[int] = set()
     if hot_rows_threshold is not None:
-        hist = bucket_counts(fixture_dir, cell_level, bucket_level)
+        hist = bucket_counts(fixture_dir, cell_level, bucket_level,
+                             source=source)
         hot = {b for b, n in hist.items() if n > hot_rows_threshold}
 
     # Resume guard: partition ids are only comparable across runs if the
@@ -179,7 +211,7 @@ def write_store(fixture_dir: str, out_dir: str,
     # slower than ~1 block per cpu. At real scale target the reference's
     # 128 MB partition precedent (Z3Table.scala:163) instead.
     n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    ds = read_images(fixture_dir, columns=need, override_num_blocks=n_blocks)
+    ds = (source or _fixture_source(fixture_dir))(need, n_blocks)
     ds = ds.map_batches(derive_and_encode, batch_format="pyarrow",
                         fn_kwargs={"cell_level": cell_level})
     ds = ds.map_batches(add_bucket, batch_format="pyarrow",
@@ -239,6 +271,46 @@ def read_meta(out_dir: str) -> dict:
 
     with open(os.path.join(out_dir, "meta.json")) as f:
         return json.load(f)
+
+
+def reindex_store(src_dir: str, dst_dir: str, *,
+                  cell_level: int | None = None,
+                  bucket_level: int | None = None,
+                  columns: list[str] | None = None,
+                  hot_rows_threshold: int | None = None,
+                  n_salt: int = 4) -> dict:
+    """Back-fill a NEW index layout from an existing store — the batch
+    analog of the reference's index-maintenance MapReduce jobs:
+    ``SortedIndexUpdateJob.scala:29-90`` (scan the live table, re-encode
+    every entry under the current scheme, write back),
+    ``AttributeIndexJob.scala`` (build a new index from stored records)
+    and ``SchemaCopyJob.scala`` (copy a catalog to a new layout). The
+    source of truth is the committed store itself — the original
+    fixture files are NOT required, so a re-partition (new
+    ``bucket_level`` for a grown cluster), a finer ``cell_level``, or
+    newly-enabled hot-bucket salting can run against the store alone.
+
+    Distributed end to end: one ``read_parquet`` over the source
+    partitions (original columns projected back out of the layout),
+    then the exact :func:`write_store` pipeline — scheme guard,
+    pre-shuffle resume filter, single groupby shuffle, atomic
+    per-partition manifests. A killed reindex resumes; the source is
+    only ever read. Defaults for unspecified parameters come from the
+    SOURCE's committed meta.json, so ``reindex_store(src, dst)`` is a
+    faithful copy job."""
+    if os.path.abspath(src_dir) == os.path.abspath(dst_dir):
+        raise ValueError("reindex_store requires dst_dir != src_dir (the "
+                         "source is immutable input; swap dirs after)")
+    meta = read_meta(src_dir)
+    return write_store(
+        src_dir, dst_dir,
+        cell_level=(cell_level if cell_level is not None
+                    else meta["cell_level"]),
+        bucket_level=(bucket_level if bucket_level is not None
+                      else meta["bucket_level"]),
+        columns=columns if columns is not None else meta["columns"],
+        hot_rows_threshold=hot_rows_threshold, n_salt=n_salt,
+        source=_store_source(src_dir))
 
 
 def snapshot_store(out_dir: str) -> int:

@@ -560,3 +560,70 @@ class TestVacuum:
         assert list_versions(store) == [2, 3]
         assert read_store(store, version=2).count() == 6010
         assert read_store(store, version=3).count() == 6020
+
+
+class TestReindex:
+    def test_repartition_to_finer_buckets(self, ray_session, tiny_fixtures,
+                                          tmp_path):
+        """reindex_store reads ONLY the committed source layout and
+        rebuilds under a new scheme (SortedIndexUpdateJob semantics);
+        contents survive byte-for-byte, partitioning changes."""
+        from geomesa_ray.state.store import read_meta, reindex_store
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        write_store(tiny_fixtures, src, bucket_level=2)
+        stats = reindex_store(src, dst, bucket_level=3)
+        assert stats["rows"] == 6000
+        assert read_meta(dst)["bucket_level"] == 3
+        assert len(completed_partitions(dst)) > len(completed_partitions(src))
+
+        def keyed(store):
+            rows = read_store(store).select_columns(
+                ["image_id", "caption", "phash", "week", "z3"]).take_all()
+            return {r["image_id"]: (r["caption"], r["phash"], r["week"],
+                                    r["z3"]) for r in rows}
+
+        assert keyed(dst) == keyed(src)
+
+    def test_copy_job_defaults_from_source_meta(self, ray_session,
+                                                tiny_fixtures, tmp_path):
+        from geomesa_ray.state.store import read_meta, reindex_store
+
+        src = str(tmp_path / "csrc")
+        dst = str(tmp_path / "cdst")
+        write_store(tiny_fixtures, src)
+        reindex_store(src, dst)  # SchemaCopyJob analog
+        ms, md = read_meta(src), read_meta(dst)
+        assert (ms["cell_level"], ms["bucket_level"], ms["columns"]) == \
+               (md["cell_level"], md["bucket_level"], md["columns"])
+        assert read_store(dst).count() == read_store(src).count()
+
+    def test_enable_salting_via_reindex(self, ray_session, tiny_fixtures,
+                                        tmp_path):
+        """Salting can be switched on after the fact — the skew
+        histogram pre-pass runs over the store, not the fixtures."""
+        from geomesa_ray.state.store import read_meta, reindex_store
+
+        src = str(tmp_path / "ssrc")
+        dst = str(tmp_path / "sdst")
+        write_store(tiny_fixtures, src)
+        reindex_store(src, dst, hot_rows_threshold=50, n_salt=4)
+        md = read_meta(dst)
+        assert md["salted"] and md["hot_buckets"]
+        assert read_store(dst).count() == 6000
+        # pruned query reads agree between layouts
+        q = SpatialQuery(-10.0, 25.0, -5.0, 30.0)
+        a = {r["image_id"] for r in read_store(src, q)
+             .select_columns(["image_id"]).take_all()}
+        b = {r["image_id"] for r in read_store(dst, q)
+             .select_columns(["image_id"]).take_all()}
+        assert a == b
+
+    def test_same_dir_rejected(self, ray_session, tiny_fixtures, tmp_path):
+        from geomesa_ray.state.store import reindex_store
+
+        src = str(tmp_path / "samedir")
+        write_store(tiny_fixtures, src)
+        with pytest.raises(ValueError):
+            reindex_store(src, src)
