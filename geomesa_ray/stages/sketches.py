@@ -104,9 +104,10 @@ def hll_estimate(regs: np.ndarray) -> float:
 
 
 def approx_distinct(sf_dir_table_col, table: str | None = None,
-                    col: str | None = None, p: int = 12) -> ray.data.Dataset:
-    """(approx_distinct,) — one row. Per-batch sketches merge by
-    register-wise max in one combine task."""
+                    col: str | None = None, p: int = 12,
+                    fanin: int = 8) -> ray.data.Dataset:
+    """(approx_distinct,) — one row. Per-batch sketches max-merge
+    through a ``fanin``-block fan-in level, then one tiny combine."""
     from geomesa_ray.sources.io import read_table
 
     sf_dir = sf_dir_table_col
@@ -115,6 +116,12 @@ def approx_distinct(sf_dir_table_col, table: str | None = None,
         h = _hash_column(batch.column(col))
         regs = hll_registers(h, p)
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    def merge_regs(batch: pa.Table) -> pa.Table:
+        merged = np.zeros(1 << p, dtype=np.uint8)
+        for b in batch.column("regs").to_pylist():
+            merged = np.maximum(merged, np.frombuffer(b, dtype=np.uint8))
+        return pa.table({"regs": pa.array([merged.tobytes()], pa.binary())})
 
     def final(batch: pa.Table) -> pa.Table:
         merged = np.zeros(1 << p, dtype=np.uint8)
@@ -125,7 +132,14 @@ def approx_distinct(sf_dir_table_col, table: str | None = None,
 
     ds = read_table(sf_dir, table, columns=[col])
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    return gather_combine(parts, final)
+    # fan-in level BEFORE the single combine: coalesce partial sketches
+    # into `fanin` blocks (split/coalesce, no all-to-all) and max-merge
+    # each block to ONE row, so the final task sees <= fanin sketches
+    # instead of one per input batch (at 100 TB that is millions of
+    # 2^p-byte rows — unbounded for a single task without this level)
+    level = parts.repartition(fanin).map_batches(
+        merge_regs, batch_format="pyarrow", batch_size=None)
+    return gather_combine(level, final)
 
 
 # ---------------------------------------------------------------------------
@@ -137,33 +151,80 @@ def approx_distinct(sf_dir_table_col, table: str | None = None,
 # ---------------------------------------------------------------------------
 
 
-def topk_values(sf_dir: str, table: str, col: str,
-                k: int = 20) -> ray.data.Dataset:
+def _value_part(t: pa.Table, col: str, n_parts: int) -> pa.Table:
+    """Merge-bucket key for pre-aggregated (value, cnt) partials: a
+    value's every partial count lands in ONE bucket (part = splitmix
+    of the value hash mod n_parts), so a per-bucket sum is that
+    value's EXACT total. Null values (a possible group, and the MG
+    error rows) route to bucket 0 so they too co-locate."""
+    import pyarrow.compute as pc
+
+    c = t.column(col)
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    isnull = pc.is_null(c).to_numpy(zero_copy_only=False).astype(bool)
+    if pa.types.is_integer(c.type):
+        c = c.fill_null(0)
+    elif pa.types.is_string(c.type) or pa.types.is_large_string(c.type):
+        c = c.fill_null("")
+    h = _hash_column(c)
+    part = (h % np.uint64(n_parts)).astype(np.int64)
+    part[isnull] = 0
+    return t.append_column("part", pa.array(part))
+
+
+def _exact_topk(parts: ray.data.Dataset, col: str, k: int,
+                n_parts: int) -> ray.data.Dataset:
+    """Shared merge topology for the exact heavy-hitter ops: bucket the
+    (value, cnt) partials by value hash, sum + local top-k per bucket
+    (exact — a value's full count is inside its bucket, and the global
+    comparator restricted to a bucket preserves order, so the global
+    top-k is a subset of the per-bucket top-k union), then one final
+    merge over <= n_parts * k rows. No task ever holds the vocabulary."""
+
+    def bucket_topk(group: pa.Table) -> pa.Table:
+        out = group.drop_columns(["part"]).group_by([col]).aggregate(
+            [("cnt", "sum")])
+        out = out.select([col, "cnt_sum"]).rename_columns([col, "cnt"])
+        order = [("cnt", "descending"), (col, "ascending")]
+        return out.sort_by(order).slice(0, k)
+
+    def final(batch: pa.Table) -> pa.Table:
+        order = [("cnt", "descending"), (col, "ascending")]
+        return batch.sort_by(order).slice(0, k)
+
+    keyed = parts.map_batches(lambda t: _value_part(t, col, n_parts),
+                              batch_format="pyarrow")
+    buckets = keyed.groupby("part").map_groups(bucket_topk,
+                                               batch_format="pyarrow")
+    return gather_combine(buckets, final)
+
+
+def topk_values(sf_dir: str, table: str, col: str, k: int = 20,
+                n_parts: int = 64) -> ray.data.Dataset:
     """EXACT top-k values of a column by count: per-batch vectorized
-    group-counts (one row per distinct per block leaves the node), one
-    bounded merge, deterministic order (cnt desc, value asc)."""
+    group-counts (one row per distinct per block leaves the node), a
+    value-bucketed distributed merge, deterministic order (cnt desc,
+    value asc)."""
     from geomesa_ray.sources.io import read_table
 
     def partial(batch: pa.Table) -> pa.Table:
         out = batch.select([col]).group_by([col]).aggregate(
             [([], "count_all")])
-        return out.select([col, "count_all"]).rename_columns([col, "cnt"])
-
-    def final(batch: pa.Table) -> pa.Table:
-        out = batch.group_by([col]).aggregate([("cnt", "sum")])
-        out = out.select([col, "cnt_sum"]).rename_columns([col, "cnt"])
-        order = [("cnt", "descending"), (col, "ascending")]
-        return out.sort_by(order).slice(0, k)
+        out = out.select([col, "count_all"]).rename_columns([col, "cnt"])
+        return out.set_column(
+            out.schema.get_field_index("cnt"), "cnt",
+            out.column("cnt").cast(pa.int64()))
 
     ds = read_table(sf_dir, table, columns=[col])
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=65536)
-    return gather_combine(parts, final)
+    return _exact_topk(parts, col, k, n_parts)
 
 
 def topk_words(sf_dir: str, k: int = 20,
                table: str = "documents",
-               col: str = "text") -> ray.data.Dataset:
+               col: str = "text", n_parts: int = 64) -> ray.data.Dataset:
     """EXACT top-k whitespace tokens over a text column (token heavy
     hitters — the LLM-corpus staple). Tokenization is a single Arrow
     split_pattern + flatten per batch (empty tokens from runs of
@@ -178,20 +239,16 @@ def topk_words(sf_dir: str, k: int = 20,
         toks = toks.filter(pc.not_equal(toks, ""))
         t = pa.table({"word": toks})
         out = t.group_by(["word"]).aggregate([([], "count_all")])
-        return out.select(["word", "count_all"]) \
+        out = out.select(["word", "count_all"]) \
             .rename_columns(["word", "cnt"])
-
-    def final(batch: pa.Table) -> pa.Table:
-        out = batch.group_by(["word"]).aggregate([("cnt", "sum")])
-        out = out.select(["word", "cnt_sum"]).rename_columns(
-            ["word", "cnt"])
-        order = [("cnt", "descending"), ("word", "ascending")]
-        return out.sort_by(order).slice(0, k)
+        return out.set_column(
+            out.schema.get_field_index("cnt"), "cnt",
+            out.column("cnt").cast(pa.int64()))
 
     ds = read_table(sf_dir, table, columns=[col])
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=65536)
-    return gather_combine(parts, final)
+    return _exact_topk(parts, "word", k, n_parts)
 
 
 def _mg_truncate(t: pa.Table, col: str, m: int):
@@ -212,7 +269,7 @@ def _mg_truncate(t: pa.Table, col: str, m: int):
 
 
 def topk_sketch(sf_dir: str, table: str, col: str, k: int = 20,
-                m: int = 1024) -> pa.Table:
+                m: int = 1024, fanin: int = 8) -> pa.Table:
     """APPROXIMATE top-k via mergeable Misra-Gries summaries: each
     batch reduces its exact counts to <= m counters (a null-value row
     carries the summary's error mass); the merge sums counters,
@@ -222,7 +279,12 @@ def topk_sketch(sf_dir: str, table: str, col: str, k: int = 20,
 
     Any value with true count > N * (sum of per-summary thresholds)/N
     survives; with m >> k and skewed data the top-k set equals the
-    exact one. Driver holds only the k result rows."""
+    exact one. Driver holds only the k result rows.
+
+    Merge topology: summaries are MERGEABLE (Agarwal et al.), so a
+    shuffle-free fan-in level (coalesce to ``fanin`` blocks, merge
+    each block to one <= m+1-row summary) bounds the final task at
+    fanin * (m+1) rows — no task holds one summary per input batch."""
     from geomesa_ray.sources.io import read_table
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -239,7 +301,9 @@ def topk_sketch(sf_dir: str, table: str, col: str, k: int = 20,
                  "cnt": pa.array([err], pa.int64())})])
         return out
 
-    def final(batch: pa.Table) -> pa.Table:
+    def _merge_summaries(batch: pa.Table):
+        """Sum counters per value, truncate to m; returns (table of
+        <= m survivors, error mass = incoming null rows + threshold)."""
         import pyarrow.compute as pc
 
         nulls = pc.is_null(batch.column(col))
@@ -248,7 +312,18 @@ def topk_sketch(sf_dir: str, table: str, col: str, k: int = 20,
             [("cnt", "sum")])
         t = t.select([col, "cnt_sum"]).rename_columns([col, "cnt"])
         t, thr = _mg_truncate(t, col, m)
-        err += thr
+        return t, err + thr
+
+    def level(batch: pa.Table) -> pa.Table:
+        t, err = _merge_summaries(batch)
+        if err:
+            t = pa.concat_tables([t, pa.table(
+                {col: pa.array([None], t.schema.field(col).type),
+                 "cnt": pa.array([err], pa.int64())})])
+        return t
+
+    def final(batch: pa.Table) -> pa.Table:
+        t, err = _merge_summaries(batch)
         order = [("cnt", "descending"), (col, "ascending")]
         t = t.sort_by(order).slice(0, k)
         est = t.column("cnt").to_numpy(zero_copy_only=False)
@@ -259,4 +334,6 @@ def topk_sketch(sf_dir: str, table: str, col: str, k: int = 20,
     ds = read_table(sf_dir, table, columns=[col])
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=65536)
-    return gather_combine(parts, final)
+    mid = parts.repartition(fanin).map_batches(
+        level, batch_format="pyarrow", batch_size=None)
+    return gather_combine(mid, final)
