@@ -95,7 +95,8 @@ class GeoMesaRayEngine:
             # projection must carry every column later predicates refine
             # on; caption is output-only (dropped if a thin store lacks it)
             cols = list(dict.fromkeys(
-                ["image_id", "phash", *spec.attr_eq.keys()]))
+                ["image_id", "phash", *spec.attr_eq.keys(),
+                 *spec.attr_range.keys()]))
             ds = record_lookup(
                 self.fixture_dir, ids or [],
                 columns=[*cols, "caption"],
@@ -237,7 +238,25 @@ class GeoMesaRayEngine:
     def _attribute_scan(self, spec: QuerySpec) -> ray.data.Dataset:
         from geomesa_ray.stages.encode import derive_and_encode
 
-        cols = list({"image_id", "phash", *spec.attr_eq.keys()})
+        pred_cols = list(dict.fromkeys(
+            [*spec.attr_eq.keys(), *spec.attr_range.keys()]))
+        if self.store_dir is not None and len(pred_cols) == 1:
+            # AttributeIdxStrategy: secondary-index scan + record join
+            # when the attached store has an index on the predicate
+            # column (value-pruned partitions, no full scan)
+            from geomesa_ray.state.attr_index import (attr_index_exists,
+                                                      query_attr_index)
+
+            c = pred_cols[0]
+            if attr_index_exists(self.store_dir, c):
+                lo, hi = spec.attr_range.get(c, (None, None))
+                q = self._to_spatial_query(spec) \
+                    if (spec.bbox is not None or spec.interval_s) else None
+                return query_attr_index(self.store_dir, c,
+                                        eq=spec.attr_eq.get(c),
+                                        lo=lo, hi=hi, query=q)
+
+        cols = list({"image_id", "phash", *pred_cols})
 
         def keep(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -245,6 +264,11 @@ class GeoMesaRayEngine:
             m = pa.array(np.ones(batch.num_rows, dtype=bool))
             for col, val in spec.attr_eq.items():
                 m = pc.and_(m, pc.equal(batch.column(col), val))
+            for col, (lo, hi) in spec.attr_range.items():
+                if lo is not None:
+                    m = pc.and_(m, pc.greater_equal(batch.column(col), lo))
+                if hi is not None:
+                    m = pc.and_(m, pc.less_equal(batch.column(col), hi))
             return batch.filter(m)
 
         ds = self._source(cols)
@@ -260,11 +284,12 @@ class GeoMesaRayEngine:
 
         ids = None if skip_ids else intersect_id_sets(spec)
         attr = {} if skip_attr else spec.attr_eq
+        rng = {} if skip_attr else spec.attr_range
         q = None
         if not skip_spatial and (spec.bbox is not None or spec.interval_s):
             q = self._to_spatial_query(spec)
 
-        if ids is None and not attr and q is None:
+        if ids is None and not attr and not rng and q is None:
             return ds
 
         want = np.array(sorted(ids), dtype=object) if ids is not None else None
@@ -277,6 +302,13 @@ class GeoMesaRayEngine:
                 m &= id_membership_mask(batch.column("image_id"), want)
             for col, val in attr.items():
                 m &= pc.equal(batch.column(col), val).to_numpy(zero_copy_only=False)
+            for col, (lo, hi) in rng.items():
+                if lo is not None:
+                    m &= pc.greater_equal(batch.column(col), lo) \
+                        .to_numpy(zero_copy_only=False)
+                if hi is not None:
+                    m &= pc.less_equal(batch.column(col), hi) \
+                        .to_numpy(zero_copy_only=False)
             if q is not None:
                 ph = batch.column("phash").to_numpy(zero_copy_only=False)
                 lon, lat = phash_to_lonlat(ph)

@@ -42,6 +42,7 @@ class QuerySpec:
     ids: list[str] | None = None           # image_id IN (...)
     id_sets: list[list[str]] | None = None  # AND of several id filters
     attr_eq: dict = field(default_factory=dict)  # {col: value}
+    attr_range: dict = field(default_factory=dict)  # {col: (lo, hi)}
     bbox: tuple | None = None              # (lon0, lon1, lat0, lat1)
     interval_s: tuple | None = None        # (t0, t1) unix seconds
 
@@ -68,7 +69,7 @@ def choose_strategy(spec: QuerySpec, override: Strategy | None = None) -> Strate
     candidates = []
     if spec.ids is not None or spec.id_sets:
         candidates.append(Strategy.RECORD)
-    if spec.attr_eq:
+    if spec.attr_eq or spec.attr_range:
         candidates.append(Strategy.ATTRIBUTE)
     if spec.bbox is not None and spec.interval_s is not None:
         candidates.append(Strategy.Z3)
