@@ -10,6 +10,10 @@ predicate surface:
 - ``BBOX(geom, minx, miny, maxx, maxy)``
 - ``dtg DURING <iso>/<iso>``, ``dtg AFTER <iso>``, ``dtg BEFORE <iso>``
 - ``<attr> IN ('a', 'b', ...)`` and ``<attr> = 'value'``
+- numeric comparisons ``<attr> < / <= / > / >= / = <number>`` and
+  ``<attr> BETWEEN a AND b`` (-> ``QuerySpec.attr_range`` with
+  open/closed bounds — the attribute-index strategy serves these from
+  the store's secondary index when one exists)
 - ``INTERSECTS(geom, <POLYGON|MULTIPOLYGON|LINESTRING WKT>)``
 - ``DWITHIN(geom, POINT(x y), <dist>, meters)``
 - top-level ``AND`` conjunctions of the above
@@ -64,6 +68,14 @@ _INTERSECTS_RE = re.compile(
 _DWITHIN_RE = re.compile(
     r"^DWITHIN\s*\(\s*geom\s*,\s*POINT\s*\(\s*([-\d.eE+]+)\s+([-\d.eE+]+)"
     r"\s*\)\s*,\s*([-\d.eE+]+)\s*,\s*meters\s*\)$", re.IGNORECASE)
+_NUM_LIT = r"[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?"
+_CMP_RE = re.compile(
+    rf"^(\w+)\s*(>=|<=|>|<|=)\s*({_NUM_LIT})$")
+# _split_and breaks "x BETWEEN a AND b" at its inner AND; these two
+# halves are re-merged before clause dispatch
+_BETWEEN_LHS_RE = re.compile(
+    rf"^(\w+)\s+BETWEEN\s+({_NUM_LIT})$", re.IGNORECASE)
+_NUM_ONLY_RE = re.compile(rf"^({_NUM_LIT})$")
 _BEYOND_RE = re.compile(
     r"^BEYOND\s*\(\s*geom\s*,\s*POINT\s*\(\s*([-\d.eE+]+)\s+([-\d.eE+]+)"
     r"\s*\)\s*,\s*([-\d.eE+]+)\s*,\s*meters\s*\)$", re.IGNORECASE)
@@ -152,9 +164,40 @@ def _and_interval(cur: tuple | None, t0, t1) -> tuple:
     return (n0, n1)
 
 
+def _num(s: str):
+    """Numeric literal -> int when integral (exact int64 comparisons
+    against integer columns), else float."""
+    try:
+        return int(s)
+    except ValueError:
+        return float(s)
+
+
+def _merge_between(parts: list[str]) -> list[str]:
+    """Re-join "col BETWEEN a" / "b" halves that the top-level AND
+    splitter separated."""
+    out, i = [], 0
+    while i < len(parts):
+        if (i + 1 < len(parts) and _BETWEEN_LHS_RE.match(parts[i])
+                and _NUM_ONLY_RE.match(parts[i + 1])):
+            out.append(f"{parts[i]} AND {parts[i + 1]}")
+            i += 2
+        else:
+            out.append(parts[i])
+            i += 1
+    return out
+
+
 def parse_cql(expr: str) -> CqlQuery:
+    from geomesa_ray.planner import intersect_ranges
+
+    def add_range(col: str, rng: tuple) -> None:
+        cur = out.spec.attr_range.get(col)
+        out.spec.attr_range[col] = rng if cur is None \
+            else intersect_ranges(cur, rng)
+
     out = CqlQuery()
-    for clause in _split_and(expr.strip()):
+    for clause in _merge_between(_split_and(expr.strip())):
         m = _BBOX_RE.match(clause)
         if m:
             x0, y0, x1, y1 = (float(m.group(i)) for i in range(1, 5))
@@ -205,6 +248,25 @@ def parse_cql(expr: str) -> CqlQuery:
         m = _EQ_RE.match(clause)
         if m:
             out.spec.attr_eq[m.group(1)] = m.group(2)
+            continue
+        m = _BETWEEN_RE.match(clause)
+        if m:
+            add_range(m.group(1), (_num(m.group(2)), _num(m.group(3)),
+                                   False, False))
+            continue
+        m = _CMP_RE.match(clause)
+        if m:
+            col, op, lit = m.group(1), m.group(2), _num(m.group(3))
+            if op == "=":
+                out.spec.attr_eq[col] = lit
+            elif op == ">":
+                add_range(col, (lit, None, True, False))
+            elif op == ">=":
+                add_range(col, (lit, None, False, False))
+            elif op == "<":
+                add_range(col, (None, lit, False, True))
+            else:  # <=
+                add_range(col, (None, lit, False, False))
             continue
         raise ValueError(f"unsupported CQL clause: {clause!r}")
     return out
@@ -486,6 +548,44 @@ def _cmp_operands(batch, col: str, vals: tuple):
     # NEGATIVE literal against a uint64 column stays sign-correct here.
     x = c.to_numpy(zero_copy_only=False).astype(np.float64)
     return x, tuple(np.float64(v) for v in vals), null
+
+
+def range_mask(batch, col: str, rng: tuple):
+    """Exact boolean mask for an attr_range predicate over a batch —
+    each bound compares through :func:`_cmp_operands` independently so
+    integer columns stay int64/uint64-exact even when the OTHER bound's
+    literal forces a float fallback (e.g. ``phash BETWEEN 5 AND 1e19``).
+    Null attribute rows are excluded (SQL comparison semantics)."""
+    import numpy as np
+
+    from geomesa_ray.planner import normalize_range
+
+    import pyarrow.compute as pc
+
+    lo, hi, ls, hs = normalize_range(rng)
+    c = batch.column(col)
+    ctype = c.type if not isinstance(c, pa.ChunkedArray) else c.type
+    if not (pa.types.is_integer(ctype) or pa.types.is_floating(ctype)):
+        # string/temporal columns: Arrow's native ordering is already
+        # exact — no numeric-precision hazard to work around
+        m = np.ones(batch.num_rows, dtype=bool)
+        if lo is not None:
+            op = pc.greater if ls else pc.greater_equal
+            m &= pc.fill_null(op(c, lo), False) \
+                .to_numpy(zero_copy_only=False).astype(bool)
+        if hi is not None:
+            op = pc.less if hs else pc.less_equal
+            m &= pc.fill_null(op(c, hi), False) \
+                .to_numpy(zero_copy_only=False).astype(bool)
+        return m
+    m = np.ones(batch.num_rows, dtype=bool)
+    if lo is not None:
+        x, (l,), null = _cmp_operands(batch, col, (lo,))
+        m &= ((x > l) if ls else (x >= l)) & ~null
+    if hi is not None:
+        x, (h,), null = _cmp_operands(batch, col, (hi,))
+        m &= ((x < h) if hs else (x <= h)) & ~null
+    return m
 
 
 def eval_tree(node, batch, lon, lat, dtg_s):

@@ -15,7 +15,8 @@ import pyarrow as pa
 import ray.data
 
 from geomesa_ray.pipelines.scan import SpatialQuery
-from geomesa_ray.planner import QuerySpec, Strategy, choose_strategy, intersect_id_sets
+from geomesa_ray.planner import (QuerySpec, Strategy, choose_strategy,
+                                 intersect_id_sets, normalize_range)
 
 
 def _planner_parses(clause: str) -> bool:
@@ -120,14 +121,16 @@ class GeoMesaRayEngine:
     def cql(self, expr: str, limit: int | None = None) -> ray.data.Dataset:
         """Execute an (E)CQL query string — the reference's user-facing
         query language (GeoTools ECQL parse -> QueryFilterSplitter).
-        BBOX/time/id/attr clauses go through the cost-based planner;
-        INTERSECTS dispatches the PIP join against the WKT geometry;
-        DWITHIN dispatches the proximity join. Expressions beyond that
-        planner subset — NOT, nested parenthesized boolean trees,
-        numeric comparisons, BETWEEN — fall back to a full scan with
-        ONE fused vectorized filter-tree mask (the reference's
-        refine-only execution when no index strategy applies). See
-        geomesa_ray.cql for both grammars."""
+        BBOX/time/id/attr clauses — including numeric comparisons and
+        BETWEEN (-> attr_range, served by a secondary attribute index
+        when the attached store has one) — go through the cost-based
+        planner; INTERSECTS dispatches the PIP join against the WKT
+        geometry; DWITHIN dispatches the proximity join. Expressions
+        beyond that planner subset — NOT, nested parenthesized boolean
+        trees — fall back to a full scan with ONE fused vectorized
+        filter-tree mask (the reference's refine-only execution when no
+        index strategy applies). See geomesa_ray.cql for both
+        grammars."""
         from geomesa_ray.cql import parse_cql, split_or
         from geomesa_ray.pipelines.proximity import id_setop
 
@@ -181,8 +184,8 @@ class GeoMesaRayEngine:
 
         spec = q.spec
         rest = (spec.ids is not None or spec.id_sets is not None
-                or bool(spec.attr_eq) or spec.bbox is not None
-                or spec.interval_s is not None)
+                or bool(spec.attr_eq) or bool(spec.attr_range)
+                or spec.bbox is not None or spec.interval_s is not None)
 
         # every parsed conjunct becomes one id-producing branch; the
         # result is the INTERSECTION of all branches (semi-joins against
@@ -249,27 +252,29 @@ class GeoMesaRayEngine:
 
             c = pred_cols[0]
             if attr_index_exists(self.store_dir, c):
-                lo, hi = spec.attr_range.get(c, (None, None))
+                lo, hi, ls, hs = normalize_range(
+                    spec.attr_range.get(c, (None, None)))
                 q = self._to_spatial_query(spec) \
                     if (spec.bbox is not None or spec.interval_s) else None
                 return query_attr_index(self.store_dir, c,
                                         eq=spec.attr_eq.get(c),
-                                        lo=lo, hi=hi, query=q)
+                                        lo=lo, hi=hi, lo_strict=ls,
+                                        hi_strict=hs, query=q)
 
         cols = list({"image_id", "phash", *pred_cols})
 
         def keep(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
-            m = pa.array(np.ones(batch.num_rows, dtype=bool))
+            from geomesa_ray.cql import range_mask
+
+            m = np.ones(batch.num_rows, dtype=bool)
             for col, val in spec.attr_eq.items():
-                m = pc.and_(m, pc.equal(batch.column(col), val))
-            for col, (lo, hi) in spec.attr_range.items():
-                if lo is not None:
-                    m = pc.and_(m, pc.greater_equal(batch.column(col), lo))
-                if hi is not None:
-                    m = pc.and_(m, pc.less_equal(batch.column(col), hi))
-            return batch.filter(m)
+                m &= pc.fill_null(pc.equal(batch.column(col), val), False) \
+                    .to_numpy(zero_copy_only=False)
+            for col, r in spec.attr_range.items():
+                m &= range_mask(batch, col, r)
+            return batch.filter(pa.array(m))
 
         ds = self._source(cols)
         return ds.map_batches(keep, batch_format="pyarrow").map_batches(
@@ -302,13 +307,10 @@ class GeoMesaRayEngine:
                 m &= id_membership_mask(batch.column("image_id"), want)
             for col, val in attr.items():
                 m &= pc.equal(batch.column(col), val).to_numpy(zero_copy_only=False)
-            for col, (lo, hi) in rng.items():
-                if lo is not None:
-                    m &= pc.greater_equal(batch.column(col), lo) \
-                        .to_numpy(zero_copy_only=False)
-                if hi is not None:
-                    m &= pc.less_equal(batch.column(col), hi) \
-                        .to_numpy(zero_copy_only=False)
+            for col, r in rng.items():
+                from geomesa_ray.cql import range_mask
+
+                m &= range_mask(batch, col, r)
             if q is not None:
                 ph = batch.column("phash").to_numpy(zero_copy_only=False)
                 lon, lat = phash_to_lonlat(ph)

@@ -42,9 +42,38 @@ class QuerySpec:
     ids: list[str] | None = None           # image_id IN (...)
     id_sets: list[list[str]] | None = None  # AND of several id filters
     attr_eq: dict = field(default_factory=dict)  # {col: value}
-    attr_range: dict = field(default_factory=dict)  # {col: (lo, hi)}
+    # {col: (lo, hi)} closed bounds, or (lo, hi, lo_strict, hi_strict)
+    # for open bounds (CQL < / >); either bound may be None
+    attr_range: dict = field(default_factory=dict)
     bbox: tuple | None = None              # (lon0, lon1, lat0, lat1)
     interval_s: tuple | None = None        # (t0, t1) unix seconds
+
+
+def normalize_range(rng: tuple) -> tuple:
+    """Range tuple -> canonical (lo, hi, lo_strict, hi_strict)."""
+    if len(rng) == 2:
+        return (rng[0], rng[1], False, False)
+    return tuple(rng)
+
+
+def intersect_ranges(a: tuple, b: tuple) -> tuple:
+    """Conjoin two ranges on the same column (AND = intersection,
+    stricter bound wins on a tie)."""
+    alo, ahi, als, ahs = normalize_range(a)
+    blo, bhi, bls, bhs = normalize_range(b)
+    if alo is None or (blo is not None and blo > alo):
+        lo, ls = blo, bls
+    elif blo is None or alo > blo:
+        lo, ls = alo, als
+    else:
+        lo, ls = alo, als or bls
+    if ahi is None or (bhi is not None and bhi < ahi):
+        hi, hs = bhi, bhs
+    elif bhi is None or ahi < bhi:
+        hi, hs = ahi, ahs
+    else:
+        hi, hs = ahi, ahs or bhs
+    return (lo, hi, ls, hs)
 
 
 def intersect_id_sets(spec: QuerySpec) -> list[str] | None:

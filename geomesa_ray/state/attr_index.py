@@ -182,33 +182,40 @@ def build_attr_index(store_dir: str, col: str, n_parts: int = 16,
     return {int(p): m for p, m in completed_partitions(idir).items()}
 
 
-def _value_filter(col: str, eq=None, lo=None, hi=None):
+def _value_filter(col: str, eq=None, lo=None, hi=None,
+                  lo_strict=False, hi_strict=False):
     """(parquet pushdown expr, exact batch mask fn) for the predicate.
-    Ranges are closed ([lo, hi]); either bound may be None."""
+    Bounds are closed unless the matching ``*_strict`` flag opens them;
+    either bound may be None."""
+    def _pushable(v):
+        # a float literal beyond 2^53 against an integer column makes
+        # Arrow's implicit cast raise — drop that bound from the
+        # row-group pushdown (the exact mask below still enforces it)
+        return not (isinstance(v, float) and abs(v) > 2.0 ** 53)
+
     if eq is not None:
-        expr = pc.field(col) == eq
+        expr = (pc.field(col) == eq) if _pushable(eq) else None
     else:
-        expr = None
-        if lo is not None:
-            expr = pc.field(col) >= lo
-        if hi is not None:
-            e = pc.field(col) <= hi
-            expr = e if expr is None else expr & e
-        if expr is None:
+        if lo is None and hi is None:
             raise ValueError("one of eq / lo / hi is required")
+        expr = None
+        if lo is not None and _pushable(lo):
+            expr = (pc.field(col) > lo) if lo_strict \
+                else (pc.field(col) >= lo)
+        if hi is not None and _pushable(hi):
+            e = (pc.field(col) < hi) if hi_strict \
+                else (pc.field(col) <= hi)
+            expr = e if expr is None else expr & e
 
     def mask(batch: pa.Table) -> pa.Table:
-        v = batch.column(col)
+        from geomesa_ray.cql import range_mask
+
         if eq is not None:
-            m = pc.equal(v, eq)
+            m = pc.fill_null(pc.equal(batch.column(col), eq), False) \
+                .to_numpy(zero_copy_only=False).astype(bool)
         else:
-            m = None
-            if lo is not None:
-                m = pc.greater_equal(v, lo)
-            if hi is not None:
-                e = pc.less_equal(v, hi)
-                m = e if m is None else pc.and_(m, e)
-        return batch.filter(m)
+            m = range_mask(batch, col, (lo, hi, lo_strict, hi_strict))
+        return batch.filter(pa.array(m))
 
     return expr, mask
 
@@ -241,10 +248,12 @@ def parts_for_predicate(store_dir: str, col: str, eq=None, lo=None,
 
 
 def read_attr_index(store_dir: str, col: str, eq=None, lo=None,
-                    hi=None) -> ray.data.Dataset:
+                    hi=None, lo_strict=False,
+                    hi_strict=False) -> ray.data.Dataset:
     """Value-pruned scan of the index rows: partition pruning via
-    :func:`parts_for_predicate`, row-group pruning via parquet stats
-    (value-sorted layout), then an exact vectorized filter."""
+    :func:`parts_for_predicate` (closed-bound superset — safe for
+    strict bounds), row-group pruning via parquet stats (value-sorted
+    layout), then an exact vectorized filter."""
     parts = parts_for_predicate(store_dir, col, eq, lo, hi)
     idir = _idx_dir(store_dir, col)
     if not parts:
@@ -260,13 +269,13 @@ def read_attr_index(store_dir: str, col: str, eq=None, lo=None,
             pq.read_schema(schema_path).empty_table())
     paths = [os.path.join(idir, f"part={p}", "data.parquet")
              for p in sorted(parts)]
-    expr, mask = _value_filter(col, eq, lo, hi)
+    expr, mask = _value_filter(col, eq, lo, hi, lo_strict, hi_strict)
     ds = ray.data.read_parquet(paths, filter=expr)
     return ds.map_batches(mask, batch_format="pyarrow")
 
 
 def query_attr_index(store_dir: str, col: str, eq=None, lo=None, hi=None,
-                     query=None,
+                     lo_strict=False, hi_strict=False, query=None,
                      columns: list[str] | None = None) -> ray.data.Dataset:
     """AttributeIdxStrategy analog: index scan -> secondary
     spatio-temporal refinement on the carried index value (lon/lat/dtg_s)
@@ -283,7 +292,7 @@ def query_attr_index(store_dir: str, col: str, eq=None, lo=None, hi=None,
     driver-side id set at any point.
     """
     meta = read_idx_meta(store_dir, col)
-    idx = read_attr_index(store_dir, col, eq, lo, hi)
+    idx = read_attr_index(store_dir, col, eq, lo, hi, lo_strict, hi_strict)
 
     if query is not None:
         from geomesa_ray.pipelines.scan import exact_mask

@@ -422,8 +422,10 @@ class TestOrAllTreeFused:
         shuffle); result must equal the disjunct union."""
         from geomesa_ray.engine import GeoMesaRayEngine, _planner_parses
 
-        a = "phash < 0"
-        b = "phash BETWEEN 100 AND 4611686018427387904"
+        # numeric comparisons are planner-parseable now (attr_range);
+        # LIKE/ILIKE remain tree-only
+        a = "caption LIKE '%#prairie'"
+        b = "caption ILIKE '%#BASALT'"
         assert not _planner_parses(a) and not _planner_parses(b)
         eng = GeoMesaRayEngine(tiny_fixtures)
 
@@ -498,3 +500,86 @@ class TestEcqlExtraLeaves:
         got2 = {r["image_id"] for r in
                 eng.cql("caption ILIKE '%#FJORD%'").take_all()}
         assert got == got2
+
+
+class TestNumericComparisons:
+    """Planner-grammar numeric comparisons / BETWEEN -> attr_range
+    (served by the attribute-index strategy when a store has one)."""
+
+    def test_parse_between(self):
+        q = parse_cql("week BETWEEN 5 AND 9")
+        assert q.spec.attr_range == {"week": (5, 9, False, False)}
+
+    def test_parse_strict_bounds_conjoin(self):
+        q = parse_cql("w > 3 AND w <= 10")
+        assert q.spec.attr_range == {"w": (3, 10, True, False)}
+
+    def test_parse_numeric_eq(self):
+        q = parse_cql("w = 8")
+        assert q.spec.attr_eq == {"w": 8}
+
+    def test_parse_float_literal(self):
+        q = parse_cql("value >= 1.5")
+        assert q.spec.attr_range == {"value": (1.5, None, False, False)}
+
+    def test_intersect_ranges_tightens(self):
+        from geomesa_ray.planner import intersect_ranges
+
+        assert intersect_ranges((1, 10), (3, None, True, False)) == \
+            (3, 10, True, False)
+        # tie keeps the stricter bound
+        assert intersect_ranges((5, None, False, False),
+                                (5, None, True, False)) == \
+            (5, None, True, False)
+        assert intersect_ranges((None, 7, False, True), (2, 7)) == \
+            (2, 7, False, True)
+
+    def test_planner_matches_tree_scan(self, ray_session, tiny_fixtures):
+        """The same numeric expression through the planner path and the
+        fused-tree full scan returns the identical id set."""
+        from geomesa_ray.engine import GeoMesaRayEngine
+
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        expr = "phash BETWEEN 0 AND 4611686018427387904"
+        ids_planner = sorted(r["image_id"] for r in eng.cql(expr).take_all())
+        ids_tree = sorted(r["image_id"]
+                          for r in eng._cql_tree_scan(expr).take_all())
+        assert ids_planner == ids_tree and 0 < len(ids_planner) < 6000
+
+    def test_strict_vs_closed_differ(self, ray_session, tiny_fixtures):
+        from geomesa_ray.engine import GeoMesaRayEngine
+
+        t = pq.read_table(f"{tiny_fixtures}/images.parquet",
+                          columns=["image_id", "phash"])
+        ph = sorted(t.column("phash").to_pylist())
+        cut = ph[len(ph) // 2]  # an attained value
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        n_closed = eng.cql(f"phash >= {cut}").count()
+        n_strict = eng.cql(f"phash > {cut}").count()
+        assert n_strict == n_closed - ph.count(cut)
+
+    def test_cql_range_served_by_attr_index(self, ray_session,
+                                            tiny_fixtures, tmp_path):
+        """CQL numeric range over a store with a week index: identical
+        rows to the brute-force store filter, via the index path."""
+        import pyarrow as pa
+        import ray as _ray
+
+        from geomesa_ray.engine import GeoMesaRayEngine
+        from geomesa_ray.state.attr_index import build_attr_index
+        from geomesa_ray.state.store import read_store, write_store
+
+        d = str(tmp_path / "store")
+        write_store(tiny_fixtures, d)
+        build_attr_index(d, "week", n_parts=4)
+        t = pa.concat_tables(_ray.get(
+            read_store(d, columns=["image_id", "week"]).to_arrow_refs()))
+        w = t.column("week").to_numpy(zero_copy_only=False)
+        lo = int(np.min(w))
+        eng = GeoMesaRayEngine(tiny_fixtures, store_dir=d)
+        got = sorted(r["image_id"] for r in
+                     eng.cql(f"week BETWEEN {lo} AND {lo + 1}")
+                     .select_columns(["image_id"]).take_all())
+        want = sorted(t.filter(pa.array((w >= lo) & (w <= lo + 1)))
+                      .column("image_id").to_pylist())
+        assert got == want and len(got) > 0
