@@ -1,0 +1,133 @@
+"""CLI tools — the geomesa-tools analog surface.
+
+Reference parity: ``geomesa-tools/.../Runner.scala`` command registry
+(Ingest/Export/Describe/List/Explain/QueryStats/RemoveSchema/Version
+commands). Each test drives ``geomesa_ray.cli.main`` in-process against
+the session Ray instance (the CLI's init guard must not re-init or shut
+it down).
+"""
+
+import json
+import os
+
+import pytest
+
+from geomesa_ray.cli import main
+
+
+@pytest.fixture(scope="module")
+def cli_store(ray_session, tiny_fixtures, tmp_path_factory, capsys=None):
+    d = str(tmp_path_factory.mktemp("cli") / "store")
+    assert main(["ingest", tiny_fixtures, d]) == 0
+    assert main(["attr-index", d, "week", "--n-parts", "4"]) == 0
+    return d
+
+
+def _json_out(capsys):
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+class TestCli:
+    def test_version(self, capsys):
+        assert main(["version"]) == 0
+        from geomesa_ray import __version__
+
+        assert capsys.readouterr().out.strip() == __version__
+
+    def test_ingest_prints_skew_stats(self, ray_session, tiny_fixtures,
+                                      tmp_path, capsys):
+        d = str(tmp_path / "s")
+        assert main(["ingest", tiny_fixtures, d]) == 0
+        out = _json_out(capsys)
+        assert out["partitions"] > 0 and out["rows"] == 6000
+
+    def test_describe(self, cli_store, capsys):
+        assert main(["describe", cli_store]) == 0
+        out = _json_out(capsys)
+        assert out["rows"] == 6000
+        assert out["attr_indexes"] == ["week"]
+        assert out["sort_key"] == ["week", "z3", "image_id"]
+
+    def test_list(self, cli_store, capsys):
+        root = os.path.dirname(cli_store)
+        assert main(["list", root]) == 0
+        assert os.path.basename(cli_store) in \
+            capsys.readouterr().out.split()
+
+    def test_explain_spatial_prunes(self, cli_store, capsys):
+        assert main(["explain", "BBOX(geom, -10, -5, 25, 30)",
+                     "--store", cli_store]) == 0
+        out = _json_out(capsys)
+        assert out["strategy"] == "st"
+        assert 0 < out["partitions"]["scanned"] \
+            < out["partitions"]["total"]
+
+    def test_explain_attr_index(self, cli_store, capsys):
+        assert main(["explain", "week BETWEEN 2800 AND 2801",
+                     "--store", cli_store]) == 0
+        out = _json_out(capsys)
+        assert out["strategy"] == "attribute"
+        assert out["attr_index"]["column"] == "week"
+
+    def test_explain_tree_fallback(self, capsys):
+        assert main(["explain", "NOT fmt = 'raw'"]) == 0
+        assert _json_out(capsys)["strategy"] == "scan"
+
+    def test_export_csv(self, cli_store, tiny_fixtures, tmp_path,
+                        capsys):
+        out_dir = str(tmp_path / "exp")
+        assert main(["export", "BBOX(geom, -10, -5, 25, 30)", out_dir,
+                     "--store", cli_store, "--src", tiny_fixtures]) == 0
+        res = _json_out(capsys)
+        assert res["files"] > 0
+        # exported rows match the engine query
+        import csv
+
+        n = 0
+        for name in os.listdir(out_dir):
+            with open(os.path.join(out_dir, name)) as f:
+                n += max(0, sum(1 for _ in csv.reader(f)) - 1)
+        from geomesa_ray.engine import GeoMesaRayEngine
+
+        eng = GeoMesaRayEngine(tiny_fixtures, store_dir=cli_store)
+        assert n == eng.cql("BBOX(geom, -10, -5, 25, 30)").count() > 0
+
+    def test_query_stats(self, cli_store, tiny_fixtures, capsys):
+        assert main(["query-stats", "week >= 0", "--store", cli_store,
+                     "--src", tiny_fixtures]) == 0
+        out = _json_out(capsys)
+        assert out["rows"] == 6000 and out["strategy"] == "attribute"
+
+    def test_stats_histogram(self, ray_session, capsys):
+        assert main(["stats", "/root/testdata/sf0.001", "events",
+                     "event_type"]) == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert len(lines) > 1 and all("\t" in ln for ln in lines)
+
+    def test_stats_minmax(self, ray_session, capsys):
+        assert main(["stats", "/root/testdata/sf0.001", "events",
+                     "value", "--kind", "minmax"]) == 0
+        out = _json_out(capsys)
+        assert out["min"] <= out["max"]
+
+    def test_stats_approx_distinct(self, ray_session, capsys):
+        assert main(["stats", "/root/testdata/sf0.001", "events",
+                     "user_id", "--kind", "approx-distinct"]) == 0
+        out = _json_out(capsys)
+        assert out["approx_distinct"] > 0
+
+    def test_remove_schema_needs_force(self, ray_session, tiny_fixtures,
+                                       tmp_path, capsys):
+        d = str(tmp_path / "s")
+        main(["ingest", tiny_fixtures, d])
+        capsys.readouterr()
+        assert main(["remove-schema", d]) == 2  # refused
+        assert os.path.exists(d)
+        assert main(["remove-schema", d, "--force"]) == 0
+        assert not os.path.exists(d)
+
+    def test_remove_schema_rejects_non_store(self, tmp_path, capsys):
+        d = str(tmp_path / "not_a_store")
+        os.makedirs(d)
+        assert main(["remove-schema", d, "--force"]) == 2
+        assert os.path.exists(d)
