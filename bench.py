@@ -125,6 +125,19 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     })
     timed("knn_indexed_clustered", lambda: _consume(
         knn.knn_indexed(store_dir, probes=knn_probes)))
+
+    # secondary attribute index: build over the committed store, then a
+    # value-pruned range query through the JOIN-coverage record fetch
+    from geomesa_ray.state.attr_index import (build_attr_index,
+                                              query_attr_index)
+
+    t0 = time.perf_counter()
+    build_attr_index(store_dir, "week", n_parts=16)
+    queries["attr_index_build"] = round(time.perf_counter() - t0, 3)
+    wk = read_store(store_dir, columns=["week"]).take_batch(
+        1, batch_format="pyarrow")["week"][0].as_py()
+    timed("attr_index_query", lambda: _consume(
+        query_attr_index(store_dir, "week", lo=wk, hi=wk + 1)))
     result["store"] = stats
 
     ray.shutdown()
