@@ -44,8 +44,25 @@ def _ray_session(args):
 def _engine(args):
     from geomesa_ray.engine import GeoMesaRayEngine
 
-    return GeoMesaRayEngine(args.src or args.store,
-                            store_dir=args.store)
+    if not args.src and not args.store:
+        print(f"{args.command}: pass --store and/or --src",
+              file=sys.stderr)
+        raise SystemExit(2)
+    if not args.src:
+        # geometry joins (INTERSECTS / DWITHIN) read the SOURCE table,
+        # not the store — catch the misuse before a mid-query crash
+        from geomesa_ray.cql import parse_cql, split_or
+
+        for d in split_or(args.cql):
+            try:
+                q = parse_cql(d)
+            except ValueError:
+                continue  # tree grammar runs over the store source
+            if q.geometry_wkts or q.dwithins:
+                print(f"{args.command}: INTERSECTS/DWITHIN queries read "
+                      "the source table; pass --src", file=sys.stderr)
+                raise SystemExit(2)
+    return GeoMesaRayEngine(args.src, store_dir=args.store)
 
 
 def cmd_version(args) -> int:

@@ -69,7 +69,10 @@ _DWITHIN_RE = re.compile(
     r"^DWITHIN\s*\(\s*geom\s*,\s*POINT\s*\(\s*([-\d.eE+]+)\s+([-\d.eE+]+)"
     r"\s*\)\s*,\s*([-\d.eE+]+)\s*,\s*meters\s*\)$", re.IGNORECASE)
 _NUM_LIT = r"[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?"
-_CMP_RE = re.compile(
+# planner comparisons: NO '<>' here — not-equal has no contiguous range
+# form, so it must fall through to the tree grammar (whose own _CMP_RE
+# below does match '<>')
+_PCMP_RE = re.compile(
     rf"^(\w+)\s*(>=|<=|>|<|=)\s*({_NUM_LIT})$")
 # _split_and breaks "x BETWEEN a AND b" at its inner AND; these two
 # halves are re-merged before clause dispatch
@@ -254,7 +257,7 @@ def parse_cql(expr: str) -> CqlQuery:
             add_range(m.group(1), (_num(m.group(2)), _num(m.group(3)),
                                    False, False))
             continue
-        m = _CMP_RE.match(clause)
+        m = _PCMP_RE.match(clause)
         if m:
             col, op, lit = m.group(1), m.group(2), _num(m.group(3))
             if op == "=":
@@ -265,8 +268,10 @@ def parse_cql(expr: str) -> CqlQuery:
                 add_range(col, (lit, None, False, False))
             elif op == "<":
                 add_range(col, (None, lit, False, True))
-            else:  # <=
+            elif op == "<=":
                 add_range(col, (None, lit, False, False))
+            else:  # defensive: only the four range ops + '=' are mapped
+                raise ValueError(f"unsupported comparison: {clause!r}")
             continue
         raise ValueError(f"unsupported CQL clause: {clause!r}")
     return out
@@ -564,7 +569,7 @@ def range_mask(batch, col: str, rng: tuple):
 
     lo, hi, ls, hs = normalize_range(rng)
     c = batch.column(col)
-    ctype = c.type if not isinstance(c, pa.ChunkedArray) else c.type
+    ctype = c.type
     if not (pa.types.is_integer(ctype) or pa.types.is_floating(ctype)):
         # string/temporal columns: Arrow's native ordering is already
         # exact — no numeric-precision hazard to work around

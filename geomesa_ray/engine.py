@@ -67,7 +67,10 @@ class GeoMesaRayEngine:
                                columns=[*columns, *optional])
         from geomesa_ray.state.store import read_meta, read_store
 
-        have = set(read_meta(self.store_dir).get("columns", []))
+        # ingested columns PLUS the derived key columns every partition
+        # stores (derive_and_encode + add_bucket write these on ingest)
+        have = set(read_meta(self.store_dir).get("columns", [])) | {
+            "lon", "lat", "dtg", "dtg_s", "week", "z3", "cell", "bucket"}
         missing = set(columns) - have
         if missing:
             raise ValueError(
@@ -105,8 +108,9 @@ class GeoMesaRayEngine:
                 if self.store_dir is not None else None)
             out = self._refine(ds, spec, skip_ids=True)
         elif strat is Strategy.ATTRIBUTE:
-            ds = self._attribute_scan(spec)
-            out = self._refine(ds, spec, skip_attr=True)
+            ds, spatial_done = self._attribute_scan(spec)
+            out = self._refine(ds, spec, skip_attr=True,
+                               skip_spatial=spatial_done)
         else:
             q = self._to_spatial_query(spec)
             if self.store_dir is not None:
@@ -238,20 +242,26 @@ class GeoMesaRayEngine:
         t0, t1 = spec.interval_s or (None, None)
         return SpatialQuery(*bbox, t0, t1)
 
-    def _attribute_scan(self, spec: QuerySpec) -> ray.data.Dataset:
+    def _attribute_scan(self, spec: QuerySpec):
+        """-> (dataset, spatial_done). ``spatial_done`` is True when the
+        index path already applied the spatio-temporal refinement on the
+        carried index value (the caller must not re-apply it)."""
         from geomesa_ray.stages.encode import derive_and_encode
 
         pred_cols = list(dict.fromkeys(
             [*spec.attr_eq.keys(), *spec.attr_range.keys()]))
         if self.store_dir is not None and len(pred_cols) == 1:
             # AttributeIdxStrategy: secondary-index scan + record join
-            # when the attached store has an index on the predicate
-            # column (value-pruned partitions, no full scan)
-            from geomesa_ray.state.attr_index import (attr_index_exists,
+            # when the attached store has a CURRENT index on the
+            # predicate column (value-pruned partitions, no full scan).
+            # A stale index (store appended/deleted since the build)
+            # falls back to the scan so every strategy keeps seeing the
+            # same rows.
+            from geomesa_ray.state.attr_index import (attr_index_current,
                                                       query_attr_index)
 
             c = pred_cols[0]
-            if attr_index_exists(self.store_dir, c):
+            if attr_index_current(self.store_dir, c):
                 lo, hi, ls, hs = normalize_range(
                     spec.attr_range.get(c, (None, None)))
                 q = self._to_spatial_query(spec) \
@@ -259,7 +269,7 @@ class GeoMesaRayEngine:
                 return query_attr_index(self.store_dir, c,
                                         eq=spec.attr_eq.get(c),
                                         lo=lo, hi=hi, lo_strict=ls,
-                                        hi_strict=hs, query=q)
+                                        hi_strict=hs, query=q), q is not None
 
         cols = list({"image_id", "phash", *pred_cols})
 
@@ -278,7 +288,7 @@ class GeoMesaRayEngine:
 
         ds = self._source(cols)
         return ds.map_batches(keep, batch_format="pyarrow").map_batches(
-            derive_and_encode, batch_format="pyarrow")
+            derive_and_encode, batch_format="pyarrow"), False
 
     def _refine(self, ds: ray.data.Dataset, spec: QuerySpec, skip_ids=False,
                 skip_attr=False, skip_spatial=False) -> ray.data.Dataset:
@@ -306,7 +316,8 @@ class GeoMesaRayEngine:
 
                 m &= id_membership_mask(batch.column("image_id"), want)
             for col, val in attr.items():
-                m &= pc.equal(batch.column(col), val).to_numpy(zero_copy_only=False)
+                m &= pc.fill_null(pc.equal(batch.column(col), val),
+                                  False).to_numpy(zero_copy_only=False)
             for col, r in rng.items():
                 from geomesa_ray.cql import range_mask
 

@@ -42,13 +42,22 @@ def derive_geometry(batch: pa.Table) -> pa.Table:
 
     Zero-copy in (pyarrow batch), three vectorized NumPy expressions out.
     """
+    # idempotent per column (store rows already carry these): a second
+    # append would create duplicate fields
+    need = [c for c in ("lon", "lat", "dtg_s", "dtg")
+            if c not in batch.schema.names]
+    if not need:
+        return batch
     phash = batch.column("phash").to_numpy(zero_copy_only=False)
     lon, lat = phash_to_lonlat(phash)
     dtg_s = phash_to_dtg_s(phash)
-    batch = batch.append_column("lon", pa.array(lon))
-    batch = batch.append_column("lat", pa.array(lat))
-    batch = batch.append_column("dtg_s", pa.array(dtg_s))
-    batch = batch.append_column(
-        "dtg", pa.array(dtg_s * 1_000_000, type=pa.timestamp("us"))
-    )
+    if "lon" in need:
+        batch = batch.append_column("lon", pa.array(lon))
+    if "lat" in need:
+        batch = batch.append_column("lat", pa.array(lat))
+    if "dtg_s" in need:
+        batch = batch.append_column("dtg_s", pa.array(dtg_s))
+    if "dtg" in need:
+        batch = batch.append_column(
+            "dtg", pa.array(dtg_s * 1_000_000, type=pa.timestamp("us")))
     return batch

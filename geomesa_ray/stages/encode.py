@@ -26,14 +26,25 @@ def encode_keys(batch: pa.Table, cell_level: int = DEFAULT_CELL_LEVEL) -> pa.Tab
 
     Requires lon/lat/dtg_s columns (run :func:`derive_geometry` first).
     """
+    # idempotent per column: store rows already CARRY these keys (and a
+    # store's cell may use a non-default cell_level) — appending again
+    # would produce a duplicate field and poison every later
+    # column-by-name access
+    need = [c for c in ("week", "z3", "cell")
+            if c not in batch.schema.names]
+    if not need:
+        return batch
     lon = batch.column("lon").to_numpy(zero_copy_only=False)
     lat = batch.column("lat").to_numpy(zero_copy_only=False)
     dtg_s = batch.column("dtg_s").to_numpy(zero_copy_only=False)
     week, z3 = _sfc.index(lon, lat, dtg_s)
-    cell = Z2Grid(cell_level).encode(lon, lat)
-    batch = batch.append_column("week", pa.array(week))
-    batch = batch.append_column("z3", pa.array(z3))
-    batch = batch.append_column("cell", pa.array(cell))
+    if "week" in need:
+        batch = batch.append_column("week", pa.array(week))
+    if "z3" in need:
+        batch = batch.append_column("z3", pa.array(z3))
+    if "cell" in need:
+        batch = batch.append_column(
+            "cell", pa.array(Z2Grid(cell_level).encode(lon, lat)))
     return batch
 
 

@@ -76,6 +76,35 @@ def _store_paths(store_dir: str) -> list[str]:
             for b in sorted(manifests, key=int)]
 
 
+def store_fingerprint(store_dir: str) -> str:
+    """Cheap content fingerprint of the store's committed state:
+    (partition, rows, file size) per partition. Appends, upserts,
+    deletes, age-off and reindex all change at least one partition's
+    rows or byte size, so a fingerprint mismatch means the index no
+    longer reflects the store."""
+    import hashlib
+
+    manifests = completed_partitions(store_dir)
+    items = []
+    for b in sorted(manifests, key=int):
+        path = os.path.join(store_dir, f"part={b}", "data.parquet")
+        size = os.path.getsize(path) if os.path.exists(path) else -1
+        items.append((b, manifests[b].get("rows"), size))
+    return hashlib.sha256(json.dumps(items).encode()).hexdigest()[:16]
+
+
+def attr_index_current(store_dir: str, col: str) -> bool:
+    """True when the index exists AND was built from the store's
+    CURRENT committed state (see :func:`store_fingerprint`). The engine
+    only routes the ATTRIBUTE strategy through the index when this
+    holds, so append()/delete() results stay visible to every strategy
+    consistently."""
+    if not attr_index_exists(store_dir, col):
+        return False
+    meta = read_idx_meta(store_dir, col)
+    return meta.get("store_state") == store_fingerprint(store_dir)
+
+
 def _sample_boundaries(paths: list[str], col: str, n_parts: int,
                        sample_per_block: int = 512) -> list:
     """Range-partition cut points from a deterministic per-block sample
@@ -95,6 +124,10 @@ def _sample_boundaries(paths: list[str], col: str, n_parts: int,
     rows = ds.map_batches(sample, batch_format="pyarrow").take_all()
     vals = np.array([r[col] for r in rows if r[col] is not None],
                     dtype=object)
+    if len(vals) == 0:
+        raise ValueError(
+            f"column {col!r} has no non-null values to index (the "
+            "reference writer likewise emits no index rows for nulls)")
     vals.sort()
     cuts = []
     for i in range(1, n_parts):
@@ -117,9 +150,21 @@ def build_attr_index(store_dir: str, col: str, n_parts: int = 16,
         raise FileNotFoundError(f"{store_dir}: no committed partitions")
     idir = _idx_dir(store_dir, col)
     os.makedirs(idir, exist_ok=True)
-    done = {int(p) for p in completed_partitions(idir)}
+    fp = store_fingerprint(store_dir)
 
     meta_path = os.path.join(idir, "meta.json")
+    if os.path.exists(meta_path) \
+            and read_idx_meta(store_dir, col).get("store_state") != fp:
+        # the store changed since this index was built (append / delete
+        # / age-off / reindex): a resume would silently MISS rows whose
+        # value lands in an already-committed index partition, so the
+        # derived index is wiped and rebuilt from the current state
+        import shutil
+
+        shutil.rmtree(idir)
+        os.makedirs(idir)
+    done = {int(p) for p in completed_partitions(idir)}
+
     if os.path.exists(meta_path):
         meta = read_idx_meta(store_dir, col)
         if meta["n_parts"] != n_parts or meta["coverage"] != coverage:
@@ -132,7 +177,7 @@ def build_attr_index(store_dir: str, col: str, n_parts: int = 16,
     else:
         cuts = _sample_boundaries(paths, col, n_parts)
         meta = {"col": col, "n_parts": n_parts, "coverage": coverage,
-                "boundaries": cuts,
+                "boundaries": cuts, "store_state": fp,
                 "store_partitions": len(paths)}
         tmp = meta_path + ".tmp"
         with open(tmp, "w") as f:
@@ -193,28 +238,31 @@ def _value_filter(col: str, eq=None, lo=None, hi=None,
         # row-group pushdown (the exact mask below still enforces it)
         return not (isinstance(v, float) and abs(v) > 2.0 ** 53)
 
-    if eq is not None:
-        expr = (pc.field(col) == eq) if _pushable(eq) else None
-    else:
-        if lo is None and hi is None:
-            raise ValueError("one of eq / lo / hi is required")
-        expr = None
-        if lo is not None and _pushable(lo):
-            expr = (pc.field(col) > lo) if lo_strict \
-                else (pc.field(col) >= lo)
-        if hi is not None and _pushable(hi):
-            e = (pc.field(col) < hi) if hi_strict \
-                else (pc.field(col) <= hi)
-            expr = e if expr is None else expr & e
+    if eq is None and lo is None and hi is None:
+        raise ValueError("one of eq / lo / hi is required")
+    # eq and a range CAN both be present (e.g. CQL "w = 5 AND w > 3"):
+    # they compose by AND, same as the scan path
+    expr = None
+    if eq is not None and _pushable(eq):
+        expr = pc.field(col) == eq
+    if lo is not None and _pushable(lo):
+        e = (pc.field(col) > lo) if lo_strict else (pc.field(col) >= lo)
+        expr = e if expr is None else expr & e
+    if hi is not None and _pushable(hi):
+        e = (pc.field(col) < hi) if hi_strict else (pc.field(col) <= hi)
+        expr = e if expr is None else expr & e
 
     def mask(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         from geomesa_ray.cql import range_mask
 
+        m = np.ones(batch.num_rows, dtype=bool)
         if eq is not None:
-            m = pc.fill_null(pc.equal(batch.column(col), eq), False) \
+            m &= pc.fill_null(pc.equal(batch.column(col), eq), False) \
                 .to_numpy(zero_copy_only=False).astype(bool)
-        else:
-            m = range_mask(batch, col, (lo, hi, lo_strict, hi_strict))
+        if lo is not None or hi is not None:
+            m &= range_mask(batch, col, (lo, hi, lo_strict, hi_strict))
         return batch.filter(pa.array(m))
 
     return expr, mask

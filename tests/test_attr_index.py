@@ -287,3 +287,86 @@ class TestEngineIntegration:
         want = sorted(t.filter(pc.equal(t.column("phash"), val))
                       .column("image_id").to_pylist())
         assert got == want and len(got) > 0
+
+
+class TestReviewFixes:
+    def test_not_equal_falls_back_to_tree(self, ray_session,
+                                          tiny_fixtures):
+        """'<>' has no contiguous-range form: parse_cql must REJECT it
+        (tree-grammar fallback evaluates real not-equal) — regression
+        for the shadowed-regex bug that executed 'col <> N' as
+        'col <= N'."""
+        from geomesa_ray.cql import parse_cql
+        from geomesa_ray.engine import GeoMesaRayEngine
+
+        with pytest.raises(ValueError):
+            parse_cql("phash <> 5")
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        assert eng.cql("phash <> 5").count() == 6000  # nothing equals 5
+
+    def test_eq_and_range_compose(self, astore):
+        """eq + range on the same column AND together on the index path
+        (regression: range silently dropped when eq was set)."""
+        t = _store_table(astore, ["image_id", "week"])
+        w = t.column("week").to_numpy(zero_copy_only=False)
+        lo = int(np.min(w))
+        # week = lo AND week > lo -> provably empty
+        assert query_attr_index(astore, "week", eq=lo, lo=lo,
+                                lo_strict=True).count() == 0
+        # week = lo AND week >= lo -> exactly the eq set
+        want = sorted(t.filter(pa.array(w == lo))
+                      .column("image_id").to_pylist())
+        got = _ids(query_attr_index(astore, "week", eq=lo, lo=lo))
+        assert got == want and len(got) > 0
+
+    def test_stale_index_falls_back_then_rebuild(self, ray_session,
+                                                 tiny_fixtures, tmp_path):
+        """After append_store the index is STALE: the engine must fall
+        back to the scan (seeing appended rows), and a rebuild must
+        wipe-and-reindex so the new rows are served (regression: resume
+        skipped committed partitions and lost appended rows forever)."""
+        import ray as _ray
+
+        from geomesa_ray.engine import GeoMesaRayEngine
+        from geomesa_ray.planner import QuerySpec
+        from geomesa_ray.sources.fixtures import gen_images_table
+        from geomesa_ray.state.attr_index import attr_index_current
+        from geomesa_ray.state.store import append_store
+
+        d = str(tmp_path / "store")
+        write_store(tiny_fixtures, d)
+        build_attr_index(d, "week", n_parts=4)
+        assert attr_index_current(d, "week")
+
+        # append brand-new rows (ids beyond the fixture range)
+        extra = gen_images_table(6100).slice(6000, 100)
+        append_store(d, extra)
+        assert not attr_index_current(d, "week")
+
+        import ray.data  # noqa: F401
+
+        t = pa.concat_tables(_ray.get(
+            read_store(d, columns=["image_id", "week"]).to_arrow_refs()))
+        w = t.column("week").to_numpy(zero_copy_only=False)
+        lo, hi = int(np.min(w)), int(np.max(w))
+        want = sorted(t.column("image_id").to_pylist())
+        assert len(want) == 6100
+
+        eng = GeoMesaRayEngine(tiny_fixtures, store_dir=d)
+        got = _ids(eng.query(QuerySpec(attr_range={"week": (lo, hi)})))
+        assert got == want  # stale index bypassed -> appended rows seen
+
+        build_attr_index(d, "week", n_parts=4)  # wipe-and-rebuild
+        assert attr_index_current(d, "week")
+        got2 = _ids(eng.query(QuerySpec(attr_range={"week": (lo, hi)})))
+        assert got2 == want  # index path now serves appended rows too
+
+    def test_all_null_column_clear_error(self, ray_session, tmp_path):
+        from geomesa_ray.state.attr_index import _sample_boundaries
+
+        p = str(tmp_path / "nulls.parquet")
+        pq.write_table(pa.table({
+            "c": pa.array([None, None, None], pa.string()),
+            "image_id": pa.array(["a", "b", "c"])}), p)
+        with pytest.raises(ValueError, match="no non-null values"):
+            _sample_boundaries([p], "c", 4)

@@ -131,3 +131,17 @@ class TestCli:
         os.makedirs(d)
         assert main(["remove-schema", d, "--force"]) == 2
         assert os.path.exists(d)
+
+
+class TestCliArgValidation:
+    def test_export_requires_src_or_store(self, ray_session, tmp_path,
+                                          capsys):
+        with pytest.raises(SystemExit):
+            main(["export", "week >= 0", str(tmp_path / "o")])
+
+    def test_geometry_query_requires_src(self, cli_store, tmp_path,
+                                         capsys):
+        with pytest.raises(SystemExit):
+            main(["export",
+                  "INTERSECTS(geom, POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)))",
+                  str(tmp_path / "o"), "--store", cli_store])
