@@ -7,13 +7,16 @@ initialised once per actor (``__init__``), batches streamed through
 (``geomesa-raster/.../data/Raster.scala:21-60``,
 ``RasterIngest.scala``) re-expressed for Ray Data.
 
-This sandbox has no PIL/libjpeg, so:
-- ``fmt == "raw"`` (the fixture format) decodes for real via NumPy —
-  every pipeline below is fully exercised.
-- compressed formats are STUBBED behind NotImplementedError with the
-  Ray-side plumbing (schema, batch shape, actor signature) real and
-  tested; swap ``_decode_compressed`` for a PIL/turbojpeg call in a
-  full environment.
+Formats:
+- ``fmt == "raw"`` (the fixture default) decodes zero-copy via NumPy —
+  the whole-batch matrix fast path.
+- ``png`` / ``jpeg`` / ``bmp`` decode for real through the pure-NumPy
+  codecs in :mod:`geomesa_ray.codecs` (PNG/BMP lossless pixel-exact,
+  baseline JPEG with the PSNR>=40dB payload bound) — per-image work, so
+  these run in the actor-pool variants where decoder tables are built
+  once per actor.
+- anything else (webp/avif/...) still raises NotImplementedError
+  (honest gate; swap in PIL/turbojpeg in a full environment).
 """
 
 from __future__ import annotations
@@ -26,10 +29,10 @@ import ray.data
 from geomesa_ray.sources.io import read_images
 
 
-def _decode_compressed(buf: bytes, fmt: str) -> np.ndarray:  # pragma: no cover
-    raise NotImplementedError(
-        f"decode of fmt={fmt!r} requires an image codec (PIL/libjpeg) not "
-        "present in this environment; raw passthrough is the tested path")
+def _decode_compressed(buf: bytes, fmt: str) -> np.ndarray:
+    from geomesa_ray import codecs
+
+    return codecs.decode(buf, fmt)
 
 
 def decode_batch(batch: pa.Table) -> list[np.ndarray]:
@@ -247,3 +250,72 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return 10.0 * np.log10(255.0 ** 2 / mse)
+
+
+class Transcode:
+    """Re-encode every image payload into ``out_fmt`` (raw/png/jpeg/bmp).
+
+    The canonical payload transform at corpus scale: decode + re-encode
+    inside an actor pool, with codec state (DCT basis, quantization and
+    Huffman tables for the target quality) built ONCE per actor in
+    ``__init__`` and reused across batches. Captions and ids pass
+    through untouched (byte-equality invariant); ``w``/``h`` are
+    preserved, only ``bytes``/``fmt`` change. Lossless targets
+    (png/bmp/raw) round-trip pixel-identical; jpeg satisfies the
+    PSNR >= 40 dB bound at the default quality.
+
+    Reference parity: raster chunk re-encoding through ImageIO writers
+    (``geomesa-raster/.../util/RasterUtils.scala`` ``imageToBytes`` /
+    ``renderedImageToBytes``) re-expressed as a Ray Data actor stage.
+    """
+
+    def __init__(self, out_fmt: str = "png", quality: int = 98,
+                 keep_caption: bool = True):
+        from geomesa_ray import codecs
+
+        out_fmt = out_fmt.lower()
+        if out_fmt != "raw" and out_fmt not in codecs.SUPPORTED:
+            raise NotImplementedError(
+                f"transcode target {out_fmt!r} (supported: "
+                f"{codecs.SUPPORTED} + 'raw')")
+        self.out_fmt = out_fmt
+        self.quality = quality
+        self.keep_caption = keep_caption
+        # per-actor codec state: encoder tables are module-level
+        # singletons built on first import; touching them here pins the
+        # cost to actor startup instead of the first batch
+        if out_fmt in ("jpeg", "jpg"):
+            from geomesa_ray.codecs.jpeg import (_flat_ac_table,
+                                                 _flat_dc_table)
+
+            self._tables = (_flat_dc_table(), _flat_ac_table())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from geomesa_ray import codecs
+
+        imgs = decode_batch(batch)
+        kw = {"quality": self.quality} \
+            if self.out_fmt in ("jpeg", "jpg") else {}
+        bufs = [codecs.encode(im, self.out_fmt, **kw) for im in imgs]
+        cols = {
+            "image_id": batch.column("image_id"),
+            "bytes": pa.array(bufs, pa.binary()),
+            "w": batch.column("w"),
+            "h": batch.column("h"),
+            "fmt": pa.array([self.out_fmt] * batch.num_rows, pa.string()),
+        }
+        for extra in ("caption", "phash"):
+            if self.keep_caption and extra in batch.schema.names:
+                cols[extra] = batch.column(extra)
+        return pa.table(cols)
+
+
+def transcode(fixture_dir: str, out_fmt: str = "png", quality: int = 98,
+              concurrency=(1, 8), batch_size: int = 1024) -> ray.data.Dataset:
+    """Corpus-wide format conversion as an actor-pool stage."""
+    ds = read_images(fixture_dir)
+    return ds.map_batches(Transcode,
+                          fn_constructor_kwargs={"out_fmt": out_fmt,
+                                                 "quality": quality},
+                          batch_format="pyarrow", concurrency=concurrency,
+                          batch_size=batch_size)

@@ -1,0 +1,234 @@
+"""Pure-NumPy image codecs: PNG/BMP lossless round-trips, baseline JPEG
+under the PSNR>=40dB payload bound, and the Transcode actor stage's
+end-to-end invariants (caption byte-equality, pixel recovery).
+
+Reference parity: the reference round-trips raster chunks through
+ImageIO PNG/JPEG (``geomesa-raster/src/main/scala/.../util/
+RasterUtils.scala`` ``imageToBytes``/``bytesToImage``; tested by
+``RasterUtilsTest.scala``); here the codecs are explicit NumPy so the
+Ray actor-pool stages decode without native libraries.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geomesa_ray.codecs import decode, encode
+from geomesa_ray.codecs.bmp import decode_bmp, encode_bmp
+from geomesa_ray.codecs.jpeg import decode_jpeg, encode_jpeg, psnr
+from geomesa_ray.codecs.png import decode_png, encode_png
+
+RNG = np.random.default_rng(20260817)
+
+
+def _noise(h, w, ch=3):
+    shape = (h, w, ch) if ch else (h, w)
+    return RNG.integers(0, 256, shape, dtype=np.uint8)
+
+
+def _smooth(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    r = (255.0 * x / max(w - 1, 1)).astype(np.uint8)
+    g = (255.0 * y / max(h - 1, 1)).astype(np.uint8)
+    b = ((r.astype(np.int32) + g) // 2).astype(np.uint8)
+    return np.stack([r, g, b], axis=-1)
+
+
+class TestPng:
+    @pytest.mark.parametrize("shape", [(8, 8), (1, 1), (17, 31), (64, 64),
+                                       (3, 200)])
+    def test_rgb_roundtrip_identical(self, shape):
+        a = _noise(*shape)
+        assert np.array_equal(decode_png(encode_png(a)), a)
+
+    def test_grey_and_rgba_roundtrip(self):
+        g = _noise(13, 9, ch=0)
+        assert np.array_equal(decode_png(encode_png(g)), g)
+        rgba = _noise(12, 10, ch=4)
+        assert np.array_equal(decode_png(encode_png(rgba)), rgba)
+
+    @pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+    def test_every_scanline_filter_decodes(self, ft):
+        """Each of the five spec filters (None/Sub/Up/Average/Paeth),
+        forced on every row at encode, reconstructs exactly."""
+        a = _noise(23, 17)
+        assert np.array_equal(decode_png(encode_png(a, filter_type=ft)), a)
+        sm = _smooth(23, 17)
+        assert np.array_equal(decode_png(encode_png(sm, filter_type=ft)), sm)
+
+    def test_corrupt_rejected(self):
+        a = _noise(8, 8)
+        buf = bytearray(encode_png(a))
+        with pytest.raises(ValueError, match="signature"):
+            decode_png(b"JUNK" + bytes(buf))
+        buf[50] ^= 0xFF  # flip a byte inside IDAT -> CRC mismatch
+        with pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(buf))
+
+    def test_dispatch_normalizes_to_rgb(self):
+        g = _noise(6, 6, ch=0)
+        out = decode(encode_png(g), "png")
+        assert out.shape == (6, 6, 3)
+        assert np.array_equal(out[:, :, 0], g)
+        rgba = _noise(6, 6, ch=4)
+        out = decode(encode_png(rgba), "png")
+        assert np.array_equal(out, rgba[:, :, :3])
+
+
+class TestBmp:
+    @pytest.mark.parametrize("shape", [(8, 8), (5, 7), (1, 1), (16, 33)])
+    def test_roundtrip_identical(self, shape):
+        """Odd widths exercise the 4-byte row padding."""
+        a = _noise(*shape)
+        assert np.array_equal(decode_bmp(encode_bmp(a)), a)
+
+    def test_rejects_non_bmp(self):
+        with pytest.raises(ValueError):
+            decode_bmp(b"PNG not bmp")
+
+
+class TestJpeg:
+    def test_noise_psnr_bound(self):
+        """Uniform noise is the least-compressible content (and exactly
+        what the fixture images contain) — the default quality must
+        still clear the 40 dB north-star bound on it."""
+        for shape in [(8, 8), (17, 31), (64, 64)]:
+            a = _noise(*shape)
+            d = decode_jpeg(encode_jpeg(a))
+            assert d.shape == a.shape
+            assert psnr(a, d) >= 40.0, shape
+
+    def test_smooth_psnr_bound(self):
+        sm = _smooth(64, 48)
+        assert psnr(sm, decode_jpeg(encode_jpeg(sm))) >= 40.0
+
+    def test_quality_monotone(self):
+        a = _noise(32, 32)
+        ps = [psnr(a, decode_jpeg(encode_jpeg(a, quality=q)))
+              for q in (50, 75, 90, 98)]
+        assert ps == sorted(ps)
+        assert ps[0] < 40.0 < ps[-1]  # q=50 is genuinely lossy
+
+    def test_subsample_420(self):
+        """4:2:0 path (2x2 sampling factors through the MCU loop both
+        ways + decoder upsample). Chroma is quartered so only smooth
+        content holds a high bound."""
+        sm = _smooth(32, 32)
+        d = decode_jpeg(encode_jpeg(sm, subsample=True))
+        assert psnr(sm, d) >= 35.0
+        # odd dims force chroma edge padding
+        sm = _smooth(19, 13)
+        d = decode_jpeg(encode_jpeg(sm, subsample=True))
+        assert d.shape == sm.shape
+
+    def test_grayscale(self):
+        g = _noise(24, 16, ch=0)
+        d = decode_jpeg(encode_jpeg(g))
+        assert d.shape == g.shape
+        assert psnr(g, d) >= 40.0
+
+    def test_deterministic(self):
+        a = _noise(16, 16)
+        assert encode_jpeg(a) == encode_jpeg(a)
+
+    def test_marker_errors(self):
+        with pytest.raises(ValueError, match="SOI"):
+            decode_jpeg(b"\x00\x00junk")
+        buf = bytearray(encode_jpeg(_noise(8, 8)))
+        # flip SOF0 -> SOF2 (progressive): honest gate must raise
+        i = bytes(buf).find(b"\xff\xc0")
+        buf[i + 1] = 0xC2
+        with pytest.raises(NotImplementedError, match="non-baseline"):
+            decode_jpeg(bytes(buf))
+
+    def test_unknown_fmt_still_gated(self):
+        with pytest.raises(NotImplementedError):
+            decode(b"\x00" * 10, "webp")
+
+
+class TestTranscodeStage:
+    """End-to-end payload invariants through the actor-stage callable
+    (the north-star per-row contract: decoded-pixel equality/PSNR +
+    caption byte-equality through every stage)."""
+
+    @pytest.fixture(scope="class")
+    def table(self):
+        from geomesa_ray.sources.fixtures import gen_images_table
+
+        return gen_images_table(64)
+
+    def test_lossless_roundtrip_and_caption(self, table):
+        from geomesa_ray.stages.image_ops import Transcode, decode_batch
+
+        orig = decode_batch(table)
+        for fmt in ("png", "bmp"):
+            out = Transcode(fmt)(table)
+            assert out.column("fmt")[0].as_py() == fmt
+            assert out.column("caption").equals(table.column("caption"))
+            assert out.column("image_id").equals(table.column("image_id"))
+            back = decode_batch(out)
+            assert all(np.array_equal(a, b) for a, b in zip(orig, back))
+            # and back to raw: byte-identical payloads
+            raw = Transcode("raw")(out)
+            assert raw.column("bytes").equals(table.column("bytes"))
+
+    def test_jpeg_psnr_and_stats_stability(self, table):
+        from geomesa_ray.stages.image_ops import (ImageStats, Transcode,
+                                                  decode_batch)
+
+        orig = decode_batch(table)
+        out = Transcode("jpeg")(table)
+        back = decode_batch(out)
+        assert min(psnr(a, b) for a, b in zip(orig, back)) >= 40.0
+        # stats over the compressed path run (values differ only within
+        # the lossy budget; ids align 1:1)
+        s = ImageStats()(out)
+        assert s.num_rows == table.num_rows
+
+    def test_stats_identical_on_lossless_path(self, table):
+        """ImageStats via the per-image compressed decode path must
+        EQUAL the whole-batch raw fast path bit-for-bit when the codec
+        is lossless — the two code paths compute the same math."""
+        from geomesa_ray.stages.image_ops import ImageStats, Transcode
+
+        s_raw = ImageStats()(table)
+        s_png = ImageStats()(Transcode("png")(table))
+        assert s_raw.equals(s_png)
+
+    def test_mixed_fmt_batch(self, table):
+        """A batch with heterogeneous fmt values routes per-image."""
+        from geomesa_ray.stages.image_ops import (ImageResize, Transcode,
+                                                  decode_batch)
+
+        png = Transcode("png")(table.slice(0, 16))
+        bmp = Transcode("bmp")(table.slice(16, 16))
+        raw = table.slice(32, 32).select(png.schema.names)
+        mixed = pa.concat_tables([png, bmp, raw])
+        orig = decode_batch(table)
+        assert all(np.array_equal(a, b)
+                   for a, b in zip(orig, decode_batch(mixed)))
+        rs = ImageResize(4, 4)(mixed)
+        assert rs.num_rows == 64
+        assert len(rs.column("bytes")[0].as_py()) == 4 * 4 * 3
+
+    def test_transcode_dataset(self, ray_session, tiny_fixtures):
+        """The Dataset-level actor-pool wiring: transcode the corpus to
+        PNG, read sizes, decode back — streaming, no driver loop."""
+        from geomesa_ray.stages.image_ops import transcode
+
+        ds = transcode(tiny_fixtures, "png", concurrency=(1, 2),
+                       batch_size=512)
+        t = pa.concat_tables(
+            [pa.table(b) for b in
+             ds.iter_batches(batch_format="pyarrow", batch_size=4096)])
+        assert t.num_rows == 6000
+        from geomesa_ray.sources.fixtures import gen_images_table
+        from geomesa_ray.stages.image_ops import decode_batch
+
+        want = gen_images_table(6000)
+        got = t.sort_by("image_id")
+        assert got.column("image_id").equals(want.column("image_id"))
+        assert got.column("caption").equals(want.column("caption"))
+        a = decode_batch(got.slice(0, 128))
+        b = decode_batch(want.slice(0, 128))
+        assert all(np.array_equal(x, y) for x, y in zip(a, b))

@@ -268,16 +268,29 @@ class TestImageOps:
                 checked += 1
         assert checked == 100
 
-    def test_compressed_decode_stub_raises(self):
+    def test_compressed_decode_paths(self):
+        """png/jpeg/bmp now decode for real (geomesa_ray.codecs);
+        malformed bytes raise ValueError, and formats without a codec
+        keep the honest NotImplementedError gate."""
         from geomesa_ray.stages.image_ops import decode_batch
 
-        batch = pa.table({
-            "image_id": pa.array(["x"]), "bytes": pa.array([b"zz"], pa.binary()),
-            "w": pa.array([2], pa.int32()), "h": pa.array([1], pa.int32()),
-            "fmt": pa.array(["png"]),
-        })
+        def one(fmt, payload):
+            return pa.table({
+                "image_id": pa.array(["x"]),
+                "bytes": pa.array([payload], pa.binary()),
+                "w": pa.array([2], pa.int32()), "h": pa.array([1], pa.int32()),
+                "fmt": pa.array([fmt]),
+            })
+
+        with pytest.raises(ValueError):
+            decode_batch(one("png", b"zz"))
         with pytest.raises(NotImplementedError):
-            decode_batch(batch)
+            decode_batch(one("webp", b"zz"))
+        from geomesa_ray.codecs import encode
+
+        px = np.arange(6, dtype=np.uint8).reshape(1, 2, 3)
+        (out,) = decode_batch(one("png", encode(px, "png")))
+        assert np.array_equal(out, px)
 
 
 class TestIVF:
