@@ -293,10 +293,27 @@ class Transcode:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from geomesa_ray import codecs
 
-        imgs = decode_batch(batch)
-        kw = {"quality": self.quality} \
-            if self.out_fmt in ("jpeg", "jpg") else {}
-        bufs = [codecs.encode(im, self.out_fmt, **kw) for im in imgs]
+        w = batch.column("w").to_numpy(zero_copy_only=False)
+        h = batch.column("h").to_numpy(zero_copy_only=False)
+        if (self.out_fmt in ("jpeg", "jpg")
+                and _uniform_fmt(batch) == "raw"
+                and len(np.unique(w)) == 1 and len(np.unique(h)) == 1):
+            # whole-batch fast path: zero-copy pixel matrix + ONE
+            # vectorized entropy pass over every image (bit-identical
+            # to per-image encode; ~20x less per-image overhead)
+            from geomesa_ray.codecs.jpeg import encode_jpeg_batch
+            from geomesa_ray.util import binary_column_to_matrix
+
+            hh, ww = int(h[0]), int(w[0])
+            m = binary_column_to_matrix(batch.column("bytes"),
+                                        hh * ww * 3) \
+                .reshape(batch.num_rows, hh, ww, 3)
+            bufs = encode_jpeg_batch(m, quality=self.quality)
+        else:
+            imgs = decode_batch(batch)
+            kw = {"quality": self.quality} \
+                if self.out_fmt in ("jpeg", "jpg") else {}
+            bufs = [codecs.encode(im, self.out_fmt, **kw) for im in imgs]
         cols = {
             "image_id": batch.column("image_id"),
             "bytes": pa.array(bufs, pa.binary()),

@@ -232,3 +232,35 @@ class TestTranscodeStage:
         a = decode_batch(got.slice(0, 128))
         b = decode_batch(want.slice(0, 128))
         assert all(np.array_equal(x, y) for x, y in zip(a, b))
+
+
+class TestBatchEncoder:
+    def test_batch_bit_identical_to_single(self):
+        from geomesa_ray.codecs.jpeg import encode_jpeg, encode_jpeg_batch
+
+        imgs = RNG.integers(0, 256, (32, 8, 8, 3), dtype=np.uint8)
+        assert encode_jpeg_batch(imgs) == [encode_jpeg(im) for im in imgs]
+        g = RNG.integers(0, 256, (8, 16, 24), dtype=np.uint8)
+        assert encode_jpeg_batch(g) == [encode_jpeg(im) for im in g]
+        sm = np.repeat(_smooth(32, 32)[None], 4, axis=0)
+        assert encode_jpeg_batch(sm, subsample=True) \
+            == [encode_jpeg(im, subsample=True) for im in sm]
+
+    def test_transcode_fast_path_matches_per_image(self):
+        """The uniform-raw Transcode jpeg path (whole-batch matrix +
+        encode_jpeg_batch) must emit the same bytes as the per-image
+        fallback it shortcuts."""
+        from geomesa_ray.codecs import encode
+        from geomesa_ray.sources.fixtures import gen_images_table
+        from geomesa_ray.stages.image_ops import Transcode, decode_batch
+
+        t = gen_images_table(48)
+        fast = Transcode("jpeg")(t)
+        slow = [encode(im, "jpeg", quality=98) for im in decode_batch(t)]
+        assert fast.column("bytes").to_pylist() == slow
+
+    def test_empty_batch(self):
+        from geomesa_ray.codecs.jpeg import encode_jpeg_batch
+
+        assert encode_jpeg_batch(
+            np.zeros((0, 8, 8, 3), dtype=np.uint8)) == []
