@@ -99,6 +99,12 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     from geomesa_ray.stages import image_ops
 
     timed("image_stats", lambda: _consume(image_ops.image_stats(fdir)))
+    # corpus-wide codec passes (pure-NumPy PNG/JPEG, task-based — the
+    # codec tables rebuild in microseconds so actor spawn isn't worth it)
+    timed("transcode_png", lambda: _consume(
+        image_ops.transcode(fdir, "png", use_actors=False)))
+    timed("transcode_jpeg", lambda: _consume(
+        image_ops.transcode(fdir, "jpeg", use_actors=False)))
     timed("mosaic", lambda: _consume(tiles.mosaic(fdir)))
 
     store_dir = f"/tmp/graft_store_bench_{num_cpus}"

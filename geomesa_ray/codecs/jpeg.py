@@ -696,3 +696,25 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+def split_mjpeg(buf: bytes) -> list[bytes]:
+    """Split a concatenated-JPEG (MJPEG) stream into frame byte slices.
+
+    Sound for baseline streams: inside entropy-coded data 0xFF is always
+    followed by 0x00 (stuffing) or an RST marker (0xD0-0xD7), never
+    0xD9, so scanning for SOI..EOI pairs cannot split mid-frame.
+    """
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    ff = np.nonzero(arr[:-1] == 0xFF)[0]
+    nxt = arr[ff + 1]
+    sois = ff[nxt == 0xD8]
+    eois = ff[nxt == 0xD9]
+    if len(sois) != len(eois):
+        raise ValueError("unbalanced SOI/EOI markers in MJPEG stream")
+    out = []
+    for s, e in zip(sois, eois):
+        if e <= s:
+            raise ValueError("EOI before SOI in MJPEG stream")
+        out.append(buf[s:e + 2])
+    return out

@@ -106,6 +106,35 @@ def encode_png(arr: np.ndarray, filter_type: int | None = None,
             + _chunk(b"IEND", b""))
 
 
+def encode_png_batch(imgs: np.ndarray, level: int = 6) -> list[bytes]:
+    """(n, h, w, 3) uint8 stack -> n PNG byte strings, bit-identical to
+    per-image :func:`encode_png` with the default filter choice (row 0
+    None, rest Up). Scanline filtering vectorizes across the whole
+    stack; only the DEFLATE call remains per image (zlib is C)."""
+    imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
+    if imgs.ndim != 4 or imgs.shape[3] != 3:
+        raise ValueError(f"batch encoder needs (n, h, w, 3), got "
+                         f"{imgs.shape}")
+    n, h, w = imgs.shape[:3]
+    if n == 0:
+        return []
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    stride = w * 3
+    flat = imgs.reshape(n, h, stride)
+    rows = np.empty((n, h, 1 + stride), dtype=np.uint8)
+    rows[:, 0, 0] = 0
+    rows[:, 1:, 0] = 2  # Up
+    rows[:, 0, 1:] = flat[:, 0]
+    rows[:, 1:, 1:] = flat[:, 1:] - flat[:, :-1]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    head = _SIG + _chunk(b"IHDR", ihdr)
+    return [head
+            + _chunk(b"IDAT", zlib.compress(rows[i].tobytes(), level))
+            + _chunk(b"IEND", b"")
+            for i in range(n)]
+
+
 def decode_png(buf: bytes) -> np.ndarray:
     """PNG bytes -> (h, w) uint8 (grey) or (h, w, {3,4}) uint8."""
     if buf[:8] != _SIG:

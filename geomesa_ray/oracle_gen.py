@@ -131,7 +131,9 @@ def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
 
 
 def images_rel(fixture_dir: str) -> str:
-    return f"read_parquet('{fixture_dir}/images.parquet')"
+    # glob: matches both the single-file layout (oracle scales) and the
+    # images_NNNN.parquet shards written at bench scales
+    return f"read_parquet('{fixture_dir}/images*.parquet')"
 
 
 def regions_rel(fixture_dir: str) -> str:

@@ -293,25 +293,56 @@ def gen_images_table_range(start: int, n: int) -> pa.Table:
     })
 
 
+_SHARD_THRESHOLD = 100_000  # single file below this (oracle scales)
+_SHARD_ROWS = 37_500
+
+
+def _image_shards(n: int) -> int:
+    """Shard count for the images table: 0 = single file. Corpora past
+    the oracle scales are written as many files because a single-file
+    parquet read runs as ONE Ray task (SplitBlocks only re-chunks the
+    output), serializing the scan ahead of every image pipeline — and
+    real 100 TB corpora are many-file anyway."""
+    if n <= _SHARD_THRESHOLD:
+        return 0
+    return min(64, -(-n // _SHARD_ROWS))
+
+
 def ensure_fixtures(sf_dir: str, n_rows: int | None = None) -> str:
     """Generate (once, atomically) the fixture parquet for this scale.
 
-    Returns the fixture directory containing images.parquet,
+    Returns the fixture directory containing the images table
+    (images.parquet, or images_NNNN.parquet shards at bench scales),
     regions.parquet, probes.parquet.
     """
     import shutil
 
     out_dir = fixture_dir_for(sf_dir)
     done = os.path.join(out_dir, "_SUCCESS")
+    n = n_rows if n_rows is not None else rows_for_sf(sf_dir)
+    shards = _image_shards(n)
     if os.path.exists(done):
-        return out_dir
+        # regenerate a cached dir whose layout predates sharding
+        single = os.path.exists(os.path.join(out_dir, "images.parquet"))
+        if (shards == 0) == single:
+            return out_dir
+        shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(FIXTURE_ROOT, exist_ok=True)
     if os.path.exists(out_dir):  # partial leftover from a crashed run
         shutil.rmtree(out_dir, ignore_errors=True)
     tmp = tempfile.mkdtemp(prefix=".fixtures_", dir=FIXTURE_ROOT)
-    n = n_rows if n_rows is not None else rows_for_sf(sf_dir)
-    pq.write_table(gen_images_table(n), os.path.join(tmp, "images.parquet"),
-                   row_group_size=65536)
+    if shards == 0:
+        pq.write_table(gen_images_table(n),
+                       os.path.join(tmp, "images.parquet"),
+                       row_group_size=65536)
+    else:
+        per = -(-n // shards)
+        for f in range(shards):
+            start = f * per
+            cnt = min(per, n - start)
+            pq.write_table(gen_images_table_range(start, cnt),
+                           os.path.join(tmp, f"images_{f:04d}.parquet"),
+                           row_group_size=65536)
     pq.write_table(gen_regions_table(), os.path.join(tmp, "regions.parquet"))
     pq.write_table(gen_probes_table(), os.path.join(tmp, "probes.parquet"))
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:

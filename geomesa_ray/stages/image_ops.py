@@ -189,13 +189,17 @@ def image_resize(fixture_dir: str, out_w: int = 4, out_h: int = 4,
 
 
 class FrameSample:
-    """Video frame sampling: every ``step``-th frame of a raw frame stack.
+    """Video frame sampling: every ``step``-th frame of a video payload.
 
-    ``fmt == "rawvid"`` payloads are (n_frames, h, w, 3) uint8 — the
-    sampling math is fully real; compressed containers (mp4/webm) raise
-    NotImplementedError until a decoder (pyav/ffmpeg) is available. The
-    Ray-side plumbing (schema, actor signature, per-frame output rows) is
-    what matters at 100 TB and is tested.
+    - ``fmt == "rawvid"``: (n_frames, h, w, 3) uint8 stacks; sampled
+      frames are raw RGB slices (zero decode).
+    - ``fmt == "mjpeg"``: concatenated baseline JPEG frames, split at
+      SOI/EOI boundaries (``codecs.jpeg.split_mjpeg``); sampled frames
+      are the per-frame JPEG bytes, untouched — frame SELECTION never
+      needs a pixel decode, which is the operation's whole point at
+      100 TB.
+    - containers needing a real demuxer (mp4/webm) raise
+      NotImplementedError until pyav/ffmpeg is available.
     """
 
     def __init__(self, step: int = 2):
@@ -207,15 +211,25 @@ class FrameSample:
         h = batch.column("h").to_numpy(zero_copy_only=False)
         fmts = batch.column("fmt").to_pylist()
         for i, buf in enumerate(batch.column("bytes").to_pylist()):
-            if fmts[i] != "rawvid":
+            rid = batch.column("image_id")[i].as_py()
+            if fmts[i] == "rawvid":
+                frame_bytes = int(w[i]) * int(h[i]) * 3
+                n = len(buf) // frame_bytes
+                for f in range(0, n, self.step):
+                    ids.append(rid)
+                    fidx.append(f)
+                    frames.append(buf[f * frame_bytes:(f + 1) * frame_bytes])
+            elif fmts[i] == "mjpeg":
+                from geomesa_ray.codecs.jpeg import split_mjpeg
+
+                parts = split_mjpeg(buf)
+                for f in range(0, len(parts), self.step):
+                    ids.append(rid)
+                    fidx.append(f)
+                    frames.append(parts[f])
+            else:
                 raise NotImplementedError(
-                    f"fmt={fmts[i]!r} needs a video decoder (pyav/ffmpeg)")
-            frame_bytes = int(w[i]) * int(h[i]) * 3
-            n = len(buf) // frame_bytes
-            for f in range(0, n, self.step):
-                ids.append(batch.column("image_id")[i].as_py())
-                fidx.append(f)
-                frames.append(buf[f * frame_bytes:(f + 1) * frame_bytes])
+                    f"fmt={fmts[i]!r} needs a video demuxer (pyav/ffmpeg)")
         return pa.table({
             "image_id": pa.array(ids, pa.string()),
             "frame": pa.array(fidx, pa.int64()),
@@ -224,16 +238,26 @@ class FrameSample:
 
 
 class AudioFeatures:
-    """Audio feature extraction: raw int16 PCM -> RMS + zero-crossing
-    rate (real vectorized math; compressed codecs raise until a decoder
-    is available)."""
+    """Audio feature extraction: int16 PCM -> RMS + zero-crossing rate
+    (real vectorized math). ``fmt == "pcm16"`` is headerless samples;
+    ``fmt == "wav"`` parses the RIFF container (16-bit PCM; multi-channel
+    is averaged to mono before features); lossy codecs (mp3/opus) raise
+    until a decoder is available."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rms, zcr = [], []
         for i, buf in enumerate(batch.column("bytes").to_pylist()):
-            if batch.column("fmt")[i].as_py() != "pcm16":
-                raise NotImplementedError("compressed audio needs a codec")
-            x = np.frombuffer(buf, dtype="<i2").astype(np.float64)
+            f = batch.column("fmt")[i].as_py()
+            if f == "pcm16":
+                x = np.frombuffer(buf, dtype="<i2").astype(np.float64)
+            elif f == "wav":
+                from geomesa_ray.codecs.wav import decode_wav
+
+                samples, _ = decode_wav(buf)
+                x = samples.astype(np.float64).mean(axis=1)
+            else:
+                raise NotImplementedError(
+                    f"audio fmt={f!r} needs a codec (pcm16/wav only)")
             rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
             zcr.append(float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
                        if len(x) > 1 else 0.0)
@@ -295,20 +319,26 @@ class Transcode:
 
         w = batch.column("w").to_numpy(zero_copy_only=False)
         h = batch.column("h").to_numpy(zero_copy_only=False)
-        if (self.out_fmt in ("jpeg", "jpg")
+        if (self.out_fmt in ("jpeg", "jpg", "png")
                 and _uniform_fmt(batch) == "raw"
                 and len(np.unique(w)) == 1 and len(np.unique(h)) == 1):
             # whole-batch fast path: zero-copy pixel matrix + ONE
-            # vectorized entropy pass over every image (bit-identical
-            # to per-image encode; ~20x less per-image overhead)
-            from geomesa_ray.codecs.jpeg import encode_jpeg_batch
+            # vectorized pass over every image (bit-identical to
+            # per-image encode; ~20x less per-image overhead)
             from geomesa_ray.util import binary_column_to_matrix
 
             hh, ww = int(h[0]), int(w[0])
             m = binary_column_to_matrix(batch.column("bytes"),
                                         hh * ww * 3) \
                 .reshape(batch.num_rows, hh, ww, 3)
-            bufs = encode_jpeg_batch(m, quality=self.quality)
+            if self.out_fmt == "png":
+                from geomesa_ray.codecs.png import encode_png_batch
+
+                bufs = encode_png_batch(m)
+            else:
+                from geomesa_ray.codecs.jpeg import encode_jpeg_batch
+
+                bufs = encode_jpeg_batch(m, quality=self.quality)
         else:
             imgs = decode_batch(batch)
             kw = {"quality": self.quality} \
@@ -328,11 +358,20 @@ class Transcode:
 
 
 def transcode(fixture_dir: str, out_fmt: str = "png", quality: int = 98,
-              concurrency=(1, 8), batch_size: int = 1024) -> ray.data.Dataset:
-    """Corpus-wide format conversion as an actor-pool stage."""
+              concurrency=(1, 8), batch_size: int = 1024,
+              use_actors: bool = True) -> ray.data.Dataset:
+    """Corpus-wide format conversion. ``use_actors=True`` (default) pins
+    an actor pool — the production shape once a codec with real setup
+    state (libjpeg handles, GPU decoders) replaces the NumPy tables;
+    ``use_actors=False`` runs task-based (the NumPy codec's setup is
+    microseconds, so tasks skip the ~1s/actor spawn cost per run)."""
     ds = read_images(fixture_dir)
-    return ds.map_batches(Transcode,
-                          fn_constructor_kwargs={"out_fmt": out_fmt,
-                                                 "quality": quality},
-                          batch_format="pyarrow", concurrency=concurrency,
-                          batch_size=batch_size)
+    if use_actors:
+        return ds.map_batches(Transcode,
+                              fn_constructor_kwargs={"out_fmt": out_fmt,
+                                                     "quality": quality},
+                              batch_format="pyarrow",
+                              concurrency=concurrency,
+                              batch_size=batch_size)
+    return ds.map_batches(Transcode(out_fmt=out_fmt, quality=quality),
+                          batch_format="pyarrow", batch_size=batch_size)

@@ -247,20 +247,107 @@ class TestBatchEncoder:
             == [encode_jpeg(im, subsample=True) for im in sm]
 
     def test_transcode_fast_path_matches_per_image(self):
-        """The uniform-raw Transcode jpeg path (whole-batch matrix +
-        encode_jpeg_batch) must emit the same bytes as the per-image
-        fallback it shortcuts."""
+        """The uniform-raw Transcode jpeg/png paths (whole-batch matrix
+        + batch encoders) must emit the same bytes as the per-image
+        fallback they shortcut."""
         from geomesa_ray.codecs import encode
         from geomesa_ray.sources.fixtures import gen_images_table
         from geomesa_ray.stages.image_ops import Transcode, decode_batch
 
         t = gen_images_table(48)
+        imgs = decode_batch(t)
         fast = Transcode("jpeg")(t)
-        slow = [encode(im, "jpeg", quality=98) for im in decode_batch(t)]
-        assert fast.column("bytes").to_pylist() == slow
+        assert fast.column("bytes").to_pylist() \
+            == [encode(im, "jpeg", quality=98) for im in imgs]
+        fast = Transcode("png")(t)
+        assert fast.column("bytes").to_pylist() \
+            == [encode(im, "png") for im in imgs]
+
+    def test_png_batch_bit_identical(self):
+        from geomesa_ray.codecs.png import encode_png, encode_png_batch
+
+        imgs = RNG.integers(0, 256, (24, 8, 8, 3), dtype=np.uint8)
+        assert encode_png_batch(imgs) == [encode_png(im) for im in imgs]
+        assert encode_png_batch(
+            np.zeros((0, 8, 8, 3), dtype=np.uint8)) == []
 
     def test_empty_batch(self):
         from geomesa_ray.codecs.jpeg import encode_jpeg_batch
 
         assert encode_jpeg_batch(
             np.zeros((0, 8, 8, 3), dtype=np.uint8)) == []
+
+
+class TestWavMjpeg:
+    def test_wav_roundtrip(self):
+        from geomesa_ray.codecs.wav import decode_wav, encode_wav
+
+        s = RNG.integers(-32768, 32768, (1000, 2)).astype(np.int16)
+        d, r = decode_wav(encode_wav(s, 44100))
+        assert r == 44100 and np.array_equal(d, s)
+        mono = RNG.integers(-100, 100, 501).astype(np.int16)
+        d, r = decode_wav(encode_wav(mono))
+        assert r == 16000 and np.array_equal(d[:, 0], mono)
+
+    def test_wav_gates(self):
+        from geomesa_ray.codecs.wav import decode_wav, encode_wav
+
+        with pytest.raises(ValueError):
+            decode_wav(b"nope")
+        buf = bytearray(encode_wav(np.zeros(4, np.int16)))
+        buf[20] = 3  # IEEE float format code
+        with pytest.raises(NotImplementedError):
+            decode_wav(bytes(buf))
+
+    def test_mjpeg_split(self):
+        from geomesa_ray.codecs.jpeg import (decode_jpeg, encode_jpeg_batch,
+                                             split_mjpeg)
+
+        frames = RNG.integers(0, 256, (5, 8, 8, 3), dtype=np.uint8)
+        bufs = encode_jpeg_batch(frames)
+        parts = split_mjpeg(b"".join(bufs))
+        assert parts == bufs
+        assert min(psnr(f, decode_jpeg(p))
+                   for f, p in zip(frames, parts)) >= 40
+
+    def test_frame_sample_mjpeg(self):
+        """MJPEG frame sampling selects every step-th frame WITHOUT a
+        pixel decode — output bytes are the original per-frame JPEGs."""
+        from geomesa_ray.codecs.jpeg import encode_jpeg_batch
+        from geomesa_ray.stages.image_ops import FrameSample
+
+        frames = RNG.integers(0, 256, (6, 8, 8, 3), dtype=np.uint8)
+        bufs = encode_jpeg_batch(frames)
+        batch = pa.table({
+            "image_id": pa.array(["v1"]),
+            "bytes": pa.array([b"".join(bufs)], pa.binary()),
+            "w": pa.array([8], pa.int32()), "h": pa.array([8], pa.int32()),
+            "fmt": pa.array(["mjpeg"]),
+        })
+        out = FrameSample(step=2)(batch)
+        assert out.column("frame").to_pylist() == [0, 2, 4]
+        assert out.column("bytes").to_pylist() == [bufs[0], bufs[2], bufs[4]]
+        with pytest.raises(NotImplementedError):
+            FrameSample()(batch.set_column(
+                4, "fmt", pa.array(["mp4"])))
+
+    def test_audio_features_wav_equals_pcm16(self):
+        """WAV-mono features must equal the same samples as headerless
+        pcm16 (container parse changes nothing)."""
+        from geomesa_ray.codecs.wav import encode_wav
+        from geomesa_ray.stages.image_ops import AudioFeatures
+
+        s = RNG.integers(-3000, 3000, 2000).astype(np.int16)
+
+        def one(fmt, payload):
+            return pa.table({
+                "image_id": pa.array(["a"]),
+                "bytes": pa.array([payload], pa.binary()),
+                "w": pa.array([0], pa.int32()), "h": pa.array([0], pa.int32()),
+                "fmt": pa.array([fmt]),
+            })
+
+        f_pcm = AudioFeatures()(one("pcm16", s.tobytes()))
+        f_wav = AudioFeatures()(one("wav", encode_wav(s)))
+        assert f_pcm.column("rms").to_pylist() == f_wav.column("rms").to_pylist()
+        assert f_pcm.column("zcr").to_pylist() == f_wav.column("zcr").to_pylist()
