@@ -177,11 +177,14 @@ def cmd_explain(args) -> int:
             [*q.spec.attr_eq, *q.spec.attr_range]))
         if len(pred_cols) == 1:
             from geomesa_ray.planner import normalize_range
-            from geomesa_ray.state.attr_index import (attr_index_exists,
+            from geomesa_ray.state.attr_index import (attr_index_current,
                                                       parts_for_predicate)
 
             c = pred_cols[0]
-            if attr_index_exists(args.store, c):
+            # same gate the ENGINE uses: a stale index (store appended/
+            # deleted since the build) falls back to the scan, so
+            # explain must not claim an index-pruned plan for it
+            if attr_index_current(args.store, c):
                 lo, hi, _, _ = normalize_range(
                     q.spec.attr_range.get(c, (None, None)))
                 parts = parts_for_predicate(

