@@ -469,6 +469,9 @@ class _HuffDecoder:
         key = bytes(bits) + bytes(vals)
         cached = _LUT_CACHE.get(key)
         if cached is None:
+            if len(_LUT_CACHE) >= 16:  # ~1MB per entry; corpora with
+                _LUT_CACHE.clear()     # many distinct DHTs must not grow it
+                                       # unboundedly inside a worker
             sym = np.zeros(1 << 16, dtype=np.int32)
             lnl = np.zeros(1 << 16, dtype=np.int32)
             code = 0
