@@ -199,6 +199,19 @@ def parse_cql(expr: str) -> CqlQuery:
         out.spec.attr_range[col] = rng if cur is None \
             else intersect_ranges(cur, rng)
 
+    def add_eq(col: str, val) -> None:
+        # conjoined equalities on one column: a repeat of the same value
+        # is a no-op; DIFFERENT values have an empty intersection, which
+        # the planner spec cannot express (attr_eq is last-wins) — raise
+        # so the engine falls back to the tree grammar, whose Kleene
+        # AND evaluates the contradiction to the correct empty result
+        cur = out.spec.attr_eq.get(col)
+        if cur is not None and cur != val:
+            raise ValueError(
+                f"contradictory equality on {col!r}: {cur!r} vs {val!r} "
+                "(planner subset; handled by the tree grammar)")
+        out.spec.attr_eq[col] = val
+
     out = CqlQuery()
     for clause in _merge_between(_split_and(expr.strip())):
         m = _BBOX_RE.match(clause)
@@ -250,7 +263,7 @@ def parse_cql(expr: str) -> CqlQuery:
             continue
         m = _EQ_RE.match(clause)
         if m:
-            out.spec.attr_eq[m.group(1)] = m.group(2)
+            add_eq(m.group(1), m.group(2))
             continue
         m = _BETWEEN_RE.match(clause)
         if m:
@@ -261,7 +274,7 @@ def parse_cql(expr: str) -> CqlQuery:
         if m:
             col, op, lit = m.group(1), m.group(2), _num(m.group(3))
             if op == "=":
-                out.spec.attr_eq[col] = lit
+                add_eq(col, lit)
             elif op == ">":
                 add_range(col, (lit, None, True, False))
             elif op == ">=":
@@ -553,6 +566,40 @@ def _cmp_operands(batch, col: str, vals: tuple):
     # NEGATIVE literal against a uint64 column stays sign-correct here.
     x = c.to_numpy(zero_copy_only=False).astype(np.float64)
     return x, tuple(np.float64(v) for v in vals), null
+
+
+def eq_mask(batch, col: str, val) -> "np.ndarray":
+    """Exact equality mask over a batch column (null rows False).
+
+    Numeric literals compare through :func:`_cmp_operands`: Arrow's
+    ``pc.equal`` safe-casts an int64 column to double for a float
+    literal, which RAISES once any value exceeds 2^53 (e.g. phash) —
+    and would merge neighbouring ints if it didn't. A non-integral or
+    out-of-domain literal can equal no integer value, so it
+    short-circuits to all-False instead of a lossy cast.
+    """
+    import numpy as np
+
+    c = batch.column(col)
+    ctype = c.type
+    numeric_lit = isinstance(val, (int, float)) \
+        and not isinstance(val, bool)
+    if numeric_lit and pa.types.is_integer(ctype):
+        if not (isinstance(val, int) or float(val).is_integer()):
+            return np.zeros(batch.num_rows, dtype=bool)
+        u64 = pa.types.is_unsigned_integer(ctype) and ctype.bit_width == 64
+        lo, hi = (0, 2**64 - 1) if u64 else (-(2**63), 2**63 - 1)
+        if not (lo <= val <= hi):
+            return np.zeros(batch.num_rows, dtype=bool)
+        x, (v,), null = _cmp_operands(batch, col, (val,))
+        return (x == v) & ~null
+    if numeric_lit and pa.types.is_floating(ctype):
+        x, (v,), null = _cmp_operands(batch, col, (val,))
+        return (x == v) & ~null
+    import pyarrow.compute as pc
+
+    return pc.fill_null(pc.equal(c, val), False) \
+        .to_numpy(zero_copy_only=False).astype(bool)
 
 
 def range_mask(batch, col: str, rng: tuple):

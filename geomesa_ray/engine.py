@@ -280,8 +280,9 @@ class GeoMesaRayEngine:
 
             m = np.ones(batch.num_rows, dtype=bool)
             for col, val in spec.attr_eq.items():
-                m &= pc.fill_null(pc.equal(batch.column(col), val), False) \
-                    .to_numpy(zero_copy_only=False)
+                from geomesa_ray.cql import eq_mask
+
+                m &= eq_mask(batch, col, val)
             for col, r in spec.attr_range.items():
                 m &= range_mask(batch, col, r)
             return batch.filter(pa.array(m))
@@ -316,8 +317,9 @@ class GeoMesaRayEngine:
 
                 m &= id_membership_mask(batch.column("image_id"), want)
             for col, val in attr.items():
-                m &= pc.fill_null(pc.equal(batch.column(col), val),
-                                  False).to_numpy(zero_copy_only=False)
+                from geomesa_ray.cql import eq_mask
+
+                m &= eq_mask(batch, col, val)
             for col, r in rng.items():
                 from geomesa_ray.cql import range_mask
 

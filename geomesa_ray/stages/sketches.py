@@ -287,6 +287,20 @@ def topk_sketch(sf_dir: str, table: str, col: str, k: int = 20,
     fanin * (m+1) rows — no task holds one summary per input batch."""
     from geomesa_ray.sources.io import read_table
 
+    def _with_err(t: pa.Table, err: int) -> pa.Table:
+        """Append the error-mass row, tagged by an EXPLICIT is_err
+        column — a genuine null column value is a real counter (the
+        exact topk_values reports a null group too) and must not be
+        conflated with error mass."""
+        t = t.append_column(
+            "is_err", pa.array(np.zeros(t.num_rows, dtype=bool)))
+        if err:
+            t = pa.concat_tables([t, pa.table(
+                {col: pa.array([None], t.schema.field(col).type),
+                 "cnt": pa.array([err], pa.int64()),
+                 "is_err": pa.array([True])})])
+        return t
+
     def partial(batch: pa.Table) -> pa.Table:
         out = batch.select([col]).group_by([col]).aggregate(
             [([], "count_all")])
@@ -295,20 +309,16 @@ def topk_sketch(sf_dir: str, table: str, col: str, k: int = 20,
             out.schema.get_field_index("cnt"), "cnt",
             out.column("cnt").cast(pa.int64()))
         out, err = _mg_truncate(out, col, m)
-        if err:
-            out = pa.concat_tables([out, pa.table(
-                {col: pa.array([None], out.schema.field(col).type),
-                 "cnt": pa.array([err], pa.int64())})])
-        return out
+        return _with_err(out, err)
 
     def _merge_summaries(batch: pa.Table):
         """Sum counters per value, truncate to m; returns (table of
-        <= m survivors, error mass = incoming null rows + threshold)."""
-        import pyarrow.compute as pc
-
-        nulls = pc.is_null(batch.column(col))
-        err = int(pc.sum(batch.filter(nulls).column("cnt")).as_py() or 0)
-        t = batch.filter(pc.invert(nulls)).group_by([col]).aggregate(
+        <= m survivors, error mass = incoming err rows + threshold)."""
+        errm = batch.column("is_err").to_numpy(zero_copy_only=False) \
+            .astype(bool)
+        cnts = batch.column("cnt").to_numpy(zero_copy_only=False)
+        err = int(cnts[errm].sum())
+        t = batch.filter(pa.array(~errm)).group_by([col]).aggregate(
             [("cnt", "sum")])
         t = t.select([col, "cnt_sum"]).rename_columns([col, "cnt"])
         t, thr = _mg_truncate(t, col, m)
@@ -316,11 +326,7 @@ def topk_sketch(sf_dir: str, table: str, col: str, k: int = 20,
 
     def level(batch: pa.Table) -> pa.Table:
         t, err = _merge_summaries(batch)
-        if err:
-            t = pa.concat_tables([t, pa.table(
-                {col: pa.array([None], t.schema.field(col).type),
-                 "cnt": pa.array([err], pa.int64())})])
-        return t
+        return _with_err(t, err)
 
     def final(batch: pa.Table) -> pa.Table:
         t, err = _merge_summaries(batch)

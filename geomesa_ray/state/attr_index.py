@@ -263,12 +263,11 @@ def _value_filter(col: str, eq=None, lo=None, hi=None,
     def mask(batch: pa.Table) -> pa.Table:
         import numpy as np
 
-        from geomesa_ray.cql import range_mask
+        from geomesa_ray.cql import eq_mask, range_mask
 
         m = np.ones(batch.num_rows, dtype=bool)
         if eq is not None:
-            m &= pc.fill_null(pc.equal(batch.column(col), eq), False) \
-                .to_numpy(zero_copy_only=False).astype(bool)
+            m &= eq_mask(batch, col, eq)
         if lo is not None or hi is not None:
             m &= range_mask(batch, col, (lo, hi, lo_strict, hi_strict))
         return batch.filter(pa.array(m))

@@ -162,7 +162,14 @@ def poll_once(incoming_dir: str, store_dir: str,
             t = read_landed(path, schema=schema)
             if schema is not None:
                 t = t.select(schema.names).cast(schema)
-        except (pa.ArrowInvalid, KeyError, ValueError, OSError) as e:
+        except FileNotFoundError:
+            continue  # vanished mid-poll (mover/compactor); next poll
+        except (pa.ArrowInvalid, KeyError, ValueError) as e:
+            # PARSE errors only: a malformed landing is a poison pill —
+            # retrying can never succeed, so record and move on.
+            # Transient I/O errors (EIO/ESTALE on network storage) must
+            # NOT be dead-lettered: they propagate like append-side
+            # failures and the next poll replays the file.
             entry = {"file": name, "rows": 0, "error": str(e)[:500]}
             log.append(entry)
             _commit_log(store_dir, log)

@@ -583,3 +583,51 @@ class TestNumericComparisons:
         want = sorted(t.filter(pa.array((w >= lo) & (w <= lo + 1)))
                       .column("image_id").to_pylist())
         assert got == want and len(got) > 0
+
+
+class TestR3ReviewFixes:
+    def test_eq_mask_huge_float_literal(self, tiny_fixtures):
+        """pc.equal safe-casts int64 to double for a float literal and
+        RAISES past 2^53 (phash values) — eq_mask must compare exactly
+        instead (review finding, reproduced on the committed snapshot)."""
+        import pyarrow.parquet as pq
+
+        from geomesa_ray.cql import eq_mask
+
+        t = pq.read_table(f"{tiny_fixtures}/images.parquet",
+                          columns=["phash"]).slice(0, 1000)
+        v = t.column("phash")[0].as_py()
+        m = eq_mask(t, "phash", float(1.5e18))
+        assert m.sum() == 0  # no crash; nothing equals it in this slice
+        m = eq_mask(t, "phash", v)
+        assert m[0] and m.sum() >= 1
+        # non-integral literal can equal no integer: all-False, no cast
+        assert eq_mask(t, "phash", 2.5).sum() == 0
+        # out-of-domain literal
+        assert eq_mask(t, "phash", float(2**70)).sum() == 0
+
+    def test_engine_eq_huge_float(self, ray_session, tiny_fixtures):
+        from geomesa_ray.engine import GeoMesaRayEngine
+
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        assert eng.cql("phash = 1.5e18").count() == 0
+
+    def test_contradictory_eq_conjunction(self, ray_session,
+                                          tiny_fixtures):
+        """'w = 5 AND w = 6' must yield the EMPTY set, not last-wins
+        (review finding: attr_eq dict overwrote silently). parse_cql
+        raises; the engine falls back to the tree grammar which
+        evaluates the contradiction correctly."""
+        from geomesa_ray.cql import parse_cql
+        from geomesa_ray.engine import GeoMesaRayEngine
+
+        with pytest.raises(ValueError, match="contradictory"):
+            parse_cql("w = 5 AND w = 6")
+        with pytest.raises(ValueError, match="contradictory"):
+            parse_cql("fmt = 'a' AND fmt = 'b'")
+        # same value twice is a no-op, stays on the planner path
+        q = parse_cql("w = 8 AND w = 8")
+        assert q.spec.attr_eq == {"w": 8}
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        assert eng.cql("w = 8 AND w = 6").count() == 0
+        assert eng.cql("fmt = 'raw' AND fmt = 'png'").count() == 0

@@ -532,3 +532,25 @@ class TestTopK:
         survivors = {r["v"]: r["cnt"] for r in out.to_pylist()}
         orig = {r["v"]: r["cnt"] for r in t.to_pylist()}
         assert all(orig[v] - c == err for v, c in survivors.items())
+
+
+class TestTopkSketchNulls:
+    def test_null_heavy_hitter_reported(self, ray_session, tmp_path):
+        """A null column value is a REAL counter (the exact op reports
+        the null group), not Misra-Gries error mass (review finding:
+        nulls vanished from the sketch and inflated every bound)."""
+        import pyarrow.parquet as pq
+
+        from geomesa_ray.stages.sketches import topk_sketch
+
+        n = 10000
+        vals = [None if i % 5 < 2 else f"v{i % 7}" for i in range(n)]
+        d = tmp_path / "sk"
+        d.mkdir()
+        pq.write_table(pa.table({"v": pa.array(vals, pa.string())}),
+                       str(d / "events.parquet"))
+        got = topk_sketch(str(d), "events", "v", k=3, m=512).take_all()
+        # null is 40% of rows -> rank 1, exactly counted (m >> distinct)
+        assert got[0]["v"] is None
+        assert got[0]["est"] == 4000
+        assert got[0]["est_hi"] == 4000
