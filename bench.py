@@ -96,6 +96,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     timed("minhash_lsh_pairs", lambda: _consume(dedup.minhash_lsh_pairs(sf_dir)))
     timed("similarity_topk", lambda: _consume(similarity.topk_cosine(sf_dir)))
     timed("token_count", lambda: _consume(text_ops.token_counts(sf_dir)))
+    timed("quality_filter", lambda: _consume(text_ops.quality_filter(sf_dir)))
     from geomesa_ray.stages import image_ops
 
     timed("image_stats", lambda: _consume(image_ops.image_stats(fdir)))

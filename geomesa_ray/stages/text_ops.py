@@ -142,3 +142,180 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
 def fingerprints(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------
+# Repetition / contamination filters (Gopher-style, Rae et al. 2021
+# section A1.1) — the standard training-data curation metrics, fully
+# vectorized over whole batches via the dedup tokenization machinery
+# (one Arrow split + one polynomial-hash pass; no per-token Python).
+
+
+def _pos_mults(n: int) -> np.ndarray:
+    """n DISTINCT odd position multipliers. The 3-cycle multipliers the
+    shingle path uses would hash token swaps at distance 3 identically
+    (XOR is commutative); repetition metrics need position-exact
+    n-grams, so every window position gets its own multiplier."""
+    from geomesa_ray.sources.fixtures import splitmix64
+
+    return (splitmix64(np.arange(1, n + 1, dtype=np.int64)
+                       .view(np.uint64)) | np.uint64(1))
+
+
+def _ngram_doc_hashes(th: np.ndarray, offs: np.ndarray, n: int):
+    """Positional n-gram hashes for a FLAT token-hash buffer with doc
+    offsets. Returns (flat int64 hashes in document order, per-doc
+    n-gram counts). A doc with t tokens has max(t - n + 1, 0) n-grams;
+    windows never cross doc boundaries."""
+    from geomesa_ray.sources.fixtures import splitmix64
+
+    ndocs = len(offs) - 1
+    total = int(offs[-1])
+    if total < n:
+        return (np.empty(0, dtype=np.int64),
+                np.zeros(ndocs, dtype=np.int64))
+    starts = np.arange(total - n + 1, dtype=np.int64)
+    doc_of = np.searchsorted(offs, starts, side="right") - 1
+    valid = starts + n <= offs[doc_of + 1]
+    starts = starts[valid]
+    doc_of = doc_of[valid]
+    u = th.view(np.uint64)
+    mults = _pos_mults(n)
+    with np.errstate(over="ignore"):
+        mixed = np.zeros(len(starts), dtype=np.uint64)
+        for j in range(n):
+            mixed ^= u[starts + j] * mults[j]
+    counts = np.bincount(doc_of, minlength=ndocs).astype(np.int64)
+    return splitmix64(mixed).view(np.int64), counts
+
+
+def repetition_batch(batch: pa.Table, top_n: int = 2,
+                     dup_n: int = 5) -> pa.Table:
+    """Per-doc repetition metrics:
+
+    - ``top_ngram_frac``: tokens covered by the single most frequent
+      ``top_n``-gram / total tokens (Gopher: drop if top-2-gram > 0.20)
+    - ``dup_ngram_frac``: tokens inside ``dup_n``-grams occurring more
+      than once / total tokens, capped at 1 (overlapping windows can
+      cover more token-slots than the doc has tokens)
+    """
+    from geomesa_ray.stages.dedup import _ws_token_hashes
+
+    th, offs = _ws_token_hashes(batch.column("text"))
+    ndocs = batch.num_rows
+    n_tokens = np.diff(offs)
+
+    def per_doc_stats(n):
+        g, counts = _ngram_doc_hashes(th, offs, n)
+        doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
+        order = np.lexsort((g, doc_of))
+        gs, ds_ = g[order], doc_of[order]
+        # run boundaries over (doc, hash)
+        if len(gs) == 0:
+            z = np.zeros(ndocs, dtype=np.int64)
+            return z, z
+        new = np.concatenate(([True], (gs[1:] != gs[:-1])
+                              | (ds_[1:] != ds_[:-1])))
+        run_start = np.nonzero(new)[0]
+        run_len = np.diff(np.concatenate([run_start, [len(gs)]]))
+        run_doc = ds_[run_start]
+        top = np.zeros(ndocs, dtype=np.int64)
+        np.maximum.at(top, run_doc, run_len)
+        dup_tokens = np.zeros(ndocs, dtype=np.int64)
+        dmask = run_len > 1
+        np.add.at(dup_tokens, run_doc[dmask], run_len[dmask] * n)
+        return top, dup_tokens
+
+    top_run, _ = per_doc_stats(top_n)
+    _, dup_tok = per_doc_stats(dup_n)
+    denom = np.maximum(n_tokens, 1).astype(np.float64)
+    top_frac = (top_run * top_n) / denom
+    # a doc shorter than top_n has no n-gram: fraction 0, not 1/t
+    top_frac[n_tokens < top_n] = 0.0
+    dup_frac = np.minimum(dup_tok / denom, 1.0)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pa.array(n_tokens),
+        "top_ngram_frac": pa.array(top_frac),
+        "dup_ngram_frac": pa.array(dup_frac),
+    })
+
+
+def repetition_metrics(sf_dir: str, top_n: int = 2,
+                       dup_n: int = 5) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: repetition_batch(b, top_n=top_n, dup_n=dup_n),
+        batch_format="pyarrow")
+
+
+def quality_filter(sf_dir: str, max_top2_frac: float = 0.20,
+                   max_dup5_frac: float = 0.30, min_tokens: int = 10,
+                   max_mean_token_len: float = 12.0) -> ray.data.Dataset:
+    """Gopher-style keep/drop decision per document, with the FIRST
+    failing rule as the reason (empty reason = kept). One fused batch
+    pass — repetition + length + token-shape rules share the tokenize."""
+
+    def decide(batch: pa.Table) -> pa.Table:
+        rep = repetition_batch(batch)
+        n_tok = rep.column("n_tokens").to_numpy(zero_copy_only=False)
+        top2 = rep.column("top_ngram_frac").to_numpy(zero_copy_only=False)
+        dup5 = rep.column("dup_ngram_frac").to_numpy(zero_copy_only=False)
+        n_ns = pc.count_substring_regex(batch.column("text"),
+                                        NONSPACE_RE) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        mean_len = n_ns / np.maximum(n_tok, 1)
+        reason = np.full(len(n_tok), "", dtype=object)
+        for name, bad in [
+            ("too_short", n_tok < min_tokens),
+            ("mean_token_len", mean_len > max_mean_token_len),
+            ("top_2gram_repetition", top2 > max_top2_frac),
+            ("dup_5gram_repetition", dup5 > max_dup5_frac),
+        ]:
+            reason[(reason == "") & bad] = name
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "keep": pa.array(reason == ""),
+            "reason": pa.array(reason, pa.string()),
+        })
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(decide, batch_format="pyarrow")
+
+
+def contamination(sf_dir: str, probe_texts: list[str],
+                  n: int = 8) -> ray.data.Dataset:
+    """Benchmark-contamination check: flag documents sharing any word
+    ``n``-gram with the probe texts (the standard eval-decontamination
+    op). The probe n-gram set is hashed ONCE on the driver (benchmarks
+    are tiny), broadcast via ray.put, and resolved once per worker;
+    each batch counts membership hits with a vectorized searchsorted —
+    the corpus side never leaves its workers."""
+    import ray as _ray
+
+    from geomesa_ray.stages.dedup import _ws_token_hashes
+    from geomesa_ray.util import resolve_broadcast
+
+    pth, poffs = _ws_token_hashes(pa.array(probe_texts, pa.string()))
+    pg, _ = _ngram_doc_hashes(pth, poffs, n)
+    probe_ref = _ray.put(np.unique(pg))
+
+    def check(batch: pa.Table) -> pa.Table:
+        probes = resolve_broadcast(probe_ref)
+        th, offs = _ws_token_hashes(batch.column("text"))
+        g, counts = _ngram_doc_hashes(th, offs, n)
+        doc_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                           counts)
+        pos = np.searchsorted(probes, g)
+        pos = np.minimum(pos, len(probes) - 1) if len(probes) else pos
+        hit = probes[pos] == g if len(probes) else np.zeros(len(g), bool)
+        hits = np.bincount(doc_of[hit], minlength=batch.num_rows) \
+            .astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "contaminated_ngrams": pa.array(hits),
+            "contaminated": pa.array(hits > 0),
+        })
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(check, batch_format="pyarrow")

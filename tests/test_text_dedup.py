@@ -554,3 +554,101 @@ class TestTopkSketchNulls:
         assert got[0]["v"] is None
         assert got[0]["est"] == 4000
         assert got[0]["est_hi"] == 4000
+
+
+class TestRepetitionFilters:
+    """Gopher-style repetition metrics vs an independent tuple-based
+    oracle (Counter over real token tuples, no hashing)."""
+
+    def _oracle(self, text, top_n=2, dup_n=5):
+        from collections import Counter
+
+        toks = text.split()
+        t = len(toks)
+
+        def grams(n):
+            return [tuple(toks[i:i + n]) for i in range(t - n + 1)]
+
+        top = Counter(grams(top_n)).most_common(1)
+        top_frac = (top[0][1] * top_n / max(t, 1)) if top else 0.0
+        cd = Counter(grams(dup_n))
+        dup_tok = sum(c * dup_n for c in cd.values() if c > 1)
+        return top_frac, min(dup_tok / max(t, 1), 1.0)
+
+    def test_repetition_batch_oracle(self):
+        from geomesa_ray.stages.text_ops import repetition_batch
+
+        texts = [
+            "a b a b a b a b a b",            # pure 2-gram repetition
+            "x y z w v u t s r q",            # no repetition
+            "one two three one two three one two three end",
+            "short",
+            "",
+            "p q r s t p q r s t p q r s t",  # repeated 5-gram
+        ]
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        out = repetition_batch(t)
+        for i, txt in enumerate(texts):
+            top, dup = self._oracle(txt)
+            assert abs(out.column("top_ngram_frac")[i].as_py() - top) \
+                < 1e-12, (i, txt)
+            assert abs(out.column("dup_ngram_frac")[i].as_py() - dup) \
+                < 1e-12, (i, txt)
+
+    def test_repetition_on_corpus(self, ray_session):
+        """Every fixture doc's metrics match the tuple oracle."""
+        from geomesa_ray.stages.text_ops import repetition_metrics
+
+        rows = {r["doc_id"]: r for r in repetition_metrics(SF).take_all()}
+        t = docs_table()
+        for d, txt in list(zip(t.column("doc_id").to_pylist(),
+                               t.column("text").to_pylist()))[:100]:
+            top, dup = self._oracle(txt)
+            assert abs(rows[d]["top_ngram_frac"] - top) < 1e-12
+            assert abs(rows[d]["dup_ngram_frac"] - dup) < 1e-12
+            assert rows[d]["n_tokens"] == len(txt.split())
+
+    def test_quality_filter_reasons(self, ray_session, tmp_path):
+        import pyarrow.parquet as _pq
+
+        from geomesa_ray.stages.text_ops import quality_filter
+
+        texts = {
+            10: "a b " * 50,                       # top-2-gram repetition
+            11: " ".join(f"w{i}" for i in range(40)),  # clean
+            12: "tiny doc",                        # too short
+            13: " ".join(["x" * 40] * 20),         # absurd token length
+        }
+        d = tmp_path / "qf"
+        d.mkdir()
+        _pq.write_table(pa.table({
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values()), pa.string())}),
+            str(d / "documents.parquet"))
+        got = {r["doc_id"]: (r["keep"], r["reason"])
+               for r in quality_filter(str(d)).take_all()}
+        assert got[11] == (True, "")
+        assert got[10] == (False, "top_2gram_repetition")
+        assert got[12] == (False, "too_short")
+        assert got[13] == (False, "mean_token_len")
+
+    def test_contamination(self, ray_session, tmp_path):
+        import pyarrow.parquet as _pq
+
+        from geomesa_ray.stages.text_ops import contamination
+
+        bench = "the quick brown fox jumps over the lazy dog today"
+        clean = " ".join(f"c{i}" for i in range(30))
+        # doc 1 embeds an 8-gram of the benchmark verbatim
+        dirty = "prefix words " + " ".join(bench.split()[:8]) + " suffix"
+        d = tmp_path / "ct"
+        d.mkdir()
+        _pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([dirty, clean], pa.string())}),
+            str(d / "documents.parquet"))
+        got = {r["doc_id"]: (r["contaminated"], r["contaminated_ngrams"])
+               for r in contamination(str(d), [bench], n=8).take_all()}
+        assert got[1][0] is True and got[1][1] == 1
+        assert got[2] == (False, 0)
