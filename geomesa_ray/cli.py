@@ -221,6 +221,23 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_transcode(args) -> int:
+    """Corpus-wide payload re-encode (RasterUtils imageToBytes analog):
+    read the source images, re-encode every payload into --format
+    (png/jpeg/bmp/raw) through the codec actor stage, write parquet."""
+    from geomesa_ray.stages.image_ops import transcode
+
+    ds = transcode(args.src, args.format, quality=args.quality,
+                   use_actors=not args.no_actors)
+    os.makedirs(args.out, exist_ok=True)
+    ds.write_parquet(args.out)
+    n = sum(1 for name in os.listdir(args.out)
+            if name.endswith(".parquet"))
+    print(json.dumps({"out": args.out, "format": args.format,
+                      "files": n}))
+    return 0
+
+
 def cmd_query_stats(args) -> int:
     """QueryStatsCommand analog: execute and audit-record a query
     (strategy, rows, wall time) — the query-audit row the reference
@@ -348,6 +365,17 @@ def build_parser() -> argparse.ArgumentParser:
                     help="source table dir (when no store)")
     sp.add_argument("--max-features", type=int, default=None)
     sp.set_defaults(fn=cmd_export, needs_ray=True)
+
+    sp = sub.add_parser("transcode",
+                        help="re-encode image payloads (png/jpeg/bmp/raw)")
+    sp.add_argument("--src", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--format", default="png",
+                    choices=["png", "jpeg", "bmp", "raw"])
+    sp.add_argument("--quality", type=int, default=98)
+    sp.add_argument("--no-actors", action="store_true",
+                    help="task-based stage (skip actor-pool spawn)")
+    sp.set_defaults(fn=cmd_transcode, needs_ray=True)
 
     sp = sub.add_parser("query-stats",
                         help="execute a CQL query and audit-record it")

@@ -343,3 +343,150 @@ def topk_sketch(sf_dir: str, table: str, col: str, k: int = 20,
     mid = parts.repartition(fanin).map_batches(
         level, batch_format="pyarrow", batch_size=None)
     return gather_combine(mid, final)
+
+
+def descriptive_stats(sf_dir: str, table: str,
+                      cols: list[str]) -> pa.Table:
+    """Mergeable per-column descriptive statistics (count, mean,
+    population variance, min, max) in one streaming pass.
+
+    Each batch reduces to a moments row (n, sum, sum of squared
+    deviations, min, max) per column; partials merge with Chan's
+    parallel update
+
+        M2 = M2_a + M2_b + delta^2 * n_a*n_b/(n_a+n_b)
+
+    so the result is exact up to float addition order — the variance
+    never suffers the catastrophic cancellation of the naive
+    sum(x^2) - n*mean^2 form. Nulls are excluded per column. One small
+    combine at the end; the driver holds len(cols) rows.
+    """
+    from geomesa_ray.sources.io import read_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = {"col": [], "n": [], "mean": [], "m2": [],
+                "vmin": [], "vmax": []}
+        for c in cols:
+            x = batch.column(c).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            x = x[~np.isnan(x)]
+            n = len(x)
+            mean = float(x.mean()) if n else 0.0
+            rows["col"].append(c)
+            rows["n"].append(n)
+            rows["mean"].append(mean)
+            rows["m2"].append(float(((x - mean) ** 2).sum()) if n else 0.0)
+            rows["vmin"].append(float(x.min()) if n else np.inf)
+            rows["vmax"].append(float(x.max()) if n else -np.inf)
+        return pa.table({"col": pa.array(rows["col"], pa.string()),
+                         "n": pa.array(rows["n"], pa.int64()),
+                         "mean": pa.array(rows["mean"]),
+                         "m2": pa.array(rows["m2"]),
+                         "vmin": pa.array(rows["vmin"]),
+                         "vmax": pa.array(rows["vmax"])})
+
+    def final(batch: pa.Table) -> pa.Table:
+        out = {"col": [], "n": [], "mean": [], "variance": [],
+               "min": [], "max": []}
+        cn = batch.column("col").to_pylist()
+        for c in cols:
+            idx = [i for i, v in enumerate(cn) if v == c]
+            n_t, mean_t, m2_t = 0, 0.0, 0.0
+            vmin, vmax = np.inf, -np.inf
+            for i in idx:
+                nb = batch.column("n")[i].as_py()
+                if nb == 0:
+                    continue
+                mb = batch.column("mean")[i].as_py()
+                m2b = batch.column("m2")[i].as_py()
+                if n_t == 0:
+                    n_t, mean_t, m2_t = nb, mb, m2b
+                else:
+                    delta = mb - mean_t
+                    tot = n_t + nb
+                    m2_t += m2b + delta * delta * n_t * nb / tot
+                    mean_t += delta * nb / tot
+                    n_t = tot
+                vmin = min(vmin, batch.column("vmin")[i].as_py())
+                vmax = max(vmax, batch.column("vmax")[i].as_py())
+            out["col"].append(c)
+            out["n"].append(n_t)
+            out["mean"].append(mean_t if n_t else None)
+            out["variance"].append(m2_t / n_t if n_t else None)
+            out["min"].append(vmin if n_t else None)
+            out["max"].append(vmax if n_t else None)
+        return pa.table({"col": pa.array(out["col"], pa.string()),
+                         "n": pa.array(out["n"], pa.int64()),
+                         "mean": pa.array(out["mean"], pa.float64()),
+                         "variance": pa.array(out["variance"], pa.float64()),
+                         "min": pa.array(out["min"], pa.float64()),
+                         "max": pa.array(out["max"], pa.float64())})
+
+    ds = read_table(sf_dir, table, columns=cols)
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=131072)
+    return gather_combine(parts, final)
+
+
+_CMS_SEEDS = (np.arange(1, 9, dtype=np.uint64)
+              * np.uint64(0x9E3779B97F4A7C15))
+
+
+def cms_update(values: np.ndarray, depth: int = 4,
+               width: int = 2048) -> np.ndarray:
+    """Count-Min update: hashed int64 values -> (depth, width) count
+    matrix, one bincount per row (vectorized)."""
+    from geomesa_ray.sources.fixtures import splitmix64
+
+    m = np.zeros((depth, width), dtype=np.int64)
+    u = values.view(np.uint64)
+    for d in range(depth):
+        with np.errstate(over="ignore"):
+            hd = splitmix64(u ^ _CMS_SEEDS[d])
+        idx = (hd % np.uint64(width)).astype(np.int64)
+        m[d] = np.bincount(idx, minlength=width)
+    return m
+
+
+def cms_query(m: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Point estimates: min over rows (classic CM upper-bounded count:
+    true <= est <= true + eps*N with eps = e/width, prob 1-delta,
+    delta = e^-depth)."""
+    from geomesa_ray.sources.fixtures import splitmix64
+
+    depth, width = m.shape
+    u = values.view(np.uint64)
+    est = np.full(len(values), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        with np.errstate(over="ignore"):
+            hd = splitmix64(u ^ _CMS_SEEDS[d])
+        idx = (hd % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, m[d][idx])
+    return est
+
+
+def frequency_sketch(sf_dir: str, table: str, col: str, depth: int = 4,
+                     width: int = 2048) -> np.ndarray:
+    """Distributed Count-Min sketch of a column (the ``Frequency`` stat
+    of later GeoMesa, stats-service analog): per-batch local sketches
+    (pure bincounts) SUM-merge — CM matrices are linear, so the merged
+    sketch equals the sketch of the concatenated stream exactly.
+    Returns the (depth, width) matrix; query with :func:`cms_query`.
+    """
+    from geomesa_ray.sources.io import read_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = _hash_column(batch.column(col)).view(np.int64)
+        m = cms_update(h, depth, width)
+        return pa.table({"sk": pa.array([m.reshape(-1)])})
+
+    def final(batch: pa.Table) -> pa.Table:
+        stack = np.array(batch.column("sk").to_pylist(), dtype=np.int64)
+        return pa.table({"sk": pa.array([stack.sum(axis=0)])})
+
+    ds = read_table(sf_dir, table, columns=[col])
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=131072)
+    merged = gather_combine(parts, final).take_all()
+    return np.array(merged[0]["sk"], dtype=np.int64) \
+        .reshape(depth, width)

@@ -145,3 +145,34 @@ class TestCliArgValidation:
             main(["export",
                   "INTERSECTS(geom, POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)))",
                   str(tmp_path / "o"), "--store", cli_store])
+
+
+class TestTranscodeCommand:
+    def test_transcode_roundtrip(self, ray_session, tiny_fixtures,
+                                 tmp_path, capsys):
+        """CLI corpus re-encode: payloads come back as the target
+        format, captions untouched (the payload contract)."""
+        import glob
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out = str(tmp_path / "tc")
+        assert main(["transcode", "--src", tiny_fixtures, "--out", out,
+                     "--format", "png", "--no-actors"]) == 0
+        info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert info["format"] == "png" and info["files"] >= 1
+        t = pa.concat_tables([pq.read_table(p) for p in
+                              sorted(glob.glob(f"{out}/*.parquet"))])
+        assert t.num_rows == 6000
+        from geomesa_ray.codecs import decode
+        from geomesa_ray.sources.fixtures import gen_images_table
+
+        t = t.sort_by("image_id")
+        want = gen_images_table(6000)
+        assert t.column("caption").equals(want.column("caption"))
+        px = decode(t.column("bytes")[0].as_py(), "png")
+        ref = np.frombuffer(want.column("bytes")[0].as_py(),
+                            np.uint8).reshape(8, 8, 3)
+        assert np.array_equal(px, ref)

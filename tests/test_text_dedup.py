@@ -652,3 +652,53 @@ class TestRepetitionFilters:
                for r in contamination(str(d), [bench], n=8).take_all()}
         assert got[1][0] is True and got[1][1] == 1
         assert got[2] == (False, 0)
+
+
+class TestStatsSketches:
+    def test_descriptive_stats_oracle(self, ray_session):
+        """Chan-merged moments vs numpy population stats over the
+        images fixture lon/lat (float) + phash (int)."""
+        import pyarrow.parquet as _pq
+
+        from geomesa_ray.sources import ensure_fixtures
+        from geomesa_ray.stages.sketches import descriptive_stats
+
+        fdir = ensure_fixtures(SF)
+        t = _pq.read_table(f"{fdir}/images.parquet", columns=["phash"])
+        out = descriptive_stats(fdir, "images", ["phash"]).take_all()
+        row = out[0]
+        x = t.column("phash").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        assert row["n"] == len(x)
+        assert abs(row["mean"] - x.mean()) < abs(x.mean()) * 1e-12 + 1e-9
+        assert abs(row["variance"] - x.var()) <= x.var() * 1e-9
+        assert row["min"] == x.min() and row["max"] == x.max()
+
+    def test_frequency_sketch_bounds(self, ray_session, tmp_path):
+        """CM estimates never undercount; with width >> distincts they
+        are exact; the distributed merge equals a single-pass sketch
+        (linearity)."""
+        import collections
+
+        import pyarrow.parquet as _pq
+
+        from geomesa_ray.stages.sketches import (_hash_column, cms_query,
+                                                 cms_update,
+                                                 frequency_sketch)
+
+        n = 50000
+        vals = (np.arange(n) * 7919 % 40).astype(np.int64)  # 40 distincts
+        d = tmp_path / "cms"
+        d.mkdir()
+        _pq.write_table(pa.table({"v": pa.array(vals)}),
+                        str(d / "events.parquet"), row_group_size=8192)
+        m = frequency_sketch(str(d), "events", "v", depth=4, width=2048)
+        true = collections.Counter(vals.tolist())
+        q = np.unique(vals)
+        est = cms_query(m, _hash_column(pa.array(q)).view(np.int64))
+        assert all(e >= true[v] for v, e in zip(q, est))
+        assert all(e == true[v] for v, e in zip(q, est))  # sparse: exact
+        # linearity vs one local sketch of the whole column
+        local = cms_update(_hash_column(pa.array(vals)).view(np.int64),
+                           depth=4, width=2048)
+        assert np.array_equal(m, local)
