@@ -427,3 +427,64 @@ class TestReviewFixes:
         os.makedirs(str(idir))
         assert os.listdir(str(idir)) == []
         assert not os.path.exists(trash)
+
+
+class TestBatchDecoder:
+    def test_lockstep_equals_scalar(self):
+        """decode_jpeg_batch must be BIT-EXACT vs per-image decode
+        across qualities, shapes, subsampling, grayscale."""
+        from geomesa_ray.codecs.jpeg import (decode_jpeg,
+                                             decode_jpeg_batch,
+                                             encode_jpeg_batch)
+
+        for shape, q, sub in [((8, 8, 3), 98, False),
+                              ((8, 8, 3), 50, False),
+                              ((17, 31, 3), 90, False),
+                              ((32, 32, 3), 98, True),
+                              ((24, 16), 95, False)]:
+            imgs = RNG.integers(0, 256, (10,) + shape, dtype=np.uint8)
+            bufs = encode_jpeg_batch(imgs, quality=q, subsample=sub)
+            ref = [decode_jpeg(b) for b in bufs]
+            got = decode_jpeg_batch(bufs)
+            assert all(np.array_equal(a, b) for a, b in zip(ref, got)), \
+                (shape, q, sub)
+
+    def test_mixed_headers_fall_back(self):
+        from geomesa_ray.codecs.jpeg import (decode_jpeg,
+                                             decode_jpeg_batch,
+                                             encode_jpeg)
+
+        a = RNG.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        b = RNG.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        bufs = [encode_jpeg(a), encode_jpeg(b, quality=75)]
+        got = decode_jpeg_batch(bufs)
+        assert np.array_equal(got[0], decode_jpeg(bufs[0]))
+        assert np.array_equal(got[1], decode_jpeg(bufs[1]))
+
+    def test_truncated_raises(self):
+        from geomesa_ray.codecs.jpeg import (decode_jpeg_batch,
+                                             encode_jpeg_batch)
+
+        imgs = RNG.integers(0, 256, (3, 8, 8, 3), dtype=np.uint8)
+        bufs = encode_jpeg_batch(imgs)
+        # cut mid-header (inside DHT): falls back per-image, clean error
+        bad = [bufs[0], bufs[1][:len(bufs[1]) // 2], bufs[2]]
+        with pytest.raises(ValueError):
+            decode_jpeg_batch(bad)
+        # cut mid-entropy (headers still identical): lockstep path must
+        # detect the over-consumed stream
+        bad = [bufs[0], bufs[1][:-40], bufs[2]]
+        with pytest.raises(ValueError):
+            decode_jpeg_batch(bad)
+
+    def test_stage_roundtrip_through_batched_path(self):
+        """Transcode raw->jpeg->raw over a whole table exercises the
+        lockstep decoder inside decode_batch; PSNR bound holds."""
+        from geomesa_ray.sources.fixtures import gen_images_table
+        from geomesa_ray.stages.image_ops import Transcode, decode_batch
+
+        t = gen_images_table(64)
+        jp = Transcode("jpeg")(t)
+        back = decode_batch(jp)
+        orig = decode_batch(t)
+        assert min(psnr(a, b) for a, b in zip(orig, back)) >= 40.0
