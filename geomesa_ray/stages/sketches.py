@@ -388,33 +388,31 @@ def descriptive_stats(sf_dir: str, table: str,
     def final(batch: pa.Table) -> pa.Table:
         out = {"col": [], "n": [], "mean": [], "variance": [],
                "min": [], "max": []}
-        cn = batch.column("col").to_pylist()
+        cn = np.asarray(batch.column("col").to_pylist(), dtype=object)
+        ns = batch.column("n").to_numpy(zero_copy_only=False)
+        means = batch.column("mean").to_numpy(zero_copy_only=False)
+        m2s = batch.column("m2").to_numpy(zero_copy_only=False)
+        vmins = batch.column("vmin").to_numpy(zero_copy_only=False)
+        vmaxs = batch.column("vmax").to_numpy(zero_copy_only=False)
         for c in cols:
-            idx = [i for i, v in enumerate(cn) if v == c]
+            idx = np.nonzero((cn == c) & (ns > 0))[0]
             n_t, mean_t, m2_t = 0, 0.0, 0.0
-            vmin, vmax = np.inf, -np.inf
             for i in idx:
-                nb = batch.column("n")[i].as_py()
-                if nb == 0:
-                    continue
-                mb = batch.column("mean")[i].as_py()
-                m2b = batch.column("m2")[i].as_py()
+                nb = int(ns[i])
                 if n_t == 0:
-                    n_t, mean_t, m2_t = nb, mb, m2b
+                    n_t, mean_t, m2_t = nb, means[i], m2s[i]
                 else:
-                    delta = mb - mean_t
+                    delta = means[i] - mean_t
                     tot = n_t + nb
-                    m2_t += m2b + delta * delta * n_t * nb / tot
+                    m2_t += m2s[i] + delta * delta * n_t * nb / tot
                     mean_t += delta * nb / tot
                     n_t = tot
-                vmin = min(vmin, batch.column("vmin")[i].as_py())
-                vmax = max(vmax, batch.column("vmax")[i].as_py())
             out["col"].append(c)
             out["n"].append(n_t)
             out["mean"].append(mean_t if n_t else None)
             out["variance"].append(m2_t / n_t if n_t else None)
-            out["min"].append(vmin if n_t else None)
-            out["max"].append(vmax if n_t else None)
+            out["min"].append(float(vmins[idx].min()) if n_t else None)
+            out["max"].append(float(vmaxs[idx].max()) if n_t else None)
         return pa.table({"col": pa.array(out["col"], pa.string()),
                          "n": pa.array(out["n"], pa.int64()),
                          "mean": pa.array(out["mean"], pa.float64()),

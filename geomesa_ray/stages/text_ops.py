@@ -164,16 +164,15 @@ def _pos_mults(n: int) -> np.ndarray:
 
 def _ngram_doc_hashes(th: np.ndarray, offs: np.ndarray, n: int):
     """Positional n-gram hashes for a FLAT token-hash buffer with doc
-    offsets. Returns (flat int64 hashes in document order, per-doc
-    n-gram counts). A doc with t tokens has max(t - n + 1, 0) n-grams;
-    windows never cross doc boundaries."""
+    offsets. Returns (flat int64 hashes in document order, the doc
+    index of each n-gram). A doc with t tokens has max(t - n + 1, 0)
+    n-grams; windows never cross doc boundaries."""
     from geomesa_ray.sources.fixtures import splitmix64
 
-    ndocs = len(offs) - 1
     total = int(offs[-1])
     if total < n:
         return (np.empty(0, dtype=np.int64),
-                np.zeros(ndocs, dtype=np.int64))
+                np.empty(0, dtype=np.int64))
     starts = np.arange(total - n + 1, dtype=np.int64)
     doc_of = np.searchsorted(offs, starts, side="right") - 1
     valid = starts + n <= offs[doc_of + 1]
@@ -185,8 +184,7 @@ def _ngram_doc_hashes(th: np.ndarray, offs: np.ndarray, n: int):
         mixed = np.zeros(len(starts), dtype=np.uint64)
         for j in range(n):
             mixed ^= u[starts + j] * mults[j]
-    counts = np.bincount(doc_of, minlength=ndocs).astype(np.int64)
-    return splitmix64(mixed).view(np.int64), counts
+    return splitmix64(mixed).view(np.int64), doc_of
 
 
 def repetition_batch(batch: pa.Table, top_n: int = 2,
@@ -206,8 +204,7 @@ def repetition_batch(batch: pa.Table, top_n: int = 2,
     n_tokens = np.diff(offs)
 
     def per_doc_stats(n):
-        g, counts = _ngram_doc_hashes(th, offs, n)
-        doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
+        g, doc_of = _ngram_doc_hashes(th, offs, n)
         order = np.lexsort((g, doc_of))
         gs, ds_ = g[order], doc_of[order]
         # run boundaries over (doc, hash)
@@ -301,14 +298,12 @@ def contamination(sf_dir: str, probe_texts: list[str],
     probe_ref = _ray.put(np.unique(pg))
 
     def check(batch: pa.Table) -> pa.Table:
+        from geomesa_ray.util import sorted_membership
+
         probes = resolve_broadcast(probe_ref)
         th, offs = _ws_token_hashes(batch.column("text"))
-        g, counts = _ngram_doc_hashes(th, offs, n)
-        doc_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
-                           counts)
-        pos = np.searchsorted(probes, g)
-        pos = np.minimum(pos, len(probes) - 1) if len(probes) else pos
-        hit = probes[pos] == g if len(probes) else np.zeros(len(g), bool)
+        g, doc_of = _ngram_doc_hashes(th, offs, n)
+        hit = sorted_membership(g, probes)
         hits = np.bincount(doc_of[hit], minlength=batch.num_rows) \
             .astype(np.int64)
         return pa.table({
