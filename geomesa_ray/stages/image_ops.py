@@ -79,37 +79,53 @@ class ImageStats:
     compressed batches fall back to per-image decode.
     """
 
+    @staticmethod
+    def _stats_from_matrix(m: np.ndarray):
+        """(n, npx, 3) uint8 stack -> (means (n, 3), ahash list).
+
+        Exact integer results via the FAST reduction shapes: numpy's
+        dtype-promoting axis sums over uint8 are scalar-loop slow
+        (measured 8x), so channel sums go through one float32 BLAS
+        matmul (exact: each sum <= npx*255 < 2^24) and the per-pixel
+        gray sum is two elementwise adds into int16 (<= 765).
+        """
+        n, npx = m.shape[:2]
+        flat = m.reshape(n, npx * 3)
+        if npx * 255 < (1 << 24):
+            sel = np.zeros((npx * 3, 3), dtype=np.float32)
+            sel[np.arange(npx * 3), np.arange(npx * 3) % 3] = 1.0
+            ch_sums = (flat.astype(np.float32) @ sel).astype(np.int64)
+        else:  # gigantic frames: exactness over speed
+            ch_sums = m.sum(axis=1, dtype=np.int64)
+        means = ch_sums / float(npx)  # (n, 3)
+        g3 = m[:, :, 0].astype(np.int16) + m[:, :, 1] + m[:, :, 2]
+        g3 = g3.astype(np.int64)  # (n, hw) gray*3
+        # g > mean(g)  <=>  hw * g3 > sum(g3)   (exact rationals)
+        total = g3.sum(axis=1)
+        bits = (g3[:, :64] * np.int64(npx) > total[:, None]) \
+            .astype(np.uint64)
+        weights = np.uint64(1) << np.arange(bits.shape[1],
+                                            dtype=np.uint64)
+        av = (bits * weights[None, :]).sum(axis=1, dtype=np.uint64)
+        return means, av.view(np.int64).tolist()
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         from geomesa_ray.util import binary_column_to_matrix
 
         w = batch.column("w").to_numpy(zero_copy_only=False)
         h = batch.column("h").to_numpy(zero_copy_only=False)
-        uniform_raw = (_uniform_fmt(batch) == "raw"
-                       and len(np.unique(w)) == 1 and len(np.unique(h)) == 1)
-        if uniform_raw:
+        uniform_dims = (len(np.unique(w)) == 1 and len(np.unique(h)) == 1)
+        if uniform_dims and _uniform_fmt(batch) == "raw":
             npx = int(w[0]) * int(h[0])
-            flat = binary_column_to_matrix(batch.column("bytes"), npx * 3)
-            m = flat.reshape(batch.num_rows, npx, 3)
-            # exact integer results via the FAST reduction shapes: numpy's
-            # dtype-promoting axis sums over uint8 are scalar-loop slow
-            # (measured 8x), so channel sums go through one float32 BLAS
-            # matmul (exact: each sum <= npx*255 < 2^24) and the per-pixel
-            # gray sum is two elementwise adds into int16 (<= 765)
-            if npx * 255 < (1 << 24):
-                sel = np.zeros((npx * 3, 3), dtype=np.float32)
-                sel[np.arange(npx * 3), np.arange(npx * 3) % 3] = 1.0
-                ch_sums = (flat.astype(np.float32) @ sel).astype(np.int64)
-            else:  # gigantic frames: exactness over speed
-                ch_sums = m.sum(axis=1, dtype=np.int64)
-            means = ch_sums / float(npx)  # (n, 3)
-            g3 = m[:, :, 0].astype(np.int16) + m[:, :, 1] + m[:, :, 2]
-            g3 = g3.astype(np.int64)  # (n, hw) gray*3
-            # g > mean(g)  <=>  hw * g3 > sum(g3)   (exact rationals)
-            total = g3.sum(axis=1)
-            bits = (g3[:, :64] * np.int64(npx) > total[:, None]).astype(np.uint64)
-            weights = np.uint64(1) << np.arange(bits.shape[1], dtype=np.uint64)
-            av = (bits * weights[None, :]).sum(axis=1, dtype=np.uint64)
-            ahash = av.view(np.int64).tolist()
+            m = binary_column_to_matrix(batch.column("bytes"), npx * 3) \
+                .reshape(batch.num_rows, npx, 3)
+            means, ahash = self._stats_from_matrix(m)
+        elif uniform_dims and batch.num_rows:
+            # compressed-but-uniform corpus: decode (batched where the
+            # codec supports it), stack, reuse the exact whole-batch math
+            m = np.stack(decode_batch(batch)) \
+                .reshape(batch.num_rows, -1, 3)
+            means, ahash = self._stats_from_matrix(m)
         else:
             imgs = decode_batch(batch)
             means = np.array([im.reshape(-1, 3).mean(axis=0) for im in imgs])
