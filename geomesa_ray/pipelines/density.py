@@ -167,3 +167,48 @@ def temporal_density(sf_dir: str, t0_us: int, t1_us: int,
     ds = read_table(sf_dir, "events", columns=["ts"])
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     return gather_combine(parts, final)
+
+
+def z3_histogram(fixture_dir: str, prefix_bits: int = 12) -> ray.data.Dataset:
+    """Spatio-temporal histogram over coarse Z3 prefixes — the
+    ``Z3Histogram`` stat role (later-GeoMesa stats service; this
+    reference era exposes only the density iterator): counts per
+    (week, z3 >> (63 - prefix_bits)), i.e. one bin per coarse
+    space-time octant. The same pre-aggregated combiner shape as
+    :func:`density` — per-batch unique+count, one bounded combine —
+    so the shuffle carries at most 2^prefix_bits rows per block
+    regardless of input size. DuckDB-oracle-able via the shared
+    z3 SQL twin (cross-checked in tests)."""
+    from geomesa_ray.stages.encode import derive_and_encode
+
+    shift = np.int64(63 - prefix_bits)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        week = batch.column("week").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        z3 = batch.column("z3").to_numpy(zero_copy_only=False)
+        # prefix occupies exactly prefix_bits, so (week << prefix_bits)
+        # never collides — and never overflows int64 (week << 52 would,
+        # past week 2048)
+        key = (week << np.int64(prefix_bits)) | (z3 >> shift)
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(uniq),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    def final(batch: pa.Table) -> pa.Table:
+        uniq, sums = unique_flat_sum(
+            batch.column("key").to_numpy(zero_copy_only=False),
+            batch.column("cnt").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "week": pa.array(uniq >> np.int64(prefix_bits)),
+            "z3_prefix": pa.array(
+                uniq & ((np.int64(1) << np.int64(prefix_bits)) - 1)),
+            "cnt": pa.array(sums),
+        })
+
+    ds = read_images(fixture_dir, columns=["phash"])
+    ds = ds.map_batches(derive_and_encode, batch_format="pyarrow",
+                        batch_size=65536)
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+    return gather_combine(parts, final)

@@ -488,3 +488,134 @@ def frequency_sketch(sf_dir: str, table: str, col: str, depth: int = 4,
     merged = gather_combine(parts, final).take_all()
     return np.array(merged[0]["sk"], dtype=np.int64) \
         .reshape(depth, width)
+
+
+class KllSketch:
+    """KLL-style mergeable quantile sketch (Karnin-Lang-Liberty 2016),
+    deterministic variant: level-``i`` items carry weight ``2^i``; a
+    full level sorts and promotes every other item (alternating offset
+    per level instead of a random coin, so runs are reproducible),
+    dropping the rest. Space O(k log(n/k)); empirical rank error ~1/k
+    at the defaults (asserted in tests on uniform/zipf/bimodal data).
+    Merging concatenates levels then re-compacts — the distributed
+    combine shape.
+    """
+
+    def __init__(self, k: int = 200):
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self.flips: list[bool] = [False]
+        self.n = 0
+
+    def _cap(self, i: int) -> int:
+        height = len(self.levels)
+        return max(8, int(np.ceil(self.k * (2.0 / 3.0)
+                                  ** (height - 1 - i))))
+
+    def _compress(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > self._cap(i):
+                v = np.sort(self.levels[i])
+                off = 1 if self.flips[i] else 0
+                self.flips[i] = not self.flips[i]
+                if i + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, np.float64))
+                    self.flips.append(False)
+                self.levels[i + 1] = np.concatenate(
+                    [self.levels[i + 1], v[off::2]])
+                self.levels[i] = np.empty(0, np.float64)
+            i += 1
+
+    def update_many(self, x: np.ndarray) -> None:
+        x = np.asarray(x, np.float64)
+        x = x[~np.isnan(x)]
+        self.n += len(x)
+        self.levels[0] = np.concatenate([self.levels[0], x])
+        self._compress()
+
+    def merge(self, other: "KllSketch") -> None:
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, np.float64))
+            self.flips.append(False)
+        for i, lv in enumerate(other.levels):
+            self.levels[i] = np.concatenate([self.levels[i], lv])
+        self.n += other.n
+        self._compress()
+
+    def quantiles(self, qs) -> np.ndarray:
+        vals = np.concatenate(self.levels)
+        wts = np.concatenate(
+            [np.full(len(lv), 1 << i, np.int64)
+             for i, lv in enumerate(self.levels)])
+        order = np.argsort(vals, kind="stable")
+        vals, wts = vals[order], wts[order]
+        cum = np.cumsum(wts)
+        targets = np.asarray(qs, np.float64) * cum[-1]
+        idx = np.minimum(np.searchsorted(cum, targets), len(vals) - 1)
+        return vals[idx]
+
+    # ---- flat (level, value) serialization for the Arrow combine
+    def dump(self) -> tuple[np.ndarray, np.ndarray, int]:
+        lvl = np.concatenate(
+            [np.full(len(lv), i, np.int64)
+             for i, lv in enumerate(self.levels)]) \
+            if self.levels else np.empty(0, np.int64)
+        return lvl, np.concatenate(self.levels), self.n
+
+    @classmethod
+    def load(cls, lvl: np.ndarray, vals: np.ndarray, n: int,
+             k: int = 200) -> "KllSketch":
+        sk = cls(k)
+        height = int(lvl.max()) + 1 if len(lvl) else 1
+        sk.levels = [np.asarray(vals[lvl == i], np.float64)
+                     for i in range(height)]
+        sk.flips = [False] * height
+        sk.n = n
+        sk._compress()
+        return sk
+
+
+def quantile_sketch(sf_dir: str, table: str, col: str,
+                    qs=(0.01, 0.25, 0.5, 0.75, 0.99),
+                    k: int = 200, fanin: int = 8) -> pa.Table:
+    """Distributed approximate quantiles of a numeric column: per-batch
+    KLL sketches (a few KB regardless of input size) merge through a
+    fan-in level, then one final merge emits (q, value) rows. Same
+    mergeable-summaries topology as :func:`approx_distinct`."""
+    from geomesa_ray.sources.io import read_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = KllSketch(k)
+        sk.update_many(batch.column(col).to_numpy(zero_copy_only=False)
+                       .astype(np.float64))
+        lvl, vals, n = sk.dump()
+        return pa.table({"lvl": pa.array([lvl]), "vals": pa.array([vals]),
+                         "n": pa.array([n], pa.int64())})
+
+    def merge_rows(batch: pa.Table) -> KllSketch:
+        sk = KllSketch(k)
+        for i in range(batch.num_rows):
+            sk.merge(KllSketch.load(
+                np.asarray(batch.column("lvl")[i].as_py(), np.int64),
+                np.asarray(batch.column("vals")[i].as_py(), np.float64),
+                batch.column("n")[i].as_py(), k))
+        return sk
+
+    def level(batch: pa.Table) -> pa.Table:
+        lvl, vals, n = merge_rows(batch).dump()
+        return pa.table({"lvl": pa.array([lvl]), "vals": pa.array([vals]),
+                         "n": pa.array([n], pa.int64())})
+
+    def final(batch: pa.Table) -> pa.Table:
+        sk = merge_rows(batch)
+        return pa.table({"q": pa.array(list(qs), pa.float64()),
+                         "value": pa.array(sk.quantiles(qs)),
+                         "n": pa.array([sk.n] * len(qs), pa.int64())})
+
+    ds = read_table(sf_dir, table, columns=[col])
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=131072)
+    mid = parts.repartition(fanin).map_batches(
+        level, batch_format="pyarrow", batch_size=None)
+    return gather_combine(mid, final)

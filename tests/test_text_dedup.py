@@ -702,3 +702,90 @@ class TestStatsSketches:
         local = cms_update(_hash_column(pa.array(vals)).view(np.int64),
                            depth=4, width=2048)
         assert np.array_equal(m, local)
+
+
+class TestZ3Histogram:
+    def test_matches_duckdb_z3_twin(self, ray_session):
+        """z3_histogram vs the shared z3 SQL twin: DuckDB computes the
+        same (week, z3 >> shift) counts from the same parquet."""
+        import duckdb
+
+        from geomesa_ray.oracle_gen import z3_encode_sql
+        from geomesa_ray.pipelines.density import z3_histogram
+        from geomesa_ray.sources import ensure_fixtures
+
+        fdir = ensure_fixtures(SF)
+        got = {(r["week"], r["z3_prefix"]): r["cnt"]
+               for r in z3_histogram(fdir, prefix_bits=12).take_all()}
+        inner = z3_encode_sql(
+            f"read_parquet('{fdir}/images*.parquet')")
+        sql = (f"SELECT week, z3 >> 51 AS z3_prefix, COUNT(*) AS cnt "
+               f"FROM ({inner}) GROUP BY 1, 2")
+        want = {(int(w), int(p)): int(c)
+                for w, p, c in duckdb.sql(sql).fetchall()}
+        assert got == want and sum(got.values()) == 6000
+
+
+class TestQuantileSketch:
+    @staticmethod
+    def _rank_err(sorted_data, qs, est):
+        """Tie-aware rank error: distance from q to the value's rank
+        INTERVAL [left, right) — a heavy duplicate legitimately spans
+        many ranks."""
+        n = len(sorted_data)
+        errs = []
+        for q, e in zip(qs, est):
+            lo = np.searchsorted(sorted_data, e, "left") / n
+            hi = np.searchsorted(sorted_data, e, "right") / n
+            errs.append(max(0.0, lo - q, q - hi))
+        return max(errs)
+
+    def test_kll_bounds_and_merge(self):
+        from geomesa_ray.stages.sketches import KllSketch
+
+        rng = np.random.default_rng(0)
+        qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+        for name, data in [
+            ("uniform", rng.uniform(0, 1, 200000)),
+            ("zipf", rng.zipf(1.5, 200000).astype(float)),
+            ("bimodal", np.concatenate([rng.normal(0, 1, 100000),
+                                        rng.normal(50, 1, 100000)])),
+        ]:
+            sk = KllSketch(200)
+            for chunk in np.array_split(data, 37):
+                sk.update_many(chunk)
+            sd = np.sort(data)
+            assert self._rank_err(sd, qs, sk.quantiles(qs)) < 0.02, name
+            assert sum(len(lv) for lv in sk.levels) < 4000  # sublinear
+            # merge of halves stays within the bound
+            a, b = KllSketch(200), KllSketch(200)
+            a.update_many(data[:100000])
+            b.update_many(data[100000:])
+            a.merge(b)
+            assert a.n == len(data)
+            assert self._rank_err(sd, qs, a.quantiles(qs)) < 0.02, name
+            # dump/load round-trip preserves the estimate
+            c = KllSketch.load(*a.dump())
+            assert self._rank_err(sd, qs, c.quantiles(qs)) < 0.02, name
+
+    def test_distributed_quantiles(self, ray_session):
+        """quantile_sketch over the images phash column vs exact
+        np.quantile ranks."""
+        from geomesa_ray.sources import ensure_fixtures
+        from geomesa_ray.stages.sketches import quantile_sketch
+
+        fdir = ensure_fixtures(SF)
+        qs = (0.1, 0.5, 0.9)
+        out = quantile_sketch(fdir, "images", "phash", qs=qs).take_all()
+        assert [r["q"] for r in out] == list(qs)
+        assert out[0]["n"] == 6000
+        import glob
+
+        import pyarrow.parquet as _pq
+
+        allx = np.sort(np.concatenate([
+            _pq.read_table(p, columns=["phash"]).column("phash")
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+            for p in glob.glob(f"{fdir}/images*.parquet")]))
+        est = [r["value"] for r in out]
+        assert self._rank_err(allx, qs, est) < 0.03
