@@ -283,6 +283,22 @@ def cmd_stats(args) -> int:
                               args.col).take_all()[0]
         print(json.dumps({"approx_distinct": row["approx_distinct"]}))
         return 0
+    if args.kind == "quantiles":
+        from geomesa_ray.stages.sketches import quantile_sketch
+
+        rows = quantile_sketch(args.src, args.table, args.col).take_all()
+        print(json.dumps({"n": rows[0]["n"],
+                          "quantiles": {str(r["q"]): r["value"]
+                                        for r in rows}}))
+        return 0
+    if args.kind == "describe":
+        from geomesa_ray.stages.sketches import descriptive_stats
+
+        (row,) = descriptive_stats(args.src, args.table,
+                                   [args.col]).take_all()
+        print(json.dumps({k: row[k] for k in
+                          ("n", "mean", "variance", "min", "max")}))
+        return 0
     if args.kind == "minmax":
         import ray.data
         from ray.data.aggregate import Max, Min
@@ -398,7 +414,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("table")
     sp.add_argument("col")
     sp.add_argument("--kind", default="histogram",
-                    choices=["histogram", "minmax", "approx-distinct"])
+                    choices=["histogram", "minmax", "approx-distinct",
+                             "quantiles", "describe"])
     sp.add_argument("--top", type=int, default=20)
     sp.set_defaults(fn=cmd_stats, needs_ray=True)
 

@@ -176,3 +176,24 @@ class TestTranscodeCommand:
         ref = np.frombuffer(want.column("bytes")[0].as_py(),
                             np.uint8).reshape(8, 8, 3)
         assert np.array_equal(px, ref)
+
+
+class TestStatsKinds:
+    def test_quantiles_and_describe(self, ray_session, capsys):
+        assert main(["stats", "/root/testdata/sf0.001", "documents",
+                     "n_chars", "--kind", "quantiles"]) == 0
+        q = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert q["n"] == 500 and q["quantiles"]["0.5"] > 0
+        assert main(["stats", "/root/testdata/sf0.001", "documents",
+                     "n_chars", "--kind", "describe"]) == 0
+        d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert d["n"] == 500 and d["min"] <= d["mean"] <= d["max"]
+        # describe must agree with numpy exactly (population variance)
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        x = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                          columns=["n_chars"]).column("n_chars") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        assert abs(d["mean"] - x.mean()) < 1e-9
+        assert abs(d["variance"] - x.var()) < x.var() * 1e-9
