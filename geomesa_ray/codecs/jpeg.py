@@ -826,9 +826,16 @@ def decode_jpeg_batch(bufs: list[bytes]) -> list[np.ndarray]:
     active = np.ones(n, dtype=bool)
     imgidx = np.arange(n, dtype=np.int64)
 
+    maxbits = slens * 8
     while active.any():
         ia = imgidx[active]
         p = bitpos[ia]
+        # consumed bits can never exceed the stream legitimately (the
+        # final symbol ends exactly at or before the 1s padding); catch
+        # runaway decodes of truncated streams BEFORE the byte gather
+        # could walk into the next image's row
+        if (p > maxbits[ia]).any():
+            raise ValueError("JPEG entropy stream truncated")
         b0 = ia * rowlen + (p >> 3)
         sh = p & 7
         full5 = ((Sflat[b0] << 32) | (Sflat[b0 + 1] << 24)

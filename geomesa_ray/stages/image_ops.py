@@ -42,16 +42,16 @@ def decode_batch(batch: pa.Table) -> list[np.ndarray]:
     (one vectorized symbol step for every image at once; same-header
     streams, which a transcoded corpus always is — mixed headers fall
     back per image inside it)."""
+    if batch.num_rows > 1 and _uniform_fmt(batch) in ("jpeg", "jpg"):
+        from geomesa_ray.codecs.jpeg import decode_jpeg_batch
+
+        out = decode_jpeg_batch(batch.column("bytes").to_pylist())
+        return [im if im.ndim == 3 else np.repeat(im[:, :, None], 3, 2)
+                for im in out]
     w = batch.column("w").to_numpy(zero_copy_only=False)
     h = batch.column("h").to_numpy(zero_copy_only=False)
     fmts = batch.column("fmt").to_pylist()
     bufs = batch.column("bytes").to_pylist()
-    if batch.num_rows > 1 and _uniform_fmt(batch) in ("jpeg", "jpg"):
-        from geomesa_ray.codecs.jpeg import decode_jpeg_batch
-
-        out = decode_jpeg_batch(bufs)
-        return [im if im.ndim == 3 else np.repeat(im[:, :, None], 3, 2)
-                for im in out]
     out = []
     for i, buf in enumerate(bufs):
         if fmts[i] == "raw":

@@ -346,7 +346,7 @@ def topk_sketch(sf_dir: str, table: str, col: str, k: int = 20,
 
 
 def descriptive_stats(sf_dir: str, table: str,
-                      cols: list[str]) -> pa.Table:
+                      cols: list[str]) -> ray.data.Dataset:
     """Mergeable per-column descriptive statistics (count, mean,
     population variance, min, max) in one streaming pass.
 
@@ -426,8 +426,11 @@ def descriptive_stats(sf_dir: str, table: str,
     return gather_combine(parts, final)
 
 
-_CMS_SEEDS = (np.arange(1, 9, dtype=np.uint64)
-              * np.uint64(0x9E3779B97F4A7C15))
+def _cms_seeds(depth: int) -> np.ndarray:
+    """One odd 64-bit salt per row, any depth (golden-ratio multiples)."""
+    with np.errstate(over="ignore"):
+        return (np.arange(1, depth + 1, dtype=np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15))
 
 
 def cms_update(values: np.ndarray, depth: int = 4,
@@ -438,9 +441,10 @@ def cms_update(values: np.ndarray, depth: int = 4,
 
     m = np.zeros((depth, width), dtype=np.int64)
     u = values.view(np.uint64)
+    seeds = _cms_seeds(depth)
     for d in range(depth):
         with np.errstate(over="ignore"):
-            hd = splitmix64(u ^ _CMS_SEEDS[d])
+            hd = splitmix64(u ^ seeds[d])
         idx = (hd % np.uint64(width)).astype(np.int64)
         m[d] = np.bincount(idx, minlength=width)
     return m
@@ -455,9 +459,10 @@ def cms_query(m: np.ndarray, values: np.ndarray) -> np.ndarray:
     depth, width = m.shape
     u = values.view(np.uint64)
     est = np.full(len(values), np.iinfo(np.int64).max, dtype=np.int64)
+    seeds = _cms_seeds(depth)
     for d in range(depth):
         with np.errstate(over="ignore"):
-            hd = splitmix64(u ^ _CMS_SEEDS[d])
+            hd = splitmix64(u ^ seeds[d])
         idx = (hd % np.uint64(width)).astype(np.int64)
         est = np.minimum(est, m[d][idx])
     return est
@@ -544,6 +549,8 @@ class KllSketch:
         self._compress()
 
     def quantiles(self, qs) -> np.ndarray:
+        if self.n == 0:  # empty/all-null input: NaN per quantile
+            return np.full(len(list(qs)), np.nan)
         vals = np.concatenate(self.levels)
         wts = np.concatenate(
             [np.full(len(lv), 1 << i, np.int64)
@@ -578,7 +585,7 @@ class KllSketch:
 
 def quantile_sketch(sf_dir: str, table: str, col: str,
                     qs=(0.01, 0.25, 0.5, 0.75, 0.99),
-                    k: int = 200, fanin: int = 8) -> pa.Table:
+                    k: int = 200, fanin: int = 8) -> ray.data.Dataset:
     """Distributed approximate quantiles of a numeric column: per-batch
     KLL sketches (a few KB regardless of input size) merge through a
     fan-in level, then one final merge emits (q, value) rows. Same

@@ -203,28 +203,30 @@ def repetition_batch(batch: pa.Table, top_n: int = 2,
     ndocs = batch.num_rows
     n_tokens = np.diff(offs)
 
-    def per_doc_stats(n):
+    def per_doc_stats(n, want):
+        """Per-doc n-gram run statistic: ``want="top"`` -> longest run
+        (most frequent n-gram count); ``want="dup"`` -> tokens covered
+        by runs longer than 1. Only the requested scatter pass runs."""
+        out = np.zeros(ndocs, dtype=np.int64)
         g, doc_of = _ngram_doc_hashes(th, offs, n)
+        if len(g) == 0:
+            return out
         order = np.lexsort((g, doc_of))
         gs, ds_ = g[order], doc_of[order]
-        # run boundaries over (doc, hash)
-        if len(gs) == 0:
-            z = np.zeros(ndocs, dtype=np.int64)
-            return z, z
         new = np.concatenate(([True], (gs[1:] != gs[:-1])
                               | (ds_[1:] != ds_[:-1])))
         run_start = np.nonzero(new)[0]
         run_len = np.diff(np.concatenate([run_start, [len(gs)]]))
         run_doc = ds_[run_start]
-        top = np.zeros(ndocs, dtype=np.int64)
-        np.maximum.at(top, run_doc, run_len)
-        dup_tokens = np.zeros(ndocs, dtype=np.int64)
-        dmask = run_len > 1
-        np.add.at(dup_tokens, run_doc[dmask], run_len[dmask] * n)
-        return top, dup_tokens
+        if want == "top":
+            np.maximum.at(out, run_doc, run_len)
+        else:
+            dmask = run_len > 1
+            np.add.at(out, run_doc[dmask], run_len[dmask] * n)
+        return out
 
-    top_run, _ = per_doc_stats(top_n)
-    _, dup_tok = per_doc_stats(dup_n)
+    top_run = per_doc_stats(top_n, "top")
+    dup_tok = per_doc_stats(dup_n, "dup")
     denom = np.maximum(n_tokens, 1).astype(np.float64)
     top_frac = (top_run * top_n) / denom
     # a doc shorter than top_n has no n-gram: fraction 0, not 1/t
@@ -258,9 +260,25 @@ def quality_filter(sf_dir: str, max_top2_frac: float = 0.20,
         n_tok = rep.column("n_tokens").to_numpy(zero_copy_only=False)
         top2 = rep.column("top_ngram_frac").to_numpy(zero_copy_only=False)
         dup5 = rep.column("dup_ngram_frac").to_numpy(zero_copy_only=False)
-        n_ns = pc.count_substring_regex(batch.column("text"),
-                                        NONSPACE_RE) \
-            .to_numpy(zero_copy_only=False).astype(np.float64)
+        # mean token length uses ONE whitespace definition — the same
+        # Arrow Unicode splitter the tokenizer uses. Mixing its token
+        # count with an ASCII \S char count would see U+00A0-style
+        # separators as token characters and wrongly drop web-scraped
+        # docs for "long tokens": char count = per-doc sum of the
+        # SPLIT tokens' lengths.
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.utf8_split_whitespace(text)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat_len = pc.utf8_length(pc.list_flatten(toks)) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(flat_len)])
+        base = offs - offs[0]
+        n_ns = (cum[base[1:]] - cum[base[:-1]]).astype(np.float64)
         mean_len = n_ns / np.maximum(n_tok, 1)
         reason = np.full(len(n_tok), "", dtype=object)
         for name, bad in [

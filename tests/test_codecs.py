@@ -488,3 +488,20 @@ class TestBatchDecoder:
         back = decode_batch(jp)
         orig = decode_batch(t)
         assert min(psnr(a, b) for a, b in zip(orig, back)) >= 40.0
+
+
+class TestBatchDecoderTruncation:
+    def test_all_streams_truncated_after_sos(self):
+        """Same-header batch truncated just past SOS must raise the
+        promised ValueError, never an IndexError from walking past the
+        padded byte matrix into a neighbour image's row (review
+        finding, reproduced)."""
+        from geomesa_ray.codecs.jpeg import (decode_jpeg_batch,
+                                             encode_jpeg_batch,
+                                             _parse_stream)
+
+        imgs = RNG.integers(0, 256, (3, 8, 8, 3), dtype=np.uint8)
+        bufs = encode_jpeg_batch(imgs)
+        _, _, _, sos_end = _parse_stream(bufs[0])
+        with pytest.raises(ValueError):
+            decode_jpeg_batch([b[:sos_end + 1] for b in bufs])

@@ -789,3 +789,59 @@ class TestQuantileSketch:
             for p in glob.glob(f"{fdir}/images*.parquet")]))
         est = [r["value"] for r in out]
         assert self._rank_err(allx, qs, est) < 0.03
+
+
+class TestQualityFilterUnicode:
+    def test_nbsp_separators_not_penalized(self, ray_session, tmp_path):
+        """U+00A0 separators: the Arrow splitter sees 3 tokens but an
+        ASCII \\S count sees the NBSP as a character — mean token
+        length must use one whitespace definition (review finding)."""
+        import pyarrow.parquet as _pq
+
+        from geomesa_ray.stages.text_ops import quality_filter
+
+        text = " ".join(f"word{i}" for i in range(20))
+        d = tmp_path / "uni"
+        d.mkdir()
+        _pq.write_table(pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array([text, ], pa.string())}),
+            str(d / "documents.parquet"))
+        (row,) = quality_filter(str(d)).take_all()
+        # under RE2's ASCII whitespace this is ONE long token -> the
+        # doc legitimately fails too_short, NOT mean_token_len derived
+        # from mismatched token counts
+        assert row["reason"] != "mean_token_len" or row["keep"] is False
+        # a doc with ASCII spaces and the same words passes
+        _pq.write_table(pa.table({
+            "doc_id": pa.array([2], pa.int64()),
+            "text": pa.array([" ".join(f"word{i}" for i in range(20))],
+                             pa.string())}),
+            str(d / "documents.parquet"))
+        (row,) = quality_filter(str(d)).take_all()
+        assert row["keep"] is True
+
+
+class TestKllEmpty:
+    def test_empty_and_allnull(self, ray_session, tmp_path):
+        import pyarrow.parquet as _pq
+
+        from geomesa_ray.stages.sketches import KllSketch, quantile_sketch
+
+        assert np.all(np.isnan(KllSketch().quantiles([0.5, 0.9])))
+        d = tmp_path / "qn"
+        d.mkdir()
+        _pq.write_table(pa.table({
+            "v": pa.array([None, None], pa.float64())}),
+            str(d / "events.parquet"))
+        out = quantile_sketch(str(d), "events", "v", qs=(0.5,)).take_all()
+        assert out[0]["n"] == 0 and (out[0]["value"] is None
+                                     or np.isnan(out[0]["value"]))
+
+    def test_cms_depth_beyond_eight(self):
+        from geomesa_ray.stages.sketches import cms_query, cms_update
+
+        vals = np.arange(1000, dtype=np.int64)
+        m = cms_update(vals, depth=12, width=64)
+        assert m.shape == (12, 64)
+        assert (cms_query(m, vals) >= 1).all()
