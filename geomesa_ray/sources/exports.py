@@ -71,3 +71,50 @@ def export_gml(ds: ray.data.Dataset, out_dir: str, lon_col: str = "lon",
                lat_col: str = "lat") -> None:
     ds.map_batches(lambda b: gml_batch(b, lon_col, lat_col),
                    batch_format="pyarrow").write_json(out_dir)
+
+
+def export_arrow_ipc(ds: ray.data.Dataset, out_dir: str) -> None:
+    """Partitioned Arrow IPC (Feather V2) export: one ``.arrow`` file
+    per block through ``write_datasink``-free map_batches (each task
+    writes its own block — resumable the same way the parquet/csv
+    writers are). Arrow IPC is the zero-copy interchange the engine's
+    own batches already use, so this is the lossless export (binary
+    image payloads and map columns survive, which csv/json cannot
+    carry)."""
+    import os
+    import uuid
+
+    import pyarrow.feather as feather
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(batch: pa.Table) -> pa.Table:
+        name = f"part-{uuid.uuid4().hex}.arrow"
+        tmp = os.path.join(out_dir, "." + name)
+        feather.write_feather(batch, tmp, compression="zstd")
+        os.rename(tmp, os.path.join(out_dir, name))
+        return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
+
+    ds.map_batches(write, batch_format="pyarrow",
+                   batch_size=None).count()
+
+
+def read_arrow_ipc(out_dir: str) -> ray.data.Dataset:
+    """Read back a partitioned Arrow IPC export directory."""
+    import glob
+    import os
+
+    import pyarrow.feather as feather
+
+    paths = sorted(glob.glob(os.path.join(out_dir, "*.arrow")))
+    if not paths:
+        raise FileNotFoundError(f"no .arrow files under {out_dir}")
+
+    def load(row_batch) -> pa.Table:
+        return feather.read_table(row_batch["path"][0])
+
+    import ray
+
+    ds = ray.data.from_items([{"path": p} for p in paths],
+                             override_num_blocks=len(paths))
+    return ds.map_batches(load, batch_format="pandas", batch_size=None)

@@ -310,3 +310,32 @@ class TestShapefileRingOrder:
         t = read_shp(p)
         kind, parts = parse_wkt_geometry(t.column("wkt")[0].as_py())
         assert kind == "multipoly" and len(parts) == 2
+
+
+class TestArrowIpcExport:
+    def test_roundtrip_lossless(self, ray_session, tiny_fixtures,
+                                tmp_path):
+        """Arrow IPC is the LOSSLESS export: binary payloads and
+        captions survive byte-identically (csv/json cannot carry
+        them); partitioned one file per block, resumable layout."""
+        import glob
+
+        import pyarrow as pa
+
+        from geomesa_ray.sources.exports import (export_arrow_ipc,
+                                                 read_arrow_ipc)
+        from geomesa_ray.sources.fixtures import gen_images_table
+        from geomesa_ray.sources.io import read_images
+
+        out = str(tmp_path / "ipc")
+        export_arrow_ipc(read_images(tiny_fixtures), out)
+        assert glob.glob(f"{out}/*.arrow")
+        assert not glob.glob(f"{out}/.*.arrow")  # no tmp leftovers
+        t = pa.concat_tables(
+            [pa.table(b) for b in read_arrow_ipc(out).iter_batches(
+                batch_format="pyarrow", batch_size=8192)]) \
+            .sort_by("image_id")
+        want = gen_images_table(6000)
+        assert t.column("bytes").equals(want.column("bytes"))
+        assert t.column("caption").equals(want.column("caption"))
+        assert t.column("phash").equals(want.column("phash"))
