@@ -81,15 +81,24 @@ def export_arrow_ipc(ds: ray.data.Dataset, out_dir: str) -> None:
     own batches already use, so this is the lossless export (binary
     image payloads and map columns survive, which csv/json cannot
     carry)."""
+    import hashlib
     import os
-    import uuid
 
     import pyarrow.feather as feather
 
     os.makedirs(out_dir, exist_ok=True)
 
     def write(batch: pa.Table) -> pa.Table:
-        name = f"part-{uuid.uuid4().hex}.arrow"
+        # file name is a pure function of the block's content (first/
+        # last row + count), so a RETRIED task rewrites the same file
+        # instead of leaving a duplicate part (Ray re-executes failed
+        # tasks; a uuid name would double those rows on read-back)
+        edge = (batch.slice(0, 1).to_pydict(),
+                batch.slice(batch.num_rows - 1, 1).to_pydict()) \
+            if batch.num_rows else ({}, {})
+        digest = hashlib.sha1(
+            repr((batch.num_rows, edge)).encode()).hexdigest()[:16]
+        name = f"part-{digest}.arrow"
         tmp = os.path.join(out_dir, "." + name)
         feather.write_feather(batch, tmp, compression="zstd")
         os.rename(tmp, os.path.join(out_dir, name))
