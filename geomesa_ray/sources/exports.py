@@ -73,39 +73,59 @@ def export_gml(ds: ray.data.Dataset, out_dir: str, lon_col: str = "lon",
                    batch_format="pyarrow").write_json(out_dir)
 
 
+class _ArrowIpcDatasink(ray.data.Datasink):
+    """One ``.arrow`` (Feather V2, zstd) file per block. Part names are
+    ``part-{task_idx}-{block_idx}-{content_digest}``: ``ctx.task_idx``
+    is stable across Ray task retries, so a retried write task rewrites
+    the SAME files (idempotent — no duplicate parts on read-back),
+    while two distinct blocks that happen to hold identical content
+    (duplicated corpus, low-cardinality projections) land in different
+    tasks/block slots and BOTH survive. The content digest covers the
+    full serialized IPC bytes — not just block edges — so no two
+    different payloads can ever share a name either."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def on_write_start(self) -> None:
+        import os
+
+        os.makedirs(self.out_dir, exist_ok=True)
+
+    def write(self, blocks, ctx) -> int:
+        import hashlib
+        import io
+        import os
+
+        import pyarrow.feather as feather
+
+        from ray.data.block import BlockAccessor
+
+        rows = 0
+        for bi, block in enumerate(blocks):
+            batch = BlockAccessor.for_block(block).to_arrow()
+            buf = io.BytesIO()
+            feather.write_feather(batch, buf, compression="zstd")
+            data = buf.getvalue()
+            digest = hashlib.sha1(data).hexdigest()[:16]
+            name = f"part-{ctx.task_idx:05d}-{bi:04d}-{digest}.arrow"
+            tmp = os.path.join(self.out_dir, "." + name)
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.rename(tmp, os.path.join(self.out_dir, name))
+            rows += batch.num_rows
+        return rows
+
+
 def export_arrow_ipc(ds: ray.data.Dataset, out_dir: str) -> None:
     """Partitioned Arrow IPC (Feather V2) export: one ``.arrow`` file
-    per block through ``write_datasink``-free map_batches (each task
-    writes its own block — resumable the same way the parquet/csv
-    writers are). Arrow IPC is the zero-copy interchange the engine's
-    own batches already use, so this is the lossless export (binary
-    image payloads and map columns survive, which csv/json cannot
-    carry)."""
-    import hashlib
-    import os
-
-    import pyarrow.feather as feather
-
-    os.makedirs(out_dir, exist_ok=True)
-
-    def write(batch: pa.Table) -> pa.Table:
-        # file name is a pure function of the block's content (first/
-        # last row + count), so a RETRIED task rewrites the same file
-        # instead of leaving a duplicate part (Ray re-executes failed
-        # tasks; a uuid name would double those rows on read-back)
-        edge = (batch.slice(0, 1).to_pydict(),
-                batch.slice(batch.num_rows - 1, 1).to_pydict()) \
-            if batch.num_rows else ({}, {})
-        digest = hashlib.sha1(
-            repr((batch.num_rows, edge)).encode()).hexdigest()[:16]
-        name = f"part-{digest}.arrow"
-        tmp = os.path.join(out_dir, "." + name)
-        feather.write_feather(batch, tmp, compression="zstd")
-        os.rename(tmp, os.path.join(out_dir, name))
-        return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
-
-    ds.map_batches(write, batch_format="pyarrow",
-                   batch_size=None).count()
+    per block, written by a custom :class:`ray.data.Datasink` (each
+    write task streams its own blocks — resumable the same way the
+    parquet/csv writers are). Arrow IPC is the zero-copy interchange
+    the engine's own batches already use, so this is the lossless
+    export (binary image payloads and map columns survive, which
+    csv/json cannot carry)."""
+    ds.write_datasink(_ArrowIpcDatasink(out_dir))
 
 
 def read_arrow_ipc(out_dir: str) -> ray.data.Dataset:
@@ -119,11 +139,11 @@ def read_arrow_ipc(out_dir: str) -> ray.data.Dataset:
     if not paths:
         raise FileNotFoundError(f"no .arrow files under {out_dir}")
 
-    def load(row_batch) -> pa.Table:
-        return feather.read_table(row_batch["path"][0])
+    def load(row_batch: pa.Table) -> pa.Table:
+        return feather.read_table(row_batch.column("path")[0].as_py())
 
     import ray
 
     ds = ray.data.from_items([{"path": p} for p in paths],
                              override_num_blocks=len(paths))
-    return ds.map_batches(load, batch_format="pandas", batch_size=None)
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=None)

@@ -60,37 +60,79 @@ _LANG_PROFILES = {
 
 
 class LangIdStage:
-    """Actor-pool stage: stopword profiles loaded once per actor
-    (the reference's per-executor cache pattern,
-    GeoMesaSpark.scala:170-202)."""
+    """Actor-pool stage: stopword profiles loaded (and hashed) once per
+    actor (the reference's per-executor cache pattern,
+    GeoMesaSpark.scala:170-202).
+
+    Fully vectorized scoring: one RE2 split over the whole column, one
+    polynomial-hash pass over the flattened token buffer
+    (``sketches._hash_string_array`` — the same kernel the dedup path
+    uses), ``np.isin`` against each language's hashed stopword set, and
+    per-doc sums via a cumsum difference over the list offsets. No
+    per-row / per-token Python anywhere."""
 
     def __init__(self):
-        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+        from geomesa_ray.stages.sketches import _hash_string_array
+
+        self.langs = sorted(_LANG_PROFILES)
+        self.lang_arr = np.array(self.langs)
+        self.profile_hashes = [
+            _hash_string_array(pa.array(sorted(_LANG_PROFILES[k]),
+                                        pa.string()))
+            for k in self.langs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # tokenize with RE2 \S+ on the lowered column — the same engine
-        # and pattern the SQL oracle uses (Python str.split disagrees
-        # with RE2 on non-ASCII whitespace like U+00A0)
+        from geomesa_ray.stages.sketches import _hash_string_array
+
+        # tokenize with RE2 \s+ on the lowered column — the same engine
+        # and token stream the SQL oracle's regexp_extract_all('\S+')
+        # produces (Python str.split disagrees with RE2 on non-ASCII
+        # whitespace like U+00A0)
         low = pc.utf8_lower(batch.column("text"))
-        tok_lists = pc.split_pattern_regex(low, pattern=r"\s+")
-        if isinstance(tok_lists, pa.ChunkedArray):
-            tok_lists = tok_lists.combine_chunks()
-        preds, confs = [], []
-        for toks in tok_lists.to_pylist():
-            toks = [t for t in toks if t]
-            if not toks:
-                preds.append("und")
-                confs.append(0.0)
-                continue
-            scores = {k: sum(1 for w in toks if w in p)
-                      for k, p in self.profiles.items()}
-            best = max(sorted(scores), key=lambda k: scores[k])
-            preds.append(best if scores[best] > 0 else "und")
-            confs.append(scores[best] / len(toks))
+        if isinstance(low, pa.ChunkedArray):
+            low = low.combine_chunks()
+        toks = pc.split_pattern_regex(low, pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        flat = pc.list_flatten(toks)
+        if len(flat):
+            # the RE2 split emits empty boundary tokens at leading /
+            # trailing whitespace — drop them from the stream and
+            # remap the offsets through the keep-cumsum
+            keep = pc.greater(pc.utf8_length(flat), 0) \
+                .to_numpy(zero_copy_only=False)
+            kc = np.concatenate([np.zeros(1, np.int64),
+                                 np.cumsum(keep.astype(np.int64))])
+            h = _hash_string_array(flat.combine_chunks()
+                                   if isinstance(flat, pa.ChunkedArray)
+                                   else flat)[keep]
+            offs = kc[offs]
+        else:
+            h = np.empty(0, dtype=np.uint64)
+        ndocs = batch.num_rows
+        n_tok = offs[1:] - offs[:-1]
+        scores = np.zeros((len(self.langs), ndocs), dtype=np.int64)
+        for i, ph in enumerate(self.profile_hashes):
+            hit = np.isin(h, ph)
+            c = np.concatenate([np.zeros(1, np.int64),
+                                np.cumsum(hit.astype(np.int64))])
+            scores[i] = c[offs[1:]] - c[offs[:-1]]
+        # np.argmax takes the FIRST maximum — identical to the scalar
+        # path's max(sorted(scores)) first-in-sorted-order tie-break
+        best_idx = np.argmax(scores, axis=0)
+        sbest = scores[best_idx, np.arange(ndocs)]
+        pred = np.where((n_tok > 0) & (sbest > 0),
+                        self.lang_arr[best_idx], "und")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            conf = np.where(n_tok > 0,
+                            sbest / np.maximum(n_tok, 1).astype(np.float64),
+                            0.0)
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "lang_pred": pa.array(preds, pa.string()),
-            "lang_conf": pa.array(confs, pa.float64()),
+            "lang_pred": pa.array(pred, pa.string()),
+            "lang_conf": pa.array(conf, pa.float64()),
         })
 
 

@@ -339,3 +339,42 @@ class TestArrowIpcExport:
         assert t.column("bytes").equals(want.column("bytes"))
         assert t.column("caption").equals(want.column("caption"))
         assert t.column("phash").equals(want.column("phash"))
+
+    def test_identical_blocks_both_survive(self, ray_session, tmp_path):
+        """Two distinct blocks with byte-identical content (duplicated
+        corpus) must BOTH survive the export — the part name
+        disambiguates by task/block slot, not content alone (round-3
+        advisor finding: edge-hash names silently dropped one)."""
+        import pyarrow as pa
+        import ray
+
+        from geomesa_ray.sources.exports import (export_arrow_ipc,
+                                                 read_arrow_ipc)
+
+        tbl = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                        "text": pa.array(["same"] * 100)})
+        ds = ray.data.from_arrow([tbl, tbl])
+        out = str(tmp_path / "ipc_dup")
+        export_arrow_ipc(ds, out)
+        assert read_arrow_ipc(out).count() == 200
+
+    def test_rewrite_same_slot_is_idempotent(self, ray_session,
+                                             tmp_path):
+        """Re-running the same export over the same data (the retry /
+        resume case) rewrites the same part files instead of
+        accumulating duplicates."""
+        import glob
+
+        import pyarrow as pa
+        import ray
+
+        from geomesa_ray.sources.exports import (export_arrow_ipc,
+                                                 read_arrow_ipc)
+
+        tbl = pa.table({"doc_id": pa.array(range(50), pa.int64())})
+        out = str(tmp_path / "ipc_retry")
+        export_arrow_ipc(ray.data.from_arrow([tbl]), out)
+        first = sorted(glob.glob(f"{out}/*.arrow"))
+        export_arrow_ipc(ray.data.from_arrow([tbl]), out)
+        assert sorted(glob.glob(f"{out}/*.arrow")) == first
+        assert read_arrow_ipc(out).count() == 50

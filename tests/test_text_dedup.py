@@ -44,6 +44,45 @@ class TestTextOps:
         assert len(rows) == docs_table().num_rows
         assert all(r["lang_pred"] in {"en", "es", "fr", "de", "und"} for r in rows)
 
+    def test_lang_id_vectorized_matches_scalar(self):
+        """The vectorized scoring (hashed-stopword isin + offset cumsum)
+        must be bit-identical to the per-doc scalar algorithm it
+        replaced — including empty docs, whitespace-only docs,
+        cross-language ties, and non-ASCII whitespace (RE2 \\s does not
+        split U+00A0, so 'the\\u00a0la' is ONE token)."""
+        import pyarrow.compute as pc
+
+        from geomesa_ray.stages.text_ops import _LANG_PROFILES, LangIdStage
+
+        texts = ["", "   ", "the the the", "The quick brown fox and the dog",
+                 "el la de que y en un es", "le la de et un que pour dans",
+                 "der die das und ist", "de la", "the la", "xyzzy qwer",
+                 "  the  ", "la de"] + \
+            docs_table().column("text").to_pylist()[:200]
+        ids = list(range(len(texts)))
+        batch = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                          "text": pa.array(texts, pa.string())})
+
+        # scalar reference: the original per-doc loop, verbatim
+        profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+        low = pc.utf8_lower(batch.column("text"))
+        preds, confs = [], []
+        for toks in pc.split_pattern_regex(low, pattern=r"\s+").to_pylist():
+            toks = [t for t in toks if t]
+            if not toks:
+                preds.append("und")
+                confs.append(0.0)
+                continue
+            scores = {k: sum(1 for w in toks if w in p)
+                      for k, p in profiles.items()}
+            best = max(sorted(scores), key=lambda k: scores[k])
+            preds.append(best if scores[best] > 0 else "und")
+            confs.append(scores[best] / len(toks))
+
+        out = LangIdStage()(batch)
+        assert out.column("lang_pred").to_pylist() == preds
+        assert out.column("lang_conf").to_pylist() == confs  # bit-exact
+
 
 def tokens_of(txt):
     return set(txt.split())
