@@ -399,15 +399,41 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
                                                batch_format="pyarrow")
 
 
+# Above this pair count the single-task union-find (a Python loop over
+# edges in ONE combine task) is routed to the distributed min-label
+# propagation instead. 2M edges ≈ 32 MB skinny table and ~2 s of
+# union-find — comfortably single-task; beyond it the distributed
+# path's fixed shuffle cost amortizes.
+DISTRIBUTED_PAIR_THRESHOLD = 2_000_000
+
+
 def dedup_clusters(pairs_ds: ray.data.Dataset,
-                   id_cols=("doc_id_a", "doc_id_b")) -> ray.data.Dataset:
+                   id_cols=("doc_id_a", "doc_id_b"),
+                   mode: str = "auto",
+                   threshold: int = DISTRIBUTED_PAIR_THRESHOLD
+                   ) -> ray.data.Dataset:
     """Near-dup pairs -> connected components: (doc_id, cluster_id) with
     cluster_id = min doc id in the component (the canonical-survivor
-    rule). The pair list is tiny relative to the corpus (it's the dedup
-    output), so union-find runs in one combine task; for pathological
-    pair volumes switch to iterated min-label propagation with groupby.
-    """
+    rule). The pair list is usually tiny relative to the corpus (it's
+    the dedup output), so union-find runs in one combine task; when the
+    pair count exceeds ``threshold`` (``mode="auto"``, the default)
+    the call routes itself to :func:`dedup_clusters_distributed` —
+    iterated min-label propagation, no single task ever holds the full
+    edge set. ``mode="single"`` / ``mode="distributed"`` force a path
+    (both produce identical output — equality-tested)."""
     from geomesa_ray.util import gather_combine
+
+    skinny = pairs_ds.select_columns(list(id_cols))
+    if mode == "auto":
+        # the skinny 2-column pair table is output-sized; materializing
+        # it to count is bounded by the dedup output, not the corpus
+        skinny = skinny.materialize()
+        mode = ("distributed" if skinny.count() > threshold else "single")
+    if mode == "distributed":
+        return dedup_clusters_distributed(skinny, id_cols)
+    if mode != "single":
+        raise ValueError(f"unknown dedup_clusters mode {mode!r}")
+    pairs_ds = skinny
 
     def components(batch: pa.Table) -> pa.Table:
         a = batch.column(id_cols[0]).to_numpy(zero_copy_only=False)
@@ -438,7 +464,7 @@ def dedup_clusters(pairs_ds: ray.data.Dataset,
         return pa.table({"doc_id": pa.array(nodes),
                          "cluster_id": pa.array(cluster)})
 
-    return gather_combine(pairs_ds.select_columns(list(id_cols)), components)
+    return gather_combine(pairs_ds, components)
 
 
 def dedup_clusters_distributed(pairs_ds: ray.data.Dataset,

@@ -417,6 +417,29 @@ class TestDedupClusters:
                for r in dedup_clusters(ray.data.from_arrow(pairs)).take_all()}
         assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
 
+    def test_auto_threshold_routes_both_sides(self, ray_session):
+        """mode='auto' picks single-task union-find below the pair
+        threshold and the distributed min-label path above it — same
+        assignment either way."""
+        import ray.data
+
+        from geomesa_ray.stages.dedup import dedup_clusters
+
+        pairs = pa.table({
+            "doc_id_a": pa.array([1, 2, 10, 11, 20], pa.int64()),
+            "doc_id_b": pa.array([2, 3, 11, 12, 21], pa.int64()),
+        })
+        want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+        # below threshold -> single path
+        low = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(
+            ray.data.from_arrow(pairs), threshold=100).take_all()}
+        # above threshold (5 pairs > 2) -> distributed path
+        high = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(
+            ray.data.from_arrow(pairs), threshold=2).take_all()}
+        assert low == want and high == want
+        with pytest.raises(ValueError):
+            dedup_clusters(ray.data.from_arrow(pairs), mode="bogus")
+
 
 class TestHLL:
     def test_accuracy_vs_exact(self, ray_session):
