@@ -145,6 +145,11 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         1, batch_format="pyarrow")["week"][0].as_py()
     timed("attr_index_query", lambda: _consume(
         query_attr_index(store_dir, "week", lo=wk, hi=wk + 1)))
+    # same predicate through the covered-projection fast path: the
+    # requested columns live in the index value, so NO record join runs
+    timed("attr_index_covered", lambda: _consume(
+        query_attr_index(store_dir, "week", lo=wk, hi=wk + 1,
+                         columns=["image_id", "lon", "lat", "dtg_s"])))
     result["store"] = stats
 
     ray.shutdown()

@@ -85,10 +85,16 @@ class GeoMesaRayEngine:
 
     def query(self, spec: QuerySpec,
               strategy_override: Strategy | None = None,
-              limit: int | None = None) -> ray.data.Dataset:
+              limit: int | None = None,
+              columns: list[str] | None = None) -> ray.data.Dataset:
         """Cost-based strategy choice, then the matching pipeline; exact
         refinement of remaining predicates is always applied. ``limit``
-        mirrors GeoTools maxFeatures (``AccumuloFeatureReader.scala:44-58``).
+        mirrors GeoTools maxFeatures (``AccumuloFeatureReader.scala:44-58``);
+        ``columns`` is the requested projection (GeoTools propertyNames) —
+        pushed into the attribute-index path, where a projection covered
+        by the carried index value is served straight off the index with
+        NO record join (``AttributeIdxStrategy.scala:85-104``, the
+        IndexCoverage.FULL / covered-query decision, chosen per query).
         """
         from geomesa_ray.pipelines.scan import scan
         from geomesa_ray.planner import record_lookup
@@ -108,7 +114,7 @@ class GeoMesaRayEngine:
                 if self.store_dir is not None else None)
             out = self._refine(ds, spec, skip_ids=True)
         elif strat is Strategy.ATTRIBUTE:
-            ds, spatial_done = self._attribute_scan(spec)
+            ds, spatial_done = self._attribute_scan(spec, columns=columns)
             out = self._refine(ds, spec, skip_attr=True,
                                skip_spatial=spatial_done)
         else:
@@ -120,7 +126,11 @@ class GeoMesaRayEngine:
             else:
                 ds = scan(self.fixture_dir, q)
             out = self._refine(ds, spec, skip_spatial=True)
-        return out.limit(limit) if limit is not None else out
+        if columns is not None and set(columns) != set(out.schema().names):
+            out = out.select_columns(columns)
+        if limit is not None:
+            out = out.limit(limit)
+        return out
 
     def cql(self, expr: str, limit: int | None = None) -> ray.data.Dataset:
         """Execute an (E)CQL query string — the reference's user-facing
@@ -242,10 +252,16 @@ class GeoMesaRayEngine:
         t0, t1 = spec.interval_s or (None, None)
         return SpatialQuery(*bbox, t0, t1)
 
-    def _attribute_scan(self, spec: QuerySpec):
+    def _attribute_scan(self, spec: QuerySpec,
+                        columns: list[str] | None = None):
         """-> (dataset, spatial_done). ``spatial_done`` is True when the
         index path already applied the spatio-temporal refinement on the
-        carried index value (the caller must not re-apply it)."""
+        carried index value (the caller must not re-apply it).
+        ``columns`` (when given) is pushed into the index read: a
+        projection covered by the carried index value is decoded straight
+        off the index with NO record join — the per-query
+        IndexCoverage.FULL / covered-query choice of
+        ``AttributeIdxStrategy.scala:85-104``."""
         from geomesa_ray.stages.encode import derive_and_encode
 
         pred_cols = list(dict.fromkeys(
@@ -266,12 +282,25 @@ class GeoMesaRayEngine:
                     spec.attr_range.get(c, (None, None)))
                 q = self._to_spatial_query(spec) \
                     if (spec.bbox is not None or spec.interval_s) else None
+                idx_cols = None
+                if columns is not None:
+                    # the projection pushed to the index must also carry
+                    # whatever the residual refinement filters on: the
+                    # id predicate reads image_id (spatial/attr are
+                    # already applied inside the index path)
+                    idx_cols = list(dict.fromkeys(
+                        [*columns, *(["image_id"]
+                                     if intersect_id_sets(spec) is not None
+                                     else [])]))
                 return query_attr_index(self.store_dir, c,
                                         eq=spec.attr_eq.get(c),
                                         lo=lo, hi=hi, lo_strict=ls,
-                                        hi_strict=hs, query=q), q is not None
+                                        hi_strict=hs, query=q,
+                                        columns=idx_cols), q is not None
 
-        cols = list({"image_id", "phash", *pred_cols})
+        derived = {"lon", "lat", "dtg", "dtg_s", "week", "z3", "cell"}
+        cols = list({"image_id", "phash", *pred_cols,
+                     *(c for c in (columns or []) if c not in derived)})
 
         def keep(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc

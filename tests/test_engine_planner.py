@@ -336,3 +336,79 @@ class TestStoreConsistentSource:
         eng.ingest_store(str(tmp_path / "store"))  # no fmt ingested
         with pytest.raises(ValueError, match="not ingested"):
             eng.query(QuerySpec(attr_eq={"fmt": "raw"})).take_all()
+
+
+class TestCoveredProjection:
+    """Engine-level cost-based index coverage (AttributeIdxStrategy.scala:
+    85-104): a query projection covered by the carried index value is
+    served straight off the secondary index with NO record join."""
+
+    def _indexed_eng(self, tiny_fixtures, tmp_path):
+        from geomesa_ray.state.attr_index import build_attr_index
+        from geomesa_ray.state.store import read_store
+
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        eng.ingest_store(str(tmp_path / "store"))
+        build_attr_index(eng.store_dir, "week", n_parts=4)
+        wk = read_store(eng.store_dir, columns=["week"]).take_batch(
+            1, batch_format="pyarrow")["week"][0].as_py()
+        return eng, QuerySpec(attr_range={"week": (wk, wk)})
+
+    @staticmethod
+    def _by_id(rows):
+        return {r["image_id"]: (r["lon"], r["lat"]) for r in rows}
+
+    def test_covered_equals_join_path(self, ray_session, tiny_fixtures,
+                                      tmp_path):
+        eng, spec = self._indexed_eng(tiny_fixtures, tmp_path)
+        assert choose_strategy(spec) is Strategy.ATTRIBUTE
+        covered = eng.query(
+            spec, columns=["image_id", "lon", "lat"]).take_all()
+        joined = eng.query(spec).select_columns(
+            ["image_id", "lon", "lat"]).take_all()
+        assert covered and set(covered[0]) == {"image_id", "lon", "lat"}
+        assert self._by_id(covered) == self._by_id(joined)
+
+    def test_covered_path_never_opens_records(self, ray_session,
+                                              tiny_fixtures, tmp_path):
+        """Behavioral proof the join is skipped: replace every store
+        record file with same-size garbage (fingerprint-invariant, so
+        the index stays 'current'). The covered projection still answers
+        exactly; the JOIN path must fail trying to read records."""
+        eng, spec = self._indexed_eng(tiny_fixtures, tmp_path)
+        covered_before = eng.query(
+            spec, columns=["image_id", "lon", "lat"]).take_all()
+        for p in os.listdir(eng.store_dir):
+            if p.startswith("part="):
+                f = os.path.join(eng.store_dir, p, "data.parquet")
+                size = os.path.getsize(f)
+                with open(f, "wb") as fh:
+                    fh.write(b"\0" * size)
+        covered = eng.query(
+            spec, columns=["image_id", "lon", "lat"]).take_all()
+        assert self._by_id(covered) == self._by_id(covered_before)
+        with pytest.raises(Exception):
+            eng.query(spec).take_all()
+
+    def test_uncovered_projection_joins(self, ray_session, tiny_fixtures,
+                                        tmp_path):
+        """caption is NOT in the index value: the projection must come
+        back through the record join, values byte-identical to the
+        store rows."""
+        from geomesa_ray.state.store import read_store
+
+        eng, spec = self._indexed_eng(tiny_fixtures, tmp_path)
+        rows = eng.query(
+            spec, columns=["image_id", "caption"]).take_all()
+        t = read_store(eng.store_dir,
+                       columns=["image_id", "caption"]).to_arrow_refs()
+        import ray as _ray
+
+        want = {}
+        for ref in t:
+            tb = _ray.get(ref)
+            for i in range(tb.num_rows):
+                want[tb.column("image_id")[i].as_py()] = \
+                    tb.column("caption")[i].as_py()
+        assert rows and all(
+            r["caption"] == want[r["image_id"]] for r in rows)
