@@ -275,7 +275,6 @@ def cmd_attr_index(args) -> int:
 def cmd_stats(args) -> int:
     """Stats over a source table column: histogram / unique counts /
     min-max / approximate distinct (the stats surface of the tools)."""
-    from geomesa_ray.pipelines.aggregates import histogram_job
     from geomesa_ray.stages.sketches import approx_distinct
 
     if args.kind == "approx-distinct":
@@ -311,10 +310,14 @@ def cmd_stats(args) -> int:
                           "max": agg[f"max({args.col})"]},
                          default=str))
         return 0
-    # histogram / unique: value -> count rows
-    rows = histogram_job(args.src, args.table, args.col).take_all()
-    rows.sort(key=lambda r: (-r["cnt"], r[args.col]))
-    for r in rows[:args.top]:
+    # histogram / unique: value -> count rows, via the distributed
+    # EXACT top-k (never materializes the full distinct-value histogram
+    # on the driver — only the k winners come back)
+    from geomesa_ray.stages.sketches import topk_values
+
+    rows = topk_values(args.src, args.table, args.col,
+                       k=args.top).take_all()
+    for r in rows:
         print(f"{r[args.col]}\t{r['cnt']}")
     return 0
 

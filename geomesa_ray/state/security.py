@@ -103,9 +103,20 @@ def _eval_vis(node, auths: set[str]) -> bool:
     return any(_eval_vis(c, auths) for c in node[1])
 
 
+def _safe_visibility(expr: str, auths: set[str]) -> bool:
+    """A malformed visibility label hides its row instead of wedging the
+    whole read task — Accumulo treats an unsatisfiable/unparseable
+    visibility as not visible to the reader."""
+    try:
+        return evaluate_visibility(expr, auths)
+    except ValueError:
+        return False
+
+
 def visibility_mask(col, auths) -> np.ndarray:
     """Boolean row mask for a visibility-expression string column under
-    an auth set — each DISTINCT expression parsed/evaluated once."""
+    an auth set — each DISTINCT expression parsed/evaluated once; a
+    malformed expression marks its rows invisible (never raises)."""
     auths = set(auths)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -113,7 +124,7 @@ def visibility_mask(col, auths) -> np.ndarray:
     if isinstance(enc, pa.ChunkedArray):
         enc = enc.combine_chunks()
     dic = enc.dictionary.to_pylist()
-    verdicts = np.array([evaluate_visibility(v, auths) for v in dic],
+    verdicts = np.array([_safe_visibility(v, auths) for v in dic],
                         dtype=bool)
     idx = enc.indices.to_numpy(zero_copy_only=False)
     out = np.empty(len(col), dtype=bool)

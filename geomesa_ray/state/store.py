@@ -405,15 +405,19 @@ def delete_store(out_dir: str, image_ids: list[str],
                 tmp = os.path.join(pdir, ".data.parquet.tmp")
                 pq.write_table(kept, tmp, row_group_size=65536)
                 os.replace(tmp, path)
-                n_cells = len(np.unique(
-                    kept.column("cell").to_numpy(zero_copy_only=False))) \
-                    if kept.num_rows else 0
-                wk = kept.column("week").to_numpy(zero_copy_only=False) \
-                    if kept.num_rows else np.zeros(1, dtype=np.int64)
+                if kept.num_rows:
+                    n_cells = len(np.unique(
+                        kept.column("cell").to_numpy(zero_copy_only=False)))
+                    wk = kept.column("week").to_numpy(zero_copy_only=False)
+                    wmin, wmax = int(np.min(wk)), int(np.max(wk))
+                else:
+                    # null week range for an emptied partition — 0/0
+                    # would fabricate stats (see expire_store)
+                    n_cells, wmin, wmax = 0, None, None
                 write_manifest(out_dir, bucket, {
                     "bucket": bucket, "rows": kept.num_rows,
-                    "n_cells": n_cells, "week_min": int(np.min(wk)),
-                    "week_max": int(np.max(wk))})
+                    "n_cells": n_cells, "week_min": wmin,
+                    "week_max": wmax})
             out_b.append(bucket)
             out_n.append(n_hit)
         return pa.table({"bucket": pa.array(out_b, pa.int64()),
@@ -456,9 +460,13 @@ def expire_store(out_dir: str, before_week: int,
                 out_dir, read_snapshot(out_dir)):
             snapshot_store(out_dir)
     manifests = completed_partitions(out_dir)
-    # manifest-level prune: only partitions that can hold expired rows
+    # manifest-level prune: only partitions that can hold expired rows;
+    # rows==0 / null-week manifests (fully expired partitions) are never
+    # candidates again
     candidates = [int(b) for b, m in manifests.items()
-                  if int(m.get("week_min", -2**62)) < before_week]
+                  if m.get("rows", 0) != 0
+                  and int(m["week_min"] if m.get("week_min") is not None
+                          else -2**62) < before_week]
     out = {"expired_rows": 0, "touched_buckets": 0,
            "pruned_buckets": len(manifests) - len(candidates)}
     if candidates:
@@ -486,7 +494,10 @@ def expire_store(out_dir: str, before_week: int,
                             zero_copy_only=False)
                         wmin, wmax = int(np.min(kw)), int(np.max(kw))
                     else:
-                        n_cells, wmin, wmax = 0, 0, 0
+                        # empty partition: null week range (NOT 0/0 —
+                        # fabricated stats would make it a permanent
+                        # expire candidate and poison week-based pruning)
+                        n_cells, wmin, wmax = 0, None, None
                     write_manifest(out_dir, bucket, {
                         "bucket": bucket, "rows": kept.num_rows,
                         "n_cells": n_cells, "week_min": wmin,

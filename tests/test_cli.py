@@ -99,10 +99,18 @@ class TestCli:
         assert out["rows"] == 6000 and out["strategy"] == "attribute"
 
     def test_stats_histogram(self, ray_session, capsys):
+        """histogram kind runs the distributed exact top-k (no full
+        driver-side histogram): values AND order match DuckDB."""
         assert main(["stats", "/root/testdata/sf0.001", "events",
-                     "event_type"]) == 0
+                     "event_type", "--top", "3"]) == 0
         lines = capsys.readouterr().out.strip().splitlines()
-        assert len(lines) > 1 and all("\t" in ln for ln in lines)
+        import duckdb
+
+        want = duckdb.sql(
+            "SELECT event_type, count(*) c FROM "
+            "read_parquet('/root/testdata/sf0.001/events.parquet') "
+            "GROUP BY 1 ORDER BY c DESC, event_type LIMIT 3").fetchall()
+        assert lines == [f"{v}\t{c}" for v, c in want]
 
     def test_stats_minmax(self, ray_session, capsys):
         assert main(["stats", "/root/testdata/sf0.001", "events",

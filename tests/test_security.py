@@ -64,6 +64,15 @@ class TestMask:
                              for v in vis])
             assert (got == want).all(), auths
 
+    def test_malformed_expression_hides_row_not_task(self):
+        """One corrupt label must not wedge the whole secured read:
+        Accumulo treats an unparseable visibility as not visible. The
+        malformed row disappears; every other row keeps its verdict."""
+        vis = ["admin", "admin&fr|us", "fr|us", "(admin", "", None]
+        col = pa.array(vis, pa.string())
+        got = visibility_mask(col, {"admin", "fr", "us"})
+        assert got.tolist() == [True, False, True, False, True, True]
+
 
 class TestStoreIntegration:
     def _secured_fixture(self, tmp_path):

@@ -481,6 +481,29 @@ class TestExpire:
         # surviving partition has week_min >= cutoff
         assert r2["touched_buckets"] == 0
 
+    def test_fully_expired_partition_not_recandidated(
+            self, ray_session, tiny_fixtures, tmp_path):
+        """A partition expired to zero rows records a NULL week range
+        (not fabricated 0/0 stats) and is never a candidate for later
+        expire passes."""
+        from geomesa_ray.state.store import expire_store
+
+        store = str(tmp_path / "agezero")
+        write_store(tiny_fixtures, store)
+        weeks = np.array([r["week"] for r in read_store(store)
+                          .select_columns(["week"]).take_all()])
+        cutoff = int(weeks.max()) + 1  # expire EVERYTHING
+        r = expire_store(store, before_week=cutoff, snapshot=False)
+        assert r["expired_rows"] == len(weeks)
+        manifests = completed_partitions(store)
+        assert all(m["rows"] == 0 and m["week_min"] is None
+                   and m["week_max"] is None for m in manifests.values())
+        # a later pass prunes every emptied partition at the manifest
+        # level — no re-read, no touch
+        r2 = expire_store(store, before_week=cutoff + 10, snapshot=False)
+        assert r2["expired_rows"] == 0 and r2["touched_buckets"] == 0
+        assert r2["pruned_buckets"] == len(manifests)
+
     def test_manifest_prune_skips_new_partitions(self, ray_session,
                                                  tiny_fixtures, tmp_path):
         from geomesa_ray.state.store import expire_store
