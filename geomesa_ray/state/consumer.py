@@ -131,10 +131,19 @@ def poll_once(incoming_dir: str, store_dir: str,
     ``error`` and never retried (a poison pill must not wedge the
     loop); fix and re-land it under a new name. Failures INSIDE the
     append itself (disk full, task errors) are NOT dead-lettered — they
-    propagate, the file stays un-logged, and the next poll replays it
+    propagate, the files stay un-logged, and the next poll replays them
     (``append_store`` upserts by id, so replay is a no-op for the rows
     that did land). Returns the new log entries (applied and
-    dead-lettered)."""
+    dead-lettered).
+
+    All readable files discovered by ONE poll apply as ONE batched
+    upsert (amortizing the affected-bucket rewrite — a bucket touched
+    by five landings rewrites once, not five times) and share one
+    snapshot version. An image_id landed by several files in the same
+    poll keeps the LAST file's row (name order), exactly what
+    sequential application produced. The commit log is written once,
+    AFTER the batched append commits — a crash mid-append replays the
+    whole poll, which the id-upsert makes a no-op."""
     import time as _time
 
     import pyarrow as pa
@@ -145,6 +154,8 @@ def poll_once(incoming_dir: str, store_dir: str,
     seen = {e["file"] for e in log}
     schema = _UNSET  # computed lazily: idle polls never touch the store
     new = []
+    batch: list[tuple[str, pa.Table]] = []
+    dead = []
     for path in sorted(glob.glob(os.path.join(incoming_dir, pattern))):
         name = os.path.basename(path)
         if name in seen or not name.lower().endswith(KNOWN_EXTS):
@@ -170,18 +181,39 @@ def poll_once(incoming_dir: str, store_dir: str,
             # Transient I/O errors (EIO/ESTALE on network storage) must
             # NOT be dead-lettered: they propagate like append-side
             # failures and the next poll replays the file.
-            entry = {"file": name, "rows": 0, "error": str(e)[:500]}
-            log.append(entry)
-            _commit_log(store_dir, log)
-            new.append(entry)
+            dead.append({"file": name, "rows": 0, "error": str(e)[:500]})
             continue
-        out = append_store(store_dir, t, snapshot=True)
-        entry = {"file": name, "rows": t.num_rows,
-                 "snapshot_version": out.get("snapshot_version"),
-                 "touched_buckets": out.get("touched_buckets")}
-        log.append(entry)
-        _commit_log(store_dir, log)  # after the append commits
-        new.append(entry)
+        batch.append((name, t))
+
+    if dead:
+        # dead letters commit immediately (independently of the append):
+        # they must never be retried even if the append below fails
+        log.extend(dead)
+        _commit_log(store_dir, log)
+        new.extend(dead)
+    if not batch:
+        return new
+
+    merged = pa.concat_tables([t for _, t in batch]) \
+        if len(batch) > 1 else batch[0][1]
+    if len(batch) > 1:
+        # cross-file upsert order: keep each id's LAST row (file name
+        # order = offset order), matching sequential application
+        import numpy as np
+
+        ids = np.asarray(merged.column("image_id").to_pylist(),
+                         dtype=object)
+        _, first_in_rev = np.unique(ids[::-1], return_index=True)
+        keep = np.sort(len(ids) - 1 - first_in_rev)
+        if len(keep) != len(ids):
+            merged = merged.take(pa.array(keep))
+    out = append_store(store_dir, merged, snapshot=True)
+    for name, t in batch:
+        new.append({"file": name, "rows": t.num_rows,
+                    "snapshot_version": out.get("snapshot_version"),
+                    "touched_buckets": out.get("touched_buckets")})
+    log.extend(new[len(dead):])
+    _commit_log(store_dir, log)  # once, after the batched append commits
     return new
 
 

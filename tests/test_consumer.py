@@ -245,3 +245,66 @@ class TestDeadLetterScope:
                                 max_polls=1)
         assert out["files_applied"] == 1 and out["rows_applied"] == 600
         assert out["files_dead_lettered"] == 1
+
+
+class TestBatchedPoll:
+    """All files discovered in one poll apply as ONE batched upsert
+    (amortized bucket rewrite, one snapshot per poll); cross-file
+    duplicate ids keep the last file's row — exactly the sequential
+    semantics."""
+
+    def _base(self, tmp_path):
+        from geomesa_ray.sources.fixtures import gen_images_table
+        from geomesa_ray.state.store import write_store
+
+        t = gen_images_table(2400)
+        fdir = str(tmp_path / "seed")
+        os.makedirs(fdir)
+        _slice_to_file(t, 0, 1200, os.path.join(fdir, "images.parquet"))
+        store = str(tmp_path / "store")
+        write_store(fdir, store, columns=["image_id", "phash", "caption"])
+        incoming = str(tmp_path / "incoming")
+        os.makedirs(incoming)
+        return t, store, incoming
+
+    def test_one_append_per_poll(self, ray_session, tmp_path, monkeypatch):
+        from geomesa_ray.state import store as store_mod
+        from geomesa_ray.state.store import read_store
+
+        t, store, incoming = self._base(tmp_path)
+        for i in range(4):
+            _slice_to_file(t, 1200 + 300 * i, 1500 + 300 * i,
+                           os.path.join(incoming, f"b{i:03d}.parquet"))
+        calls = []
+        real = store_mod.append_store
+
+        def counting(*a, **kw):
+            calls.append(1)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(store_mod, "append_store", counting)
+        new = poll_once(incoming, store)
+        assert len(new) == 4 and len(calls) == 1
+        # one snapshot version shared by the whole poll
+        assert len({e["snapshot_version"] for e in new}) == 1
+        got = {r["image_id"] for r in read_store(store).take_all()}
+        assert got == set(t.column("image_id").to_pylist())
+
+    def test_cross_file_duplicate_keeps_last(self, ray_session, tmp_path):
+        from geomesa_ray.state.store import read_store
+
+        t, store, incoming = self._base(tmp_path)
+        dup_id = t.column("image_id")[1200].as_py()
+        early = t.slice(1200, 1).set_column(
+            t.schema.get_field_index("caption"), "caption",
+            pa.array(["EARLY"]))
+        late = t.slice(1200, 1).set_column(
+            t.schema.get_field_index("caption"), "caption",
+            pa.array(["LATE"]))
+        pq.write_table(early, os.path.join(incoming, "a0.parquet"))
+        pq.write_table(late, os.path.join(incoming, "z9.parquet"))
+        new = poll_once(incoming, store)
+        assert [e["file"] for e in new] == ["a0.parquet", "z9.parquet"]
+        rows = [r for r in read_store(store).take_all()
+                if r["image_id"] == dup_id]
+        assert len(rows) == 1 and rows[0]["caption"] == "LATE"
