@@ -907,3 +907,66 @@ class TestKllEmpty:
         m = cms_update(vals, depth=12, width=64)
         assert m.shape == (12, 64)
         assert (cms_query(m, vals) >= 1).all()
+
+
+class TestNeardupRecallCurve:
+    """Recall-vs-tau evidence for sizing ``assign`` (the IVF multi-probe
+    width): a planted corpus with near-dup clusters at cos ~0.82/0.90/
+    0.97 plus noise, measured at the REALISTIC near-dup taus 0.8-0.95
+    (the driver fixture has no pairs above cos 0.5 — its tau=0.35
+    numbers are the adversarial low end). Values are fully
+    deterministic (seeded corpus, deterministic codebooks)."""
+
+    DIM, N_CLUSTERS, N_NOISE, SEED = 64, 60, 260, 20260817
+
+    @classmethod
+    def _corpus_dir(cls, tmp_path_factory):
+        import pyarrow.parquet as _pq
+
+        rng = np.random.default_rng(cls.SEED)
+        base = rng.normal(size=(cls.N_CLUSTERS, cls.DIM))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        rows = [base]
+        for s in (0.03, 0.06, 0.10):  # cos to base ~0.97 / 0.90 / 0.82
+            p = base + rng.normal(size=(cls.N_CLUSTERS, cls.DIM)) * s
+            rows.append(p / np.linalg.norm(p, axis=1, keepdims=True))
+        noise = rng.normal(size=(cls.N_NOISE, cls.DIM))
+        rows.append(noise / np.linalg.norm(noise, axis=1, keepdims=True))
+        m = np.concatenate(rows)[rng.permutation(
+            cls.N_CLUSTERS * 4 + cls.N_NOISE)]
+        d = tmp_path_factory.mktemp("recall_corpus")
+        _pq.write_table(pa.table({
+            "vec_id": pa.array(np.arange(len(m), dtype=np.int64)),
+            "embedding": pa.array(m.tolist(), pa.list_(pa.float64())),
+        }), str(d / "embeddings.parquet"))
+        return str(d), m
+
+    @pytest.mark.parametrize("tau", [0.80, 0.85, 0.90, 0.95])
+    def test_recall_curve_at_neardup_taus(self, ray_session,
+                                          tmp_path_factory, tau):
+        from geomesa_ray.stages.similarity import embed_neardup
+
+        d, m = self._corpus_dir(tmp_path_factory)
+        cos = m @ m.T
+        iu = np.triu_indices(len(m), 1)
+        want = {(int(i), int(j)) for i, j in zip(*iu) if cos[i, j] >= tau}
+        assert want  # the planted structure reaches this tau
+        curve = {}
+        for cb in ("first", "kmeans"):
+            for assign in (1, 2, 4):
+                rows = embed_neardup(d, tau=tau, n_centroids=16,
+                                     assign=assign, codebook=cb).take_all()
+                got = [(r["vec_id_a"], r["vec_id_b"]) for r in rows]
+                assert set(got) <= want, (cb, assign)  # no false positive
+                assert len(got) == len(set(got)), (cb, assign)  # once
+                curve[(cb, assign)] = len(got) / len(want)
+        print(f"recall tau={tau}: " + "  ".join(
+            f"{cb}/assign={a}:{r:.3f}" for (cb, a), r in curve.items()))
+        # measured floors (deterministic; see embed_neardup docstring)
+        assert curve[("first", 4)] == 1.0
+        assert curve[("kmeans", 2)] == 1.0
+        assert curve[("kmeans", 1)] >= 0.99
+        assert curve[("first", 2)] >= 0.93
+        # recall is monotone in assign for both codebooks
+        for cb in ("first", "kmeans"):
+            assert curve[(cb, 1)] <= curve[(cb, 2)] <= curve[(cb, 4)]
