@@ -296,6 +296,53 @@ def run_stats(sf_dir: str, num_cpus: int) -> None:
     ray.shutdown()
 
 
+def run_ingest_scale(num_cpus: int) -> dict:
+    """--ingest-scale: the GB-scale ingest benchmark — full co-locating
+    shuffle + per-partition sort + manifests over the 19.2M-row 32-file
+    corpus at bucket_level=4 (256 partitions). The exchange ships SKINNY
+    rows (ingest columns + bucket key); derived columns are recomputed
+    per final partition (see state/store._bucket_writer). Prints the
+    layout sha256 so byte-identity across parallelism sizes is checkable
+    from the output alone."""
+    import glob
+    import hashlib
+    import shutil
+
+    import ray
+    import ray.data
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             log_to_driver=False, logging_level="ERROR")
+    from geomesa_ray.sources.fixtures import ensure_scaling_corpus
+    from geomesa_ray.state.store import write_store
+
+    corpus = ensure_scaling_corpus()
+    paths = sorted(glob.glob(os.path.join(corpus, "images_*.parquet")))
+    out_dir = f"/tmp/graft_ingest_scale_{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def source(columns, n_blocks=None):
+        kw = {"override_num_blocks": n_blocks} if n_blocks else {}
+        return ray.data.read_parquet(paths, columns=columns, **kw)
+
+    t0 = time.perf_counter()
+    stats = write_store(corpus, out_dir, bucket_level=4, source=source)
+    dt = time.perf_counter() - t0
+
+    h = hashlib.sha256()
+    for p in sorted(os.listdir(out_dir)):
+        f = os.path.join(out_dir, p, "data.parquet")
+        if p.startswith("part=") and os.path.exists(f):
+            with open(f, "rb") as fh:
+                h.update(hashlib.sha256(fh.read()).digest())
+    ray.shutdown()
+    return {"metric": "GB-scale ingest (19.2M rows, 256 partitions)",
+            "value": round(dt, 2), "unit": "sec",
+            "rows_per_sec": round(19_200_000 / dt),
+            "num_cpus": num_cpus, "layout_sha256": h.hexdigest()[:16],
+            "store": stats}
+
+
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -303,6 +350,8 @@ def main():
         print(json.dumps(run_scaling_worker(num_cpus)))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
+    elif "--ingest-scale" in sys.argv:
+        print(json.dumps(run_ingest_scale(num_cpus)))
     elif "--stats" in sys.argv:
         run_stats(sf_dir, num_cpus)
     else:
