@@ -729,12 +729,16 @@ def append_store(out_dir: str, new_images: pa.Table,
                 out_dir, read_snapshot(out_dir)):
             snapshot_store(out_dir)  # pin the pre-append state
 
+    # same skinny exchange as write_store: ship ingest columns + bucket
+    # key only; merge_bucket recomputes the derived columns per touched
+    # partition (they're pure functions of phash)
+    def add_bucket_key(batch: pa.Table) -> pa.Table:
+        full = add_bucket(derive_and_encode(batch, cell_level),
+                          cell_level, bucket_level)
+        return batch.append_column("bucket", full.column("bucket"))
+
     ds = ray.data.from_arrow(new_images.select(meta["columns"]))
-    ds = ds.map_batches(derive_and_encode, batch_format="pyarrow",
-                        fn_kwargs={"cell_level": cell_level})
-    ds = ds.map_batches(add_bucket, batch_format="pyarrow",
-                        fn_kwargs={"cell_level": cell_level,
-                                   "bucket_level": bucket_level})
+    ds = ds.map_batches(add_bucket_key, batch_format="pyarrow")
     if n_salt > 1:
         hot_arr = np.array(sorted(meta.get("hot_buckets", [])), dtype=np.int64)
 
@@ -749,6 +753,10 @@ def append_store(out_dir: str, new_images: pa.Table,
 
     def merge_bucket(group: pa.Table) -> pa.Table:
         bucket = int(group.column("bucket")[0].as_py())
+        # rebuild the full row from the skinny shuffle payload (bucket
+        # from the shuffle key — recomputing would unsalt salted ids)
+        g = derive_and_encode(group.drop_columns(["bucket"]), cell_level)
+        group = g.append_column("bucket", group.column("bucket"))
         pdir = os.path.join(out_dir, f"part={bucket}")
         path = os.path.join(pdir, "data.parquet")
         if os.path.exists(path):
