@@ -545,6 +545,18 @@ def _point_wkt(batch, lon, lat):
                     pa.string())
 
 
+@register("geohash")
+def _geohash(batch, lon, lat, precision=9):
+    """Canonical base32 GeoHash of (lon, lat) — the converter DSL's
+    ``geohash($lon, $lat, bits)`` analog (Convert2ViewerFunction /
+    GeoHash.scala byte-compatible strings)."""
+    from geomesa_ray.curve.geohash import geohash_encode
+
+    x = _col(batch, lon).to_numpy(zero_copy_only=False)
+    y = _col(batch, lat).to_numpy(zero_copy_only=False)
+    return pa.array(geohash_encode(x, y, int(precision)), pa.string())
+
+
 def transform_batch(batch: pa.Table, spec: dict) -> pa.Table:
     """Apply a transform spec {out_col: (fn, args...) | 'col:name'}."""
     cols = {}

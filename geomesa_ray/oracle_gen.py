@@ -97,6 +97,33 @@ def cell_encode_sql(images_from: str, level: int, extra_cols: str = "image_id",
     )
 
 
+def geohash_sql(images_from: str, precision: int = 9,
+                extra_cols: str = "image_id",
+                out_name: str = "geohash") -> str:
+    """SELECT producing (extra_cols..., geohash) — the canonical base32
+    GeoHash string, bit-for-bit the layout of curve/geohash.py: lon-first
+    alternating bits, n_lon = ceil(5p/2), base32 alphabet indexing."""
+    nbits = 5 * precision
+    n_lon, n_lat = (nbits + 1) // 2, nbits // 2
+    ix = coord_sql(LON_SQL, 180.0, 360.0, n_lon)
+    iy = coord_sql(LAT_SQL, 90.0, 180.0, n_lat)
+    stages = _split_ctes(_SPLIT2, ["ix", "iy"], (1 << 32) - 1)
+    ctes = [f"g0 AS (SELECT {extra_cols}, {ix} AS ix, {iy} AS iy "
+            f"FROM {images_from})"]
+    prev = "g0"
+    for i, cols in enumerate(stages):
+        ctes.append(f"g{i + 1} AS (SELECT {extra_cols}, {cols} FROM {prev})")
+        prev = f"g{i + 1}"
+    code = "(ix | (iy << 1))" if nbits % 2 else "((ix << 1) | iy)"
+    ctes.append(f"gc AS (SELECT {extra_cols}, {code} AS code FROM {prev})")
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    chars = " || ".join(
+        f"substr('{alpha}', CAST(((code >> {5 * (precision - 1 - c)}) & 31) "
+        f"AS INT) + 1, 1)" for c in range(precision))
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT {extra_cols}, ({chars}) AS {out_name} FROM gc")
+
+
 def z2_from_xy_sql(from_rel: str, extra_cols: str,
                    cell_name: str = "tile") -> str:
     """Morton-encode integer ix/iy columns of an existing relation

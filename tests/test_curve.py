@@ -490,3 +490,89 @@ class TestXZ2Store:
                 if h}
         assert got == want and got
         assert 0 < n_read < n_total  # pruning applies to user tables too
+
+
+class TestGeoHash:
+    """Canonical base32 GeoHash (GeoHash.scala byte-format parity):
+    classic public vectors, an independent scalar bisection oracle, the
+    prefix-hierarchy property, and exact bounds round-trip."""
+
+    def test_classic_vectors(self):
+        from geomesa_ray.curve.geohash import geohash_decode, geohash_encode
+
+        got = geohash_encode(np.array([10.40744]), np.array([57.64911]), 11)
+        assert got[0] == "u4pruydqqvj"
+        assert geohash_encode(np.array([-5.6]), np.array([42.6]), 5)[0] \
+            == "ezs42"
+        lon, lat = geohash_decode(np.array(["ezs42"]))
+        assert abs(lon[0] - -5.60302734375) < 1e-12
+        assert abs(lat[0] - 42.60498046875) < 1e-12
+
+    @staticmethod
+    def _ref(lon, lat, precision):
+        """Independent scalar oracle: the canonical alternating-bisection
+        algorithm (no shared code with the vectorized kernel)."""
+        alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+        lo_x, hi_x, lo_y, hi_y = -180.0, 180.0, -90.0, 90.0
+        bits, even = [], True
+        while len(bits) < 5 * precision:
+            if even:
+                mid = (lo_x + hi_x) / 2
+                bits.append(1 if lon >= mid else 0)
+                lo_x, hi_x = (mid, hi_x) if lon >= mid else (lo_x, mid)
+            else:
+                mid = (lo_y + hi_y) / 2
+                bits.append(1 if lat >= mid else 0)
+                lo_y, hi_y = (mid, hi_y) if lat >= mid else (lo_y, mid)
+            even = not even
+        return "".join(alpha[int("".join(map(str, bits[5 * i:5 * i + 5])), 2)]
+                       for i in range(precision))
+
+    def test_matches_scalar_bisection_oracle(self):
+        from geomesa_ray.curve.geohash import geohash_encode
+
+        rng = np.random.default_rng(42)
+        lon = rng.uniform(-180, 180, 200)
+        lat = rng.uniform(-90, 90, 200)
+        for p in (1, 2, 5, 9, 12):
+            got = geohash_encode(lon, lat, p)
+            for i in range(len(lon)):
+                assert got[i] == self._ref(lon[i], lat[i], p), (i, p)
+
+    def test_bounds_contain_and_prefix_hierarchy(self):
+        from geomesa_ray.curve.geohash import geohash_bounds, geohash_encode
+
+        rng = np.random.default_rng(3)
+        lon = rng.uniform(-180, 180, 2000)
+        lat = rng.uniform(-90, 90, 2000)
+        prev = None
+        for p in range(1, 13):
+            h = geohash_encode(lon, lat, p)
+            b = geohash_bounds(h)
+            assert (b["lon_min"] <= lon).all() and (lon < b["lon_max"]).all()
+            assert (b["lat_min"] <= lat).all() and (lat < b["lat_max"]).all()
+            if prev is not None:  # each hash extends its parent
+                assert all(x.startswith(y) for x, y in zip(h, prev))
+            prev = h
+
+    def test_edge_clamp_and_invalid(self):
+        from geomesa_ray.curve.geohash import geohash_bounds, geohash_encode
+
+        h = geohash_encode(np.array([180.0, -180.0, 0.0]),
+                           np.array([90.0, -90.0, 0.0]), 9)
+        assert h[0] == "z" * 9 and h[1] == "0" * 9
+        with pytest.raises(ValueError, match="invalid geohash"):
+            geohash_bounds(np.array(["ezs4a"]))  # 'a' not in alphabet
+        with pytest.raises(ValueError, match="precision"):
+            geohash_encode(np.array([0.0]), np.array([0.0]), 13)
+
+    def test_registry_function(self):
+        import pyarrow as pa
+
+        from geomesa_ray.functions.registry import transform_batch
+
+        batch = pa.table({"x": pa.array([10.40744]),
+                          "y": pa.array([57.64911])})
+        out = transform_batch(batch, {
+            "gh": ("geohash", "col:x", "col:y", 11)})
+        assert out.column("gh")[0].as_py() == "u4pruydqqvj"
