@@ -1,0 +1,368 @@
+"""Blob store: arbitrary byte payloads keyed by id, indexed spatially.
+
+Reference parity: ``geomesa-blobstore/.../AccumuloBlobStore.scala:34-99``
+stores blob BYTES in a dedicated table keyed by id (row = id, qualifier
+= filename, value = bytes) and registers a skinny feature per blob
+(``filename, storeId, geom, date`` — ``AccumuloBlobStore.scala:101-113``)
+in a regular GeoMesa spatial index, so ``getIds(filter)`` finds blobs by
+geometry/time and ``get(id)`` fetches the payload. File handlers derive
+the geometry from put-params (``WKTFileHandler.scala``).
+
+Ray-Data shape — the same two-table split, as two manifest-committed
+parquet layouts under one directory:
+
+* ``blobs/part=<h>/``  — payload partitions bucketed by the splitmix64
+  hash of the blob id (``h = splitmix64(id_hash) % n_blob_parts``),
+  sorted by blob_id: a point ``get`` touches exactly one partition and
+  prunes row groups on the sorted id.
+* ``index/part=<b>/`` — SKINNY spatial index rows (blob_id, filename,
+  lon, lat, dtg_s, cell) bucketed by the level-``bucket_level`` Z2 cell
+  prefix and sorted by (cell, blob_id) — ``get_ids`` prunes partitions
+  with the same ``store_buckets_for_query`` Z2 range cover the main
+  store uses, then row groups on the sorted cell.
+
+Both writes are single ``groupby`` shuffles with the store's atomic
+partition-commit protocol, so a killed ``put_blobs`` resumes by skipping
+committed partitions; the bytes never travel through the index shuffle
+(only the skinny rows do — the blob shuffle ships each payload once).
+At scale, payloads stream through the object store block by block and
+the driver never materializes a byte.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from geomesa_ray.curve.sfc import Z2Grid
+from geomesa_ray.sources.fixtures import splitmix64
+from geomesa_ray.state.manifest import (commit_partition,
+                                        completed_partitions, skew_stats)
+
+DEFAULT_BLOB_PARTS = 64
+DEFAULT_BUCKET_LEVEL = 3  # 4^3 = 64 spatial index partitions
+INDEX_COLS = ["blob_id", "filename", "lon", "lat", "dtg_s", "cell"]
+
+
+def _blob_dir(root: str) -> str:
+    return os.path.join(root, "blobs")
+
+
+def _index_dir(root: str) -> str:
+    return os.path.join(root, "index")
+
+
+def _id_hashes(ids: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Vectorized 64-bit id hash (FNV-1a over utf-8, splitmix64
+    finalizer) — the deterministic bucket key for blob partitions."""
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    s = ids.cast(pa.string())
+    buf = np.frombuffer(s.buffers()[2], dtype=np.uint8) \
+        if s.buffers()[2] is not None else np.empty(0, np.uint8)
+    offs = np.frombuffer(s.buffers()[1], dtype=np.int32)[s.offset:
+                                                         s.offset + len(s) + 1]
+    h = np.full(len(s), 0xCBF29CE484222325, dtype=np.uint64)
+    lens = np.diff(offs)
+    with np.errstate(over="ignore"):
+        for k in range(int(lens.max()) if len(lens) else 0):
+            sel = lens > k
+            h[sel] = (h[sel] ^ buf[offs[:-1][sel] + k]) \
+                * np.uint64(0x100000001B3)
+    return splitmix64(h).view(np.int64)
+
+
+def blob_meta(root: str) -> dict:
+    with open(os.path.join(root, "meta.json")) as f:
+        return json.load(f)
+
+
+def put_blobs(root: str, table: pa.Table,
+              n_blob_parts: int = DEFAULT_BLOB_PARTS,
+              bucket_level: int = DEFAULT_BUCKET_LEVEL,
+              cell_level: int = 12) -> dict:
+    """Distributed, resumable put. ``table`` columns: blob_id (unique),
+    filename, bytes (binary), lon, lat, dtg_s (int64 epoch seconds).
+    Returns per-layout skew stats. The WKT-param handler convenience
+    (``WKTFileHandler`` role) is :func:`rows_from_params`."""
+    for c in ("blob_id", "filename", "bytes", "lon", "lat", "dtg_s"):
+        if c not in table.column_names:
+            raise ValueError(f"put_blobs: missing column {c!r}")
+    os.makedirs(root, exist_ok=True)
+    meta_path = os.path.join(root, "meta.json")
+    scheme = {"n_blob_parts": n_blob_parts, "bucket_level": bucket_level,
+              "cell_level": cell_level, "version": 1}
+    if os.path.exists(meta_path):
+        prev = blob_meta(root)
+        if {k: prev.get(k) for k in scheme} != scheme:
+            raise ValueError(
+                f"resume with different blobstore scheme {scheme} vs "
+                f"committed {prev}; use the original parameters")
+    else:
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(scheme, f)
+        os.replace(tmp, meta_path)
+
+    bdir, idir = _blob_dir(root), _index_dir(root)
+    done_b = {int(p) for p in completed_partitions(bdir)}
+    done_i = {int(p) for p in completed_partitions(idir)}
+    grid = Z2Grid(cell_level)
+    shift = np.int64(2 * (cell_level - bucket_level))
+
+    # ---- payload layout: one shuffle of (blob rows + hpart)
+    def add_hpart(batch: pa.Table) -> pa.Table:
+        h = _id_hashes(batch.column("blob_id"))
+        part = (h.view(np.uint64) % np.uint64(n_blob_parts)).astype(np.int64)
+        return batch.select(["blob_id", "filename", "bytes"]) \
+                    .append_column("hpart", pa.array(part))
+
+    def write_blob_part(group: pa.Table) -> pa.Table:
+        part = int(group.column("hpart")[0].as_py())
+        g = group.drop_columns(["hpart"]).sort_by([("blob_id", "ascending")])
+        commit_partition(bdir, part, g, {"part": part, "rows": g.num_rows})
+        return pa.table({"part": pa.array([part], pa.int64()),
+                         "rows": pa.array([g.num_rows], pa.int64())})
+
+    # ---- skinny spatial index: one shuffle of (id, filename, geo, bpart)
+    def add_bpart(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        cell = grid.encode(lon, lat)
+        out = batch.select(["blob_id", "filename", "lon", "lat", "dtg_s"])
+        out = out.append_column("cell", pa.array(cell))
+        return out.append_column("bpart", pa.array(cell >> shift))
+
+    def write_index_part(group: pa.Table) -> pa.Table:
+        part = int(group.column("bpart")[0].as_py())
+        g = group.drop_columns(["bpart"]).sort_by(
+            [("cell", "ascending"), ("blob_id", "ascending")])
+        commit_partition(idir, part, g, {"part": part, "rows": g.num_rows})
+        return pa.table({"part": pa.array([part], pa.int64()),
+                         "rows": pa.array([g.num_rows], pa.int64())})
+
+    def drop_done(done: set[int], col: str):
+        arr = pa.array(sorted(done), pa.int64())
+
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.invert(pc.is_in(batch.column(col), value_set=arr)))
+
+        return fn
+
+    n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    ds = ray.data.from_arrow(table).repartition(n_blocks)
+
+    blobs = ds.map_batches(add_hpart, batch_format="pyarrow")
+    if done_b:
+        blobs = blobs.map_batches(drop_done(done_b, "hpart"),
+                                  batch_format="pyarrow")
+    blobs.groupby("hpart").map_groups(write_blob_part,
+                                      batch_format="pyarrow").count()
+
+    idx = ds.map_batches(add_bpart, batch_format="pyarrow")
+    if done_i:
+        idx = idx.map_batches(drop_done(done_i, "bpart"),
+                              batch_format="pyarrow")
+    idx.groupby("bpart").map_groups(write_index_part,
+                                    batch_format="pyarrow").count()
+
+    return {"blobs": skew_stats(completed_partitions(bdir)),
+            "index": skew_stats(completed_partitions(idir))}
+
+
+def get_blob(root: str, blob_id: str) -> tuple[bytes, str]:
+    """Point fetch: (bytes, filename) — one partition file, row-group
+    pruned on the sorted id (AccumuloBlobStore.get: one Range scan).
+    Returns (b"", "") when absent, the reference's empty contract."""
+    meta = blob_meta(root)
+    h = _id_hashes(pa.array([blob_id]))[0]
+    part = int(np.uint64(np.int64(h)) % np.uint64(meta["n_blob_parts"]))
+    path = os.path.join(_blob_dir(root), f"part={part}", "data.parquet")
+    if not os.path.exists(path):
+        return b"", ""
+    t = pq.read_table(path, filters=[("blob_id", "=", blob_id)])
+    if t.num_rows == 0:
+        return b"", ""
+    return t.column("bytes")[0].as_py(), t.column("filename")[0].as_py()
+
+
+def index_parts_for_bbox(root: str, bbox: tuple | None) -> list[int]:
+    """Committed index partitions a bbox can touch (Z2 range cover at
+    the index bucket level) — the pruning surface of :func:`get_ids`."""
+    from geomesa_ray.pipelines.scan import SpatialQuery
+    from geomesa_ray.state.store import store_buckets_for_query
+
+    meta = blob_meta(root)
+    parts = sorted(int(p) for p in completed_partitions(_index_dir(root)))
+    if bbox is None:
+        return parts
+    want = store_buckets_for_query(SpatialQuery(*bbox),
+                                   meta["bucket_level"])
+    return [p for p in parts if p in want]
+
+
+def get_ids(root: str, bbox: tuple | None = None,
+            interval_s: tuple | None = None) -> ray.data.Dataset:
+    """getIds(filter) analog: skinny index scan, partitions pruned by
+    the Z2 range cover of the bbox, exact vectorized refine. Returns a
+    Dataset of (blob_id, filename, lon, lat, dtg_s, cell)."""
+    idir = _index_dir(root)
+    paths = [os.path.join(idir, f"part={p}", "data.parquet")
+             for p in index_parts_for_bbox(root, bbox)]
+    if not paths:
+        return ray.data.from_arrow(pa.table(
+            {c: pa.array([], pa.string() if c in ("blob_id", "filename")
+                         else pa.int64() if c in ("dtg_s", "cell")
+                         else pa.float64()) for c in INDEX_COLS}))
+    # columns= keeps Ray's hive-partition inference from injecting the
+    # directory's part= key into the schema
+    ds = ray.data.read_parquet(paths, columns=INDEX_COLS)
+
+    def refine(batch: pa.Table) -> pa.Table:
+        m = np.ones(batch.num_rows, dtype=bool)
+        if bbox is not None:
+            lon = batch.column("lon").to_numpy(zero_copy_only=False)
+            lat = batch.column("lat").to_numpy(zero_copy_only=False)
+            m &= (lon >= bbox[0]) & (lon <= bbox[1]) \
+                & (lat >= bbox[2]) & (lat <= bbox[3])
+        if interval_s is not None:
+            t = batch.column("dtg_s").to_numpy(zero_copy_only=False)
+            m &= (t >= interval_s[0]) & (t <= interval_s[1])
+        return batch.filter(pa.array(m))
+
+    if bbox is not None or interval_s is not None:
+        ds = ds.map_batches(refine, batch_format="pyarrow")
+    return ds
+
+
+def fetch_blobs(root: str, ids: ray.data.Dataset | list) -> ray.data.Dataset:
+    """Distributed batched fetch: ids group by their blob partition and
+    each group reads ONLY its partition file, masked by id — the
+    BatchMultiScanner role; no driver-side byte ever."""
+    from geomesa_ray.util import id_membership_mask
+
+    meta = blob_meta(root)
+    n_parts = meta["n_blob_parts"]
+    if isinstance(ids, list):
+        ids = ray.data.from_arrow(pa.table({"blob_id":
+                                            pa.array(ids, pa.string())}))
+
+    def add_hpart(batch: pa.Table) -> pa.Table:
+        h = _id_hashes(batch.column("blob_id"))
+        part = (h.view(np.uint64) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"blob_id": batch.column("blob_id"),
+                         "hpart": pa.array(part)})
+
+    def fetch(group: pa.Table) -> pa.Table:
+        part = int(group.column("hpart")[0].as_py())
+        path = os.path.join(_blob_dir(root), f"part={part}", "data.parquet")
+        want = np.sort(np.asarray(group.column("blob_id").to_pylist(),
+                                  dtype=object))
+        if not os.path.exists(path):
+            return pa.table({"blob_id": pa.array([], pa.string()),
+                             "filename": pa.array([], pa.string()),
+                             "bytes": pa.array([], pa.binary())})
+        t = pq.read_table(path)
+        return t.filter(pa.array(id_membership_mask(t.column("blob_id"),
+                                                    want)))
+
+    keyed = ids.select_columns(["blob_id"]).map_batches(
+        add_hpart, batch_format="pyarrow")
+    return keyed.groupby("hpart").map_groups(fetch, batch_format="pyarrow")
+
+
+def delete_blobs(root: str, ids: list[str]) -> dict:
+    """Delete payload + index rows for the given ids. One Ray task per
+    candidate partition (id-hash narrows the blob side to exactly the
+    buckets the ids map to; the index side scans all partitions — the
+    ids' locations aren't known a priori), each rewriting its partition
+    atomically and re-committing the manifest. The id set broadcasts
+    once via ray.put."""
+    meta = blob_meta(root)
+    want_ref = ray.put(np.sort(np.array(ids, dtype=object)))
+    h = _id_hashes(pa.array(ids, pa.string()))
+    bparts = sorted(set(
+        (h.view(np.uint64) % np.uint64(meta["n_blob_parts"]))
+        .astype(np.int64).tolist()))
+    iparts = sorted(int(p) for p in
+                    completed_partitions(_index_dir(root)))
+    items = [{"layout": "blobs", "part": p} for p in bparts] \
+        + [{"layout": "index", "part": p} for p in iparts]
+    if not items:
+        return {"deleted": 0}
+
+    def drop(batch: pa.Table) -> pa.Table:
+        from geomesa_ray.state.manifest import write_manifest
+        from geomesa_ray.util import id_membership_mask, resolve_broadcast
+
+        want = resolve_broadcast(want_ref)
+        out_n = []
+        is_blob = []
+        for layout, part in zip(batch.column("layout").to_pylist(),
+                                batch.column("part").to_pylist()):
+            base = os.path.join(root, layout)
+            pdir = os.path.join(base, f"part={part}")
+            path = os.path.join(pdir, "data.parquet")
+            n_hit = 0
+            if os.path.exists(path):
+                t = pq.read_table(path)
+                m = id_membership_mask(t.column("blob_id"), want)
+                n_hit = int(m.sum())
+                if n_hit:
+                    kept = t.filter(pa.array(~m))
+                    tmp = os.path.join(pdir, ".data.parquet.tmp")
+                    pq.write_table(kept, tmp, row_group_size=65536)
+                    os.replace(tmp, path)
+                    write_manifest(base, part, {"part": part,
+                                                "rows": kept.num_rows})
+            out_n.append(n_hit)
+            is_blob.append(layout == "blobs")
+        return pa.table({"hit": pa.array(out_n, pa.int64()),
+                         "blob": pa.array(is_blob, pa.bool_())})
+
+    rows = ray.data.from_items(items, override_num_blocks=len(items)) \
+        .map_batches(drop, batch_format="pyarrow").take_all()
+    return {"deleted": int(sum(r["hit"] for r in rows if r["blob"]))}
+
+
+def rows_from_params(files: list[tuple[str, bytes]],
+                     params: list[dict]) -> pa.Table:
+    """WKTFileHandler analog: build put_blobs rows from (filename, bytes)
+    pairs + per-file params carrying ``wkt`` ('POINT (x y)') and
+    ``dtg_s``. Blob id = filename stem + content-hash suffix (the
+    handler's deterministic-id role)."""
+    import re
+
+    lons, lats, ids, names, blobs, dtgs = [], [], [], [], [], []
+    pat = re.compile(r"POINT\s*\(\s*(-?[\d.]+)\s+(-?[\d.]+)\s*\)")
+    for (name, data), p in zip(files, params):
+        m = pat.match(p["wkt"])
+        if not m:
+            raise ValueError(f"unsupported geometry (points only): "
+                             f"{p['wkt']!r}")
+        lons.append(float(m.group(1)))
+        lats.append(float(m.group(2)))
+        h = int(splitmix64(np.uint64(len(data))
+                           ^ np.frombuffer(
+                               (data[:8] + b"\0" * 8)[:8], np.uint64)[0]))
+        ids.append(f"{os.path.splitext(name)[0]}_{h & 0xFFFFFFFF:08x}")
+        names.append(name)
+        blobs.append(data)
+        dtgs.append(int(p["dtg_s"]))
+    return pa.table({
+        "blob_id": pa.array(ids, pa.string()),
+        "filename": pa.array(names, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "lon": pa.array(lons, pa.float64()),
+        "lat": pa.array(lats, pa.float64()),
+        "dtg_s": pa.array(dtgs, pa.int64()),
+    })

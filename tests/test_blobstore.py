@@ -1,0 +1,159 @@
+"""Blob store (reference: geomesa-blobstore AccumuloBlobStore.scala:34-99
+— id-keyed payload table + skinny spatial feature index; WKTFileHandler
+param-derived geometry) — put/get/get_ids/fetch/delete + resume."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geomesa_ray.state.blobstore import (
+    blob_meta,
+    delete_blobs,
+    fetch_blobs,
+    get_blob,
+    get_ids,
+    put_blobs,
+    rows_from_params,
+)
+
+N = 500
+
+
+def _corpus() -> pa.Table:
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-180, 180, N)
+    lat = rng.uniform(-90, 90, N)
+    return pa.table({
+        "blob_id": pa.array([f"blob{i:05d}" for i in range(N)]),
+        "filename": pa.array([f"f{i}.bin" for i in range(N)]),
+        "bytes": pa.array([bytes([i % 256]) * (10 + i % 90)
+                           for i in range(N)], pa.binary()),
+        "lon": pa.array(lon), "lat": pa.array(lat),
+        "dtg_s": pa.array((1700000000 + np.arange(N) * 3600)
+                          .astype(np.int64)),
+    })
+
+
+@pytest.fixture(scope="module")
+def bstore(ray_session, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("blobstore") / "bs")
+    stats = put_blobs(root, _corpus())
+    return root, stats
+
+
+class TestPutGet:
+    def test_put_stats_and_layouts(self, bstore):
+        root, stats = bstore
+        assert stats["blobs"]["rows"] == N == stats["index"]["rows"]
+        assert stats["blobs"]["partitions"] > 1
+        assert os.path.exists(os.path.join(root, "meta.json"))
+
+    def test_point_get_byte_exact(self, bstore):
+        root, _ = bstore
+        t = _corpus()
+        for i in (0, 7, N - 1):
+            data, name = get_blob(root, t.column("blob_id")[i].as_py())
+            assert data == t.column("bytes")[i].as_py()
+            assert name == t.column("filename")[i].as_py()
+
+    def test_get_missing_is_empty(self, bstore):
+        root, _ = bstore
+        assert get_blob(root, "nope") == (b"", "")
+
+    def test_fetch_many_distributed(self, bstore):
+        root, _ = bstore
+        t = _corpus()
+        ids = [t.column("blob_id")[i].as_py() for i in range(0, N, 17)]
+        rows = {r["blob_id"]: r["bytes"]
+                for r in fetch_blobs(root, ids).take_all()}
+        want = {t.column("blob_id")[i].as_py(): t.column("bytes")[i].as_py()
+                for i in range(0, N, 17)}
+        assert rows == want
+
+
+class TestSpatialIds:
+    def test_get_ids_matches_brute_force(self, bstore):
+        root, _ = bstore
+        t = _corpus()
+        bbox = (-60.0, 40.0, -30.0, 45.0)
+        got = {r["blob_id"] for r in get_ids(root, bbox=bbox).take_all()}
+        lon = t.column("lon").to_numpy()
+        lat = t.column("lat").to_numpy()
+        m = (lon >= bbox[0]) & (lon <= bbox[1]) \
+            & (lat >= bbox[2]) & (lat <= bbox[3])
+        want = set(np.array(t.column("blob_id").to_pylist())[m].tolist())
+        assert got == want and got
+
+    def test_interval_composes(self, bstore):
+        root, _ = bstore
+        t = _corpus()
+        iv = (1700000000 + 100 * 3600, 1700000000 + 300 * 3600)
+        got = {r["blob_id"]
+               for r in get_ids(root, interval_s=iv).take_all()}
+        d = t.column("dtg_s").to_numpy()
+        m = (d >= iv[0]) & (d <= iv[1])
+        want = set(np.array(t.column("blob_id").to_pylist())[m].tolist())
+        assert got == want and got
+
+    def test_bbox_prunes_partitions(self, bstore):
+        from geomesa_ray.state.blobstore import index_parts_for_bbox
+
+        root, _ = bstore
+        small = index_parts_for_bbox(root, (1.0, 2.0, 1.0, 2.0))
+        full = index_parts_for_bbox(root, None)
+        assert small and len(small) < len(full)
+        # schema stays clean: no hive part= key leaks into results
+        assert "part" not in get_ids(root).schema().names
+
+
+class TestDeleteResume:
+    def test_delete_removes_everywhere(self, ray_session, tmp_path):
+        root = str(tmp_path / "bs")
+        put_blobs(root, _corpus())
+        victims = ["blob00003", "blob00400"]
+        out = delete_blobs(root, victims)
+        assert out["deleted"] == 2
+        assert get_blob(root, victims[0]) == (b"", "")
+        left = {r["blob_id"] for r in get_ids(root).take_all()}
+        assert not set(victims) & left and len(left) == N - 2
+
+    def test_put_resume_skips_committed(self, ray_session, tmp_path):
+        root = str(tmp_path / "bs2")
+        put_blobs(root, _corpus())
+        before = os.path.getmtime(
+            os.path.join(root, "blobs", "part=0", "data.parquet"))
+        put_blobs(root, _corpus())  # replay: all partitions committed
+        after = os.path.getmtime(
+            os.path.join(root, "blobs", "part=0", "data.parquet"))
+        assert before == after  # nothing rewritten
+        assert get_ids(root).count() == N
+
+    def test_scheme_guard(self, ray_session, tmp_path):
+        root = str(tmp_path / "bs3")
+        put_blobs(root, _corpus())
+        with pytest.raises(ValueError, match="scheme"):
+            put_blobs(root, _corpus(), n_blob_parts=8)
+
+
+class TestHandler:
+    def test_rows_from_params_wkt(self, ray_session, tmp_path):
+        files = [("a.jpg", b"\x01\x02"), ("b.jpg", b"\x03\x04\x05")]
+        params = [{"wkt": "POINT (10.5 -3.25)", "dtg_s": 1700000000},
+                  {"wkt": "POINT (-120 45)", "dtg_s": 1700003600}]
+        t = rows_from_params(files, params)
+        assert t.column("lon").to_pylist() == [10.5, -120.0]
+        assert t.column("lat").to_pylist() == [-3.25, 45.0]
+        assert t.column("bytes")[1].as_py() == b"\x03\x04\x05"
+        # ids deterministic and distinct
+        ids = t.column("blob_id").to_pylist()
+        assert len(set(ids)) == 2 and ids[0].startswith("a_")
+        root = str(tmp_path / "bs4")
+        put_blobs(root, t)
+        data, name = get_blob(root, ids[0])
+        assert data == b"\x01\x02" and name == "a.jpg"
+        with pytest.raises(ValueError, match="points only"):
+            rows_from_params([("c.jpg", b"")],
+                             [{"wkt": "LINESTRING (0 0, 1 1)",
+                               "dtg_s": 0}])
