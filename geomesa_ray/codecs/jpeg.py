@@ -27,8 +27,11 @@ RGB clip.
 Reference parity: the reference round-trips raster chunks through
 ImageIO JPEG (`geomesa-raster/.../util/RasterUtils.scala` imageToBytes /
 bytesToImage); the actor-pool image stages call this codec instead.
-Progressive/arithmetic/12-bit modes and restart markers raise
-``NotImplementedError`` (honest gate — baseline only).
+Restart intervals (DRI/RSTm, T.81 E.1.4) are supported on both sides:
+``encode_jpeg(restart_interval=n)`` emits byte-aligned independent
+intervals joined by RSTm, and the decoder resets bit state + DC
+predictors at each marker. Progressive/arithmetic/12-bit modes raise
+``NotImplementedError`` (honest gate — sequential baseline only).
 """
 
 from __future__ import annotations
@@ -176,7 +179,7 @@ def _bit_length(v: np.ndarray) -> np.ndarray:
 
 
 def _encode_scan(comp_zz: list[np.ndarray], samp: list[tuple[int, int]],
-                 dc_tab, ac_tab) -> list[bytes]:
+                 dc_tab, ac_tab, ri: int | None = None) -> list[bytes]:
     """Entropy-code interleaved scans for a whole IMAGE BATCH, vectorized.
 
     Instead of a per-coefficient Python bit-writer loop (measured
@@ -196,6 +199,13 @@ def _encode_scan(comp_zz: list[np.ndarray], samp: list[tuple[int, int]],
     ``comp_zz[ci]`` is (n_img, nby, nbx, 64) zigzag coeffs padded to
     the MCU grid (nby = mcuy*vi, nbx = mcux*hi). Returns one entropy
     segment per image.
+
+    ``ri`` (restart interval, T.81 §B.2.4.4/E.1.4): the MCU sequence
+    splits into ceil(n_mcu/ri) restart intervals, each an independent
+    bit stream (DC predictors reset, byte-aligned 1-pad) joined by RSTm
+    markers (m = interval % 8) — expressed here by widening the stream
+    key from per-image to per-(image, interval), so the exact same
+    sort/pad/pack machinery handles both layouts.
     """
     n_img = comp_zz[0].shape[0]
     # symbol -> (code, len) dicts to flat LUT arrays
@@ -213,6 +223,7 @@ def _encode_scan(comp_zz: list[np.ndarray], samp: list[tuple[int, int]],
     n_mcu = (comp_zz[0].shape[1] // samp[0][1]) \
         * (comp_zz[0].shape[2] // samp[0][0])
     K = n_mcu * total_units  # interleave keys per image
+    n_seg = -(-n_mcu // ri) if ri else 1  # restart intervals per image
 
     keys, seqs, f1v, f1l, f2v, f2l = [], [], [], [], [], []
 
@@ -234,14 +245,22 @@ def _encode_scan(comp_zz: list[np.ndarray], samp: list[tuple[int, int]],
         local = (by % vi) * hi + (bx % hi)
         order = np.lexsort((local, mcu))  # MCU traversal order
         zz = zz4.reshape(n_img, nb, 64)[:, order].astype(np.int64)
-        gk_base = mcu[order] * total_units + unit_off[ci] + local[order]
-        gk = (np.arange(n_img, dtype=np.int64)[:, None] * K
-              + gk_base[None, :]).reshape(-1)
+        mcu_ord = mcu[order]
+        seg_ord = (mcu_ord // ri) if ri else np.zeros(nb, dtype=np.int64)
+        gk_base = mcu_ord * total_units + unit_off[ci] + local[order]
+        # stream id = image * n_seg + restart interval: every interval
+        # gets its own byte-aligned padded stream below
+        gk = ((np.arange(n_img, dtype=np.int64)[:, None] * n_seg
+               + seg_ord[None, :]) * K + gk_base[None, :]).reshape(-1)
 
-        # ---- DC: differential along each image's traversal
+        # ---- DC: differential along each image's traversal, predictor
+        # reset at every restart-interval boundary (T.81 E.1.4)
         dc = zz[:, :, 0]
         diff = dc.copy()
         diff[:, 1:] -= dc[:, :-1]
+        if ri:
+            resets = np.nonzero(seg_ord[1:] != seg_ord[:-1])[0] + 1
+            diff[:, resets] = dc[:, resets]
         diff = diff.reshape(-1)
         s = _bit_length(np.abs(diff))
         mag = np.where(diff >= 0, diff, diff + _POW2[s] - 1)
@@ -296,12 +315,14 @@ def _encode_scan(comp_zz: list[np.ndarray], samp: list[tuple[int, int]],
     value = (np.concatenate(f1v)[srt] << m_len) | np.concatenate(f2v)[srt]
     nbits = np.concatenate(f1l)[srt] + m_len
 
-    # bit layout: each image's stream starts byte-aligned; the gap
-    # between an image's last record and its byte boundary is a 1s-pad
-    # record (T.81 F.1.2.3)
-    rec_img = key[srt] // K
+    # bit layout: each stream (one per image, or one per restart
+    # interval per image) starts byte-aligned; the gap between a
+    # stream's last record and its byte boundary is a 1s-pad record
+    # (T.81 F.1.2.3)
+    n_streams = n_img * n_seg
+    rec_img = key[srt] // K  # stream id
     tot = np.bincount(rec_img, weights=nbits,
-                      minlength=n_img).astype(np.int64)
+                      minlength=n_streams).astype(np.int64)
     padded = (tot + 7) & ~np.int64(7)
     img_base = np.concatenate(([0], np.cumsum(padded)))
     cs = np.cumsum(nbits) - nbits
@@ -327,20 +348,29 @@ def _encode_scan(comp_zz: list[np.ndarray], samp: list[tuple[int, int]],
                          ((v40 >> (32 - 8 * k)) & 0xFF).astype(np.uint8))
     out_b = out_b[:nbytes]
 
-    # per-image: slice at byte boundaries and stuff 0xFF -> 0xFF 0x00
+    # per-stream: slice at byte boundaries, stuff 0xFF -> 0xFF 0x00;
+    # an image's restart intervals join with RSTm markers (m = s % 8),
+    # markers BETWEEN intervals only (none after the last)
     bb = img_base >> 3
     out: list[bytes] = []
     for i in range(n_img):
-        b = out_b[bb[i]:bb[i + 1]]
-        ff = np.nonzero(b == 0xFF)[0]
-        if len(ff):
-            b = np.insert(b, ff + 1, 0)
-        out.append(b.tobytes())
+        parts = []
+        for s in range(n_seg):
+            st = i * n_seg + s
+            b = out_b[bb[st]:bb[st + 1]]
+            ff = np.nonzero(b == 0xFF)[0]
+            if len(ff):
+                b = np.insert(b, ff + 1, 0)
+            if s:
+                parts.append(bytes([0xFF, 0xD0 + ((s - 1) % 8)]))
+            parts.append(b.tobytes())
+        out.append(b"".join(parts))
     return out
 
 
 def encode_jpeg_batch(imgs: np.ndarray, quality: int = 98,
-                      subsample: bool = False) -> list[bytes]:
+                      subsample: bool = False,
+                      restart_interval: int | None = None) -> list[bytes]:
     """(n, h, w, 3) uint8 RGB (or (n, h, w) grey) stack -> n JFIF byte
     strings, all sharing one header (same dims/tables) with per-image
     entropy segments produced by ONE vectorized pass over every block
@@ -405,7 +435,10 @@ def encode_jpeg_batch(imgs: np.ndarray, quality: int = 98,
             .reshape(n_img, nby, nbx, 64)
         comp_blocks.append(zz)
 
-    segments = _encode_scan(comp_blocks, samp, dc_tab, ac_tab)
+    if restart_interval is not None and restart_interval < 1:
+        raise ValueError("restart_interval must be >= 1")
+    segments = _encode_scan(comp_blocks, samp, dc_tab, ac_tab,
+                            ri=restart_interval)
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -425,6 +458,8 @@ def encode_jpeg_batch(imgs: np.ndarray, quality: int = 98,
     head += seg(0xFFC0, sof)
     head += seg(0xFFC4, _dht_payload(dc_tab, 0, 0))
     head += seg(0xFFC4, _dht_payload(ac_tab, 1, 0))
+    if restart_interval is not None:
+        head += seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
@@ -435,7 +470,8 @@ def encode_jpeg_batch(imgs: np.ndarray, quality: int = 98,
 
 
 def encode_jpeg(arr: np.ndarray, quality: int = 98,
-                subsample: bool = False) -> bytes:
+                subsample: bool = False,
+                restart_interval: int | None = None) -> bytes:
     """(h, w, 3) uint8 RGB (or (h, w) grey) -> baseline JFIF bytes.
 
     ``subsample=True`` emits 4:2:0 chroma (higher compression, lower
@@ -445,7 +481,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 98,
     overhead).
     """
     return encode_jpeg_batch(np.asarray(arr)[None], quality=quality,
-                             subsample=subsample)[0]
+                             subsample=subsample,
+                             restart_interval=restart_interval)[0]
 
 
 # ---------------------------------------------------------------- decode
@@ -510,6 +547,7 @@ def _parse_stream(buf: bytes):
     dc_tabs: dict[int, _HuffDecoder] = {}
     ac_tabs: dict[int, _HuffDecoder] = {}
     frame = None
+    ri_val = 0
     n = len(buf)
     while pos + 4 <= n:
         if buf[pos] != 0xFF:
@@ -558,10 +596,8 @@ def _parse_stream(buf: bytes):
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X})")
-        elif marker == 0xDD:  # DRI
-            (ri,) = struct.unpack_from(">H", body, 0)
-            if ri != 0:
-                raise NotImplementedError("restart intervals")
+        elif marker == 0xDD:  # DRI: restart interval in MCUs (0 = none)
+            (ri_val,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -571,9 +607,21 @@ def _parse_stream(buf: bytes):
                 cs, tt = body[1 + 2 * si], body[2 + 2 * si]
                 comp = next(c for c in frame["comps"] if c["cid"] == cs)
                 scan.append((comp, dc_tabs[tt >> 4], ac_tabs[tt & 0xF]))
+            frame["ri"] = ri_val
             return frame, scan, qts, seg_end
         # APPn / COM skipped
     raise ValueError("no SOS in JPEG")
+
+
+def _destuff_arr(arr: np.ndarray) -> bytes:
+    """Remove 0xFF00 stuffing from a marker-free entropy slice."""
+    ff = np.nonzero(arr[:-1] == 0xFF)[0]
+    drop = ff[arr[ff + 1] == 0] + 1
+    if len(drop):
+        keep = np.ones(len(arr), dtype=bool)
+        keep[drop] = False
+        arr = arr[keep]
+    return arr.tobytes()
 
 
 def _destuff(buf: bytes, pos: int) -> bytes:
@@ -585,13 +633,28 @@ def _destuff(buf: bytes, pos: int) -> bytes:
     nxt = arr[ff + 1]
     real = ff[nxt != 0]  # first non-stuffed 0xFF starts a marker
     end = int(real[0]) if len(real) else len(arr)
-    seg = arr[:end]
-    drop = ff[(nxt == 0) & (ff < end - 1)] + 1
-    if len(drop):
-        keep = np.ones(len(seg), dtype=bool)
-        keep[drop] = False
-        seg = seg[keep]
-    return seg.tobytes()
+    return _destuff_arr(arr[:end])
+
+
+def _split_restart_segments(buf: bytes, pos: int) -> list[bytes]:
+    """Destuffed entropy streams of each restart interval: the scan data
+    from ``pos`` split at RSTm markers (any non-stuffed 0xFF 0xD0-0xD7;
+    other markers end the scan). T.81 E.1.4."""
+    arr = np.frombuffer(buf, dtype=np.uint8)[pos:]
+    ff = np.nonzero(arr[:-1] == 0xFF)[0]
+    nxt = arr[ff + 1]
+    segs = []
+    start = 0
+    for f, nx in zip(ff.tolist(), nxt.tolist()):
+        if nx == 0 or f < start:
+            continue  # stuffed byte, or marker byte inside a skip
+        segs.append(_destuff_arr(arr[start:f]))
+        if 0xD0 <= nx <= 0xD7:
+            start = f + 2
+            continue
+        return segs  # EOI or any other marker ends the scan
+    segs.append(_destuff_arr(arr[start:]))
+    return segs
 
 
 def _decode_scan(buf: bytes, pos: int, frame, scan, qts) -> np.ndarray:
@@ -610,78 +673,96 @@ def _decode_scan(buf: bytes, pos: int, frame, scan, qts) -> np.ndarray:
 
     # ---- entropy decode: destuffed stream + local-variable bit
     # accumulator + 16-bit LUT per symbol (see _HuffDecoder); ~6x
-    # faster than the per-bit reader this replaces
-    stream = _destuff(buf, pos)
+    # faster than the per-bit reader this replaces. With a restart
+    # interval, each interval is an independent stream: bit state and
+    # DC predictors reset at every boundary (T.81 E.1.4).
+    ri = frame.get("ri", 0)
+    if ri:
+        segments = _split_restart_segments(buf, pos)
+        want_segs = -(-(mcuy * mcux) // ri)
+        if len(segments) != want_segs:
+            raise ValueError(
+                f"restart stream has {len(segments)} intervals, "
+                f"expected {want_segs}")
+        stream = segments[0]
+    else:
+        stream = _destuff(buf, pos)
     ns = len(stream)
     acc = 0
     nb = 0
     sp = 0
     preds = [0] * len(scan)
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci, (comp, dct, act) in enumerate(scan):
-                dsym, dlen = dct.lut_sym, dct.lut_len
-                asym, alen = act.lut_sym, act.lut_len
-                cv = comp["v"]
-                for bidx in range(cv * comp["h"]):
-                    zz = coeffs[ci][my * cv + bidx // comp["h"],
-                                    mx * comp["h"] + bidx % comp["h"]]
-                    # -- DC
+    for mi in range(mcuy * mcux):
+        if ri and mi and mi % ri == 0:
+            if sp - (nb >> 3) > ns:
+                raise ValueError("JPEG entropy stream truncated")
+            stream = segments[mi // ri]
+            ns, acc, nb, sp = len(stream), 0, 0, 0
+            preds = [0] * len(scan)
+        my, mx = divmod(mi, mcux)
+        for ci, (comp, dct, act) in enumerate(scan):
+            dsym, dlen = dct.lut_sym, dct.lut_len
+            asym, alen = act.lut_sym, act.lut_len
+            cv = comp["v"]
+            for bidx in range(cv * comp["h"]):
+                zz = coeffs[ci][my * cv + bidx // comp["h"],
+                                mx * comp["h"] + bidx % comp["h"]]
+                # -- DC
+                while nb < 16:
+                    acc = (acc << 8) | (stream[sp] if sp < ns else 0)
+                    sp += 1
+                    nb += 8
+                peek = (acc >> (nb - 16)) & 0xFFFF
+                s = dsym[peek]
+                ln = dlen[peek]
+                if ln == 0:
+                    raise ValueError("invalid Huffman code")
+                nb -= ln
+                if s:
+                    while nb < s:
+                        acc = (acc << 8) | (stream[sp] if sp < ns else 0)
+                        sp += 1
+                        nb += 8
+                    r = (acc >> (nb - s)) & ((1 << s) - 1)
+                    nb -= s
+                    diff = r if r >= (1 << (s - 1)) else r - (1 << s) + 1
+                else:
+                    diff = 0
+                preds[ci] += diff
+                zz[0] = preds[ci]
+                acc &= (1 << nb) - 1
+                # -- AC
+                k = 1
+                while k <= 63:
                     while nb < 16:
                         acc = (acc << 8) | (stream[sp] if sp < ns else 0)
                         sp += 1
                         nb += 8
                     peek = (acc >> (nb - 16)) & 0xFFFF
-                    s = dsym[peek]
-                    ln = dlen[peek]
+                    rs = asym[peek]
+                    ln = alen[peek]
                     if ln == 0:
                         raise ValueError("invalid Huffman code")
                     nb -= ln
-                    if s:
-                        while nb < s:
-                            acc = (acc << 8) | (stream[sp] if sp < ns else 0)
-                            sp += 1
-                            nb += 8
-                        r = (acc >> (nb - s)) & ((1 << s) - 1)
-                        nb -= s
-                        diff = r if r >= (1 << (s - 1)) else r - (1 << s) + 1
-                    else:
-                        diff = 0
-                    preds[ci] += diff
-                    zz[0] = preds[ci]
-                    acc &= (1 << nb) - 1
-                    # -- AC
-                    k = 1
-                    while k <= 63:
-                        while nb < 16:
-                            acc = (acc << 8) | (stream[sp] if sp < ns else 0)
-                            sp += 1
-                            nb += 8
-                        peek = (acc >> (nb - 16)) & 0xFFFF
-                        rs = asym[peek]
-                        ln = alen[peek]
-                        if ln == 0:
-                            raise ValueError("invalid Huffman code")
-                        nb -= ln
-                        s = rs & 0xF
-                        if s == 0:
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += rs >> 4
-                        if k > 63:
-                            raise ValueError("AC run past end of block")
-                        while nb < s:
-                            acc = (acc << 8) | (stream[sp] if sp < ns else 0)
-                            sp += 1
-                            nb += 8
-                        r = (acc >> (nb - s)) & ((1 << s) - 1)
-                        nb -= s
-                        zz[k] = r if r >= (1 << (s - 1)) \
-                            else r - (1 << s) + 1
-                        k += 1
-                    acc &= (1 << nb) - 1
+                    s = rs & 0xF
+                    if s == 0:
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    while nb < s:
+                        acc = (acc << 8) | (stream[sp] if sp < ns else 0)
+                        sp += 1
+                        nb += 8
+                    r = (acc >> (nb - s)) & ((1 << s) - 1)
+                    nb -= s
+                    zz[k] = r if r >= (1 << (s - 1)) \
+                        else r - (1 << s) + 1
+                    k += 1
+                acc &= (1 << nb) - 1
     if sp - (nb >> 3) > ns:
         raise ValueError("JPEG entropy stream truncated")
 
@@ -783,6 +864,10 @@ def decode_jpeg_batch(bufs: list[bytes]) -> list[np.ndarray]:
     frame, scan, qts, sos_end = _parse_stream(bufs[0])
     head = bufs[0][:sos_end]
     if any(b[:sos_end] != head for b in bufs[1:]):
+        return [decode_jpeg(b) for b in bufs]
+    if frame.get("ri"):
+        # restart streams reset bit state mid-scan, which the lockstep
+        # advance doesn't model — per-image decode handles them
         return [decode_jpeg(b) for b in bufs]
 
     n = len(bufs)

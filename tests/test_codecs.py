@@ -505,3 +505,87 @@ class TestBatchDecoderTruncation:
         _, _, _, sos_end = _parse_stream(bufs[0])
         with pytest.raises(ValueError):
             decode_jpeg_batch([b[:sos_end + 1] for b in bufs])
+
+
+class TestRestartIntervals:
+    """DRI/RSTm support (T.81 E.1.4): byte-aligned independent intervals,
+    DC predictor reset, decoder resync — round-trip, structural marker
+    layout, and an asymmetric proof of the reset semantics."""
+
+    def _img(self, shape=(24, 16, 3), seed=5):
+        return np.random.default_rng(seed).integers(
+            0, 256, shape, dtype=np.uint8)
+
+    def test_pixels_identical_to_plain_all_intervals(self):
+        from geomesa_ray.codecs.jpeg import decode_jpeg, encode_jpeg
+
+        img = self._img()  # 6 MCUs at 4:4:4
+        plain = decode_jpeg(encode_jpeg(img))
+        for ri in (1, 2, 4, 5, 100):
+            out = decode_jpeg(encode_jpeg(img, restart_interval=ri))
+            assert np.array_equal(out, plain), f"ri={ri}"
+
+    def test_marker_structure(self):
+        from geomesa_ray.codecs.jpeg import encode_jpeg
+
+        img = self._img()
+        for ri, n_seg in ((1, 6), (2, 3), (4, 2), (100, 1)):
+            buf = encode_jpeg(img, restart_interval=ri)
+            assert b"\xff\xdd" in buf  # DRI present
+            rsts = sum(buf.count(bytes([0xFF, 0xD0 + m]))
+                       for m in range(8))
+            assert rsts == n_seg - 1, (ri, rsts)
+
+    def test_dc_reset_is_real(self):
+        """Asymmetric proof the predictor resets: on a uniform image
+        every interval's entropy bits are IDENTICAL (each starts from
+        predictor 0 and codes the full DC value). A symmetric
+        encoder/decoder bug that skipped the reset would still
+        round-trip — but interval 2+ would code diff=0 and the segments
+        would differ."""
+        import re
+
+        from geomesa_ray.codecs.jpeg import encode_jpeg
+
+        img = np.full((16, 32, 3), 200, dtype=np.uint8)  # 8 equal MCUs
+        buf = encode_jpeg(img, restart_interval=2)
+        sos = buf.find(b"\xff\xda")
+        ln = int.from_bytes(buf[sos + 2:sos + 4], "big")
+        parts = re.split(b"\xff[\xd0-\xd7]", buf[sos + 2 + ln:-2])
+        assert len(parts) == 4 and len(set(parts)) == 1
+
+    def test_subsampled_and_grey_and_batch(self):
+        from geomesa_ray.codecs.jpeg import (decode_jpeg,
+                                             decode_jpeg_batch,
+                                             encode_jpeg,
+                                             encode_jpeg_batch)
+
+        img = self._img((32, 48, 3), seed=9)
+        plain = decode_jpeg(encode_jpeg(img, subsample=True))
+        got = decode_jpeg(encode_jpeg(img, subsample=True,
+                                      restart_interval=3))
+        assert np.array_equal(got, plain)
+
+        imgs = self._img((7, 16, 16), seed=11)
+        bufs = encode_jpeg_batch(imgs, restart_interval=2)
+        assert bufs[3] == encode_jpeg(imgs[3], restart_interval=2)
+        outs = decode_jpeg_batch(bufs)  # falls back per-image under DRI
+        plains = decode_jpeg_batch(encode_jpeg_batch(imgs))
+        assert all(np.array_equal(a, b) for a, b in zip(outs, plains))
+
+    def test_corrupt_interval_count_raises(self):
+        from geomesa_ray.codecs.jpeg import decode_jpeg, encode_jpeg
+
+        img = self._img()
+        buf = encode_jpeg(img, restart_interval=2)  # 3 intervals
+        # strip the last RST marker + tail: interval count mismatch
+        last = max(buf.rfind(bytes([0xFF, 0xD0 + m])) for m in range(8))
+        bad = buf[:last] + b"\xff\xd9"
+        with pytest.raises(ValueError, match="intervals"):
+            decode_jpeg(bad)
+
+    def test_bad_interval_rejected(self):
+        from geomesa_ray.codecs.jpeg import encode_jpeg
+
+        with pytest.raises(ValueError, match="restart_interval"):
+            encode_jpeg(self._img(), restart_interval=0)
