@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 
-SUPPORTED = ("png", "jpeg", "jpg", "bmp")
+SUPPORTED = ("png", "jpeg", "jpg", "jpeg_progressive", "bmp")
 
 
 def decode(buf: bytes, fmt: str) -> np.ndarray:
@@ -65,6 +65,10 @@ def encode(arr: np.ndarray, fmt: str, **kw) -> bytes:
         from geomesa_ray.codecs.jpeg import encode_jpeg
 
         return encode_jpeg(arr, **kw)
+    if f == "jpeg_progressive":
+        from geomesa_ray.codecs.jpeg import encode_jpeg_progressive
+
+        return encode_jpeg_progressive(arr, **kw)
     if f == "bmp":
         from geomesa_ray.codecs.bmp import encode_bmp
 

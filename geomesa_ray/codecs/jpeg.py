@@ -30,8 +30,11 @@ bytesToImage); the actor-pool image stages call this codec instead.
 Restart intervals (DRI/RSTm, T.81 E.1.4) are supported on both sides:
 ``encode_jpeg(restart_interval=n)`` emits byte-aligned independent
 intervals joined by RSTm, and the decoder resets bit state + DC
-predictors at each marker. Progressive/arithmetic/12-bit modes raise
-``NotImplementedError`` (honest gate — sequential baseline only).
+predictors at each marker. Progressive (SOF2, spectral selection +
+successive approximation, T.81 G) is supported on both sides too — see
+the progressive section at the bottom. Arithmetic coding, 12-bit
+precision, lossless/hierarchical modes, and restarts inside progressive
+scans raise ``NotImplementedError`` (honest gates).
 """
 
 from __future__ import annotations
@@ -532,8 +535,11 @@ class _HuffDecoder:
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB (grey -> (h, w))."""
+    """JFIF bytes (baseline SOF0 or progressive SOF2) -> (h, w, 3)
+    uint8 RGB (grey -> (h, w))."""
     frame, scan, qts, sos_end = _parse_stream(buf)
+    if frame.get("progressive"):
+        return _decode_progressive(buf)
     return _decode_scan(buf, sos_end, frame, scan, qts)
 
 
@@ -583,7 +589,7 @@ def _parse_stream(buf: bytes):
                 dec = _HuffDecoder(bits, vals)
                 (dc_tabs if tc == 0 else ac_tabs)[th] = dec
                 p += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("12-bit JPEG")
@@ -591,11 +597,12 @@ def _parse_stream(buf: bytes):
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
                 comps.append(dict(cid=cid, h=hv >> 4, v=hv & 0xF, tq=tq))
-            frame = dict(h=fh, w=fw, comps=comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = dict(h=fh, w=fw, comps=comps,
+                         progressive=marker == 0xC2)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X})")
+                f"unsupported JPEG mode (SOF marker 0xFF{marker:02X})")
         elif marker == 0xDD:  # DRI: restart interval in MCUs (0 = none)
             (ri_val,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
@@ -606,7 +613,10 @@ def _parse_stream(buf: bytes):
             for si in range(ns):
                 cs, tt = body[1 + 2 * si], body[2 + 2 * si]
                 comp = next(c for c in frame["comps"] if c["cid"] == cs)
-                scan.append((comp, dc_tabs[tt >> 4], ac_tabs[tt & 0xF]))
+                # .get: a progressive refinement scan may reference an
+                # undefined table it never uses
+                scan.append((comp, dc_tabs.get(tt >> 4),
+                             ac_tabs.get(tt & 0xF)))
             frame["ri"] = ri_val
             return frame, scan, qts, seg_end
         # APPn / COM skipped
@@ -766,8 +776,16 @@ def _decode_scan(buf: bytes, pos: int, frame, scan, qts) -> np.ndarray:
     if sp - (nb >> 3) > ns:
         raise ValueError("JPEG entropy stream truncated")
 
+    return _idct_planes([c for c, _, _ in scan], coeffs, qts, h, w,
+                        hmax, vmax)
+
+
+def _idct_planes(comps: list[dict], coeffs: list[np.ndarray], qts,
+                 h: int, w: int, hmax: int, vmax: int) -> np.ndarray:
+    """Shared back half of both decoders: zigzag coeff grids ->
+    dequantize -> IDCT -> upsample -> crop -> RGB/grey pixels."""
     planes = []
-    for ci, (comp, _, _) in enumerate(scan):
+    for ci, comp in enumerate(comps):
         qt = qts[comp["tq"]]
         zz = coeffs[ci]
         nby, nbx = zz.shape[:2]
@@ -1004,3 +1022,561 @@ def decode_jpeg_batch(bufs: list[bytes]) -> list[np.ndarray]:
     else:
         out = ycbcr_to_rgb(np.stack(planes, axis=-1))
     return list(out)
+
+
+# ------------------------------------------------------------ progressive
+# ITU-T T.81 SOF2: spectral selection + successive approximation, both
+# directions. The encoder emits a libjpeg-style scan script (DC first at
+# Al=1 then a refinement bit pass; per-component AC bands first-passed at
+# Al>=1 then refined to Al=0), so every decoder path — DC first/refine,
+# AC first with EOB-run coding, AC refinement with correction bits
+# (T.81 G.1.2.2 / G.1.2.3) — is exercised by our own streams. The
+# decoded pixels are EXACTLY the baseline decode of the same quantized
+# coefficients (tested): successive approximation is lossless once every
+# refinement scan has landed.
+#
+# The progressive entropy coder is a per-block Python loop by design —
+# this is the archival-interop path, not the corpus transcode hot path
+# (that stays on the vectorized baseline batch codec).
+
+
+@functools.lru_cache(maxsize=None)
+def _prog_ac_table():
+    """AC table for progressive scans: baseline's run/size symbols PLUS
+    the EOBn run-length symbols (r<<4 with s=0, r 0..14) progressive
+    EOB-run coding needs. Flat 8-bit canonical (176 symbols)."""
+    syms = [(r << 4) | s for r in range(16) for s in range(0, 11)]
+    return _huff_canonical({s: 8 for s in syms if (s & 0xF) or s <= 0xF0})
+
+
+class _BitW:
+    """MSB-first bit writer with T.81 1s-padding and 0xFF00 stuffing."""
+
+    def __init__(self):
+        self.acc = 0
+        self.nb = 0
+        self.out = bytearray()
+
+    def put(self, v: int, n: int) -> None:
+        if n == 0:
+            return
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nb += n
+        while self.nb >= 8:
+            b = (self.acc >> (self.nb - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0)
+            self.nb -= 8
+            self.acc &= (1 << self.nb) - 1
+
+    def flush(self) -> bytes:
+        if self.nb:
+            self.put((1 << (8 - self.nb)) - 1, 8 - self.nb)
+        return bytes(self.out)
+
+
+def _tozero_shift(v: int, al: int) -> int:
+    """AC point transform: v / 2^al truncated toward ZERO (T.81 G.1.1.2;
+    DC uses the plain arithmetic shift instead)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _mcu_block_seq(comps: list[dict], mcux: int, mcuy: int):
+    """(ci, by, bx) triples in interleaved MCU traversal order."""
+    seq = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, c in enumerate(comps):
+                for vy in range(c["v"]):
+                    for vx in range(c["h"]):
+                        seq.append((ci, my * c["v"] + vy,
+                                    mx * c["h"] + vx))
+    return seq
+
+
+def _true_block_dims(frame: dict, comp: dict) -> tuple[int, int]:
+    """Non-interleaved scans traverse the component's OWN block grid
+    (ceil dims from the frame size and sampling), not the MCU-padded
+    grid (T.81 A.2.2)."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    cw = -(-frame["w"] * comp["h"] // hmax)
+    ch = -(-frame["h"] * comp["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _enc_dc_first(bw: _BitW, comps, coeffs, mcux, mcuy, al, dc_tab):
+    preds = [0] * len(comps)
+    for ci, by, bx in _mcu_block_seq(comps, mcux, mcuy):
+        dcv = int(coeffs[ci][by, bx, 0]) >> al
+        diff = dcv - preds[ci]
+        preds[ci] = dcv
+        s = int(abs(diff)).bit_length()
+        c, ln = dc_tab[s]
+        bw.put(c, ln)
+        if s:
+            bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+
+def _enc_dc_refine(bw: _BitW, comps, coeffs, mcux, mcuy, al):
+    for ci, by, bx in _mcu_block_seq(comps, mcux, mcuy):
+        bw.put((int(coeffs[ci][by, bx, 0]) >> al) & 1, 1)
+
+
+def _flush_eobrun(bw: _BitW, eobrun: int, corr: list[int], ac_tab) -> int:
+    if eobrun:
+        rb = eobrun.bit_length() - 1
+        c, ln = ac_tab[rb << 4]
+        bw.put(c, ln)
+        bw.put(eobrun - (1 << rb), rb)
+        for b in corr:
+            bw.put(b, 1)
+        corr.clear()
+    return 0
+
+
+def _enc_ac_first(bw: _BitW, zz_blocks, ss, se, al, ac_tab):
+    """First AC pass of a band (Ah=0): run/size with EOB-run coding."""
+    eobrun = 0
+    none: list[int] = []
+    for blk in zz_blocks:
+        vals = [_tozero_shift(int(blk[k]), al) for k in range(ss, se + 1)]
+        if not any(vals):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eobrun(bw, eobrun, none, ac_tab)
+            continue
+        eobrun = _flush_eobrun(bw, eobrun, none, ac_tab)
+        r = 0
+        last_nz = max(i for i, v in enumerate(vals) if v)
+        for i, v in enumerate(vals):
+            if i > last_nz:
+                eobrun = 1  # trailing zeros: this block starts an EOB run
+                break
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                c, ln = ac_tab[0xF0]
+                bw.put(c, ln)
+                r -= 16
+            s = int(abs(v)).bit_length()
+            c, ln = ac_tab[(r << 4) | s]
+            bw.put(c, ln)
+            bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+            r = 0
+    _flush_eobrun(bw, eobrun, none, ac_tab)
+
+
+def _enc_ac_refine(bw: _BitW, zz_blocks, ss, se, al, ac_tab):
+    """AC refinement pass (Ah=Al+1 -> Al): newly-significant coefficients
+    as run/1 + sign, correction bits for already-significant ones
+    woven per T.81 G.1.2.3."""
+    eobrun = 0
+    eob_corr: list[int] = []
+    for blk in zz_blocks:
+        t = [_tozero_shift(int(blk[k]), al) for k in range(ss, se + 1)]
+        new_sig = [i for i, v in enumerate(t) if abs(v) == 1]
+        if not new_sig:
+            eob_corr.extend((abs(v) & 1) for v in t if abs(v) > 1)
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eobrun(bw, eobrun, eob_corr, ac_tab)
+            continue
+        eobrun = _flush_eobrun(bw, eobrun, eob_corr, ac_tab)
+        last_new = new_sig[-1]
+        r = 0
+        corr: list[int] = []
+        for i, v in enumerate(t):
+            if i > last_new:
+                break
+            a = abs(v)
+            if a == 0:
+                r += 1
+                continue
+            if a > 1:
+                corr.append(a & 1)
+                continue
+            while r > 15:
+                c, ln = ac_tab[0xF0]
+                bw.put(c, ln)
+                for b in corr:
+                    bw.put(b, 1)
+                corr.clear()
+                r -= 16
+            c, ln = ac_tab[(r << 4) | 1]
+            bw.put(c, ln)
+            bw.put(1 if v > 0 else 0, 1)
+            for b in corr:
+                bw.put(b, 1)
+            corr.clear()
+            r = 0
+        # tail after the last newly-significant coefficient: its zero
+        # runs + correction bits ride the next EOB run
+        tail_corr = [(abs(v) & 1) for v in t[last_new + 1:] if abs(v) > 1]
+        if last_new < len(t) - 1:
+            eobrun = 1
+            eob_corr.extend(tail_corr)
+    _flush_eobrun(bw, eobrun, eob_corr, ac_tab)
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 98,
+                            subsample: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB (or (h, w) grey) -> progressive (SOF2) JFIF.
+
+    Same quantized coefficients as :func:`encode_jpeg` — only the scan
+    organization differs, so after all scans a decoder reconstructs
+    EXACTLY the baseline image (tested pixel-identical)."""
+    arr = np.asarray(arr)
+    grey = arr.ndim == 2
+    h, w = arr.shape[:2]
+    qt_l = _scaled_qt(QT_LUMA, quality)
+    qt_c = _scaled_qt(QT_CHROMA, quality)
+    dc_tab, ac_tab = _flat_dc_table(), _prog_ac_table()
+
+    # identical component prep to the baseline batch encoder
+    if grey:
+        planes = [arr.astype(np.float64)[None]]
+        samp = [(1, 1)]
+    else:
+        ycc = rgb_to_ycbcr(arr[None])
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsample:
+            ph, pw = -h % 2, -w % 2
+            if ph or pw:
+                cb = np.pad(cb, ((0, 0), (0, ph), (0, pw)), mode="edge")
+                cr = np.pad(cr, ((0, 0), (0, ph), (0, pw)), mode="edge")
+            hh, ww = cb.shape[1:]
+            cb = cb.reshape(1, hh // 2, 2, ww // 2, 2).mean(axis=(2, 4))
+            cr = cr.reshape(1, hh // 2, 2, ww // 2, 2).mean(axis=(2, 4))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coeffs = []
+    for ci, plane in enumerate(planes):
+        hi, vi = samp[ci]
+        ph, pw = -plane.shape[1] % 8, -plane.shape[2] % 8
+        if ph or pw:
+            plane = np.pad(plane, ((0, 0), (0, ph), (0, pw)), mode="edge")
+        _, hh, ww = plane.shape
+        bl = (plane - 128.0).reshape(1, hh // 8, 8, ww // 8, 8) \
+            .transpose(0, 1, 3, 2, 4)
+        nby, nbx = bl.shape[1:3]
+        need_y, need_x = mcuy * vi, mcux * hi
+        if nby < need_y or nbx < need_x:
+            bl = np.pad(bl, ((0, 0), (0, need_y - nby), (0, need_x - nbx),
+                             (0, 0), (0, 0)), mode="edge")
+            nby, nbx = need_y, need_x
+        qt = qt_l if ci == 0 else qt_c
+        coeffs.append(_fdct_quant(bl.reshape(-1, 8, 8), qt)
+                      .reshape(nby, nbx, 64).astype(np.int64))
+
+    ncomp = len(planes)
+    comps = [dict(cid=ci + 1, h=samp[ci][0], v=samp[ci][1],
+                  tq=0 if ci == 0 else 1) for ci in range(ncomp)]
+    frame = dict(h=h, w=w, comps=comps)
+
+    def true_blocks(ci):
+        nby, nbx = _true_block_dims(frame, comps[ci])
+        return [coeffs[ci][by, bx] for by in range(nby)
+                for bx in range(nbx)]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def sos(comp_ids, tds, tas, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid, td, ta in zip(comp_ids, tds, tas):
+            body += bytes([cid, (td << 4) | ta])
+        return seg(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(qt_l.reshape(64)[ZIGZAG]
+                                       .astype(np.uint8)))
+    if not grey:
+        out += seg(0xFFDB, b"\x01" + bytes(qt_c.reshape(64)[ZIGZAG]
+                                           .astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in comps:
+        sof += bytes([c["cid"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += seg(0xFFC2, sof)
+    out += seg(0xFFC4, _dht_payload(dc_tab, 0, 0))
+    out += seg(0xFFC4, _dht_payload(ac_tab, 1, 0))
+
+    all_ids = [c["cid"] for c in comps]
+    # scan script: DC first (Al=1) -> AC bands first-pass -> AC
+    # refinements -> DC refinement. Y's AC runs two successive
+    # approximation levels (2 -> 1 -> 0) to exercise chained refinement.
+    bw = _BitW()
+    _enc_dc_first(bw, comps, coeffs, mcux, mcuy, 1, dc_tab)
+    out += sos(all_ids, [0] * ncomp, [0] * ncomp, 0, 0, 0, 1) + bw.flush()
+
+    bw = _BitW()
+    _enc_ac_first(bw, true_blocks(0), 1, 5, 2, ac_tab)
+    out += sos([comps[0]["cid"]], [0], [0], 1, 5, 0, 2) + bw.flush()
+    bw = _BitW()
+    _enc_ac_first(bw, true_blocks(0), 6, 63, 2, ac_tab)
+    out += sos([comps[0]["cid"]], [0], [0], 6, 63, 0, 2) + bw.flush()
+    for ci in range(1, ncomp):
+        bw = _BitW()
+        _enc_ac_first(bw, true_blocks(ci), 1, 63, 1, ac_tab)
+        out += sos([comps[ci]["cid"]], [0], [0], 1, 63, 0, 1) + bw.flush()
+
+    bw = _BitW()
+    _enc_ac_refine(bw, true_blocks(0), 1, 63, 1, ac_tab)
+    out += sos([comps[0]["cid"]], [0], [0], 1, 63, 2, 1) + bw.flush()
+
+    bw = _BitW()
+    _enc_dc_refine(bw, comps, coeffs, mcux, mcuy, 0)
+    out += sos(all_ids, [0] * ncomp, [0] * ncomp, 0, 0, 1, 0) + bw.flush()
+
+    for ci in range(ncomp):
+        bw = _BitW()
+        _enc_ac_refine(bw, true_blocks(ci), 1, 63, 0, ac_tab)
+        out += sos([comps[ci]["cid"]], [0], [0], 1, 63, 1, 0) + bw.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class _BitR:
+    """MSB-first bit reader over one destuffed entropy segment."""
+
+    __slots__ = ("s", "n", "acc", "nb", "sp")
+
+    def __init__(self, stream: bytes):
+        self.s = stream
+        self.n = len(stream)
+        self.acc = 0
+        self.nb = 0
+        self.sp = 0
+
+    def bits(self, k: int) -> int:
+        while self.nb < k:
+            self.acc = (self.acc << 8) | (self.s[self.sp]
+                                          if self.sp < self.n else 0)
+            self.sp += 1
+            self.nb += 8
+        v = (self.acc >> (self.nb - k)) & ((1 << k) - 1)
+        self.nb -= k
+        self.acc &= (1 << self.nb) - 1
+        return v
+
+    def huff(self, tab: "_HuffDecoder") -> int:
+        while self.nb < 16:
+            self.acc = (self.acc << 8) | (self.s[self.sp]
+                                          if self.sp < self.n else 0)
+            self.sp += 1
+            self.nb += 8
+        peek = (self.acc >> (self.nb - 16)) & 0xFFFF
+        sym = tab.lut_sym[peek]
+        ln = tab.lut_len[peek]
+        if ln == 0:
+            raise ValueError("invalid Huffman code")
+        self.nb -= ln
+        self.acc &= (1 << self.nb) - 1
+        return int(sym)
+
+
+def _extend(r: int, s: int) -> int:
+    return r if r >= (1 << (s - 1)) else r - (1 << s) + 1
+
+
+def _dec_dc_scan(br: _BitR, scan, frame, coeffs, mcux, mcuy, ah, al):
+    comps = [c for c, _, _ in scan]
+    preds = [0] * len(comps)
+    for ci, by, bx in _mcu_block_seq(comps, mcux, mcuy):
+        if ah == 0:  # first pass
+            s = br.huff(scan[ci][1])
+            diff = _extend(br.bits(s), s) if s else 0
+            preds[ci] += diff
+            coeffs[ci][by, bx, 0] = preds[ci] << al
+        else:  # refinement: one raw bit
+            coeffs[ci][by, bx, 0] |= br.bits(1) << al
+
+
+def _dec_ac_first(br: _BitR, act, blocks, ss, se, al):
+    eobrun = 0
+    for blk in blocks:
+        if eobrun:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            sym = br.huff(act)
+            r, s = sym >> 4, sym & 0xF
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) - 1 + (br.bits(r) if r else 0)
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC run past end of band")
+            blk[k] = _extend(br.bits(s), s) << al
+            k += 1
+
+
+def _dec_ac_refine(br: _BitR, act, blocks, ss, se, al):
+    p1 = 1 << al
+    eobrun = 0
+
+    def correct(blk, k):
+        if br.bits(1) and (abs(int(blk[k])) & p1) == 0:
+            blk[k] += p1 if blk[k] > 0 else -p1
+
+    for blk in blocks:
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = br.huff(act)
+                r, s = sym >> 4, sym & 0xF
+                newval = 0
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r) + (br.bits(r) if r else 0)
+                        break  # EOB-run tail handled below
+                    # ZRL: skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("refinement size must be 1")
+                    newval = p1 if br.bits(1) else -p1
+                while k <= se:
+                    if blk[k] != 0:
+                        correct(blk, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval:
+                    if k > se:
+                        raise ValueError("refinement run past band end")
+                    blk[k] = newval
+                k += 1
+        if eobrun:
+            while k <= se:
+                if blk[k] != 0:
+                    correct(blk, k)
+                k += 1
+            eobrun -= 1
+
+
+def _decode_progressive(buf: bytes) -> np.ndarray:
+    """Multi-scan SOF2 driver: walks every marker segment, accumulating
+    coefficient approximations scan by scan, then reconstructs once."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    n = len(buf)
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, _HuffDecoder] = {}
+    ac_tabs: dict[int, _HuffDecoder] = {}
+    frame = None
+    coeffs: list[np.ndarray] = []
+    hmax = vmax = mcux = mcuy = 0
+    while pos + 2 <= n:
+        if buf[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (length,) = struct.unpack_from(">H", buf, pos)
+        body = buf[pos + 2:pos + length]
+        pos += length
+        if marker == 0xDB:
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0xF
+                p += 1
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qts[tq] = np.frombuffer(body, np.uint8, 64, p) \
+                    .astype(np.int64)[UNZIGZAG].reshape(8, 8)
+                p += 64
+        elif marker == 0xC4:
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0xF
+                bits = list(body[p + 1:p + 17])
+                nv = sum(bits)
+                dec = _HuffDecoder(bits, body[p + 17:p + 17 + nv])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = dec
+                p += 17 + nv
+        elif marker == 0xC2:
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
+                comps.append(dict(cid=cid, h=hv >> 4, v=hv & 0xF, tq=tq))
+            frame = dict(h=fh, w=fw, comps=comps)
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if hmax > 2 or vmax > 2:
+                raise NotImplementedError("sampling factors > 2")
+            mcux = -(-fw // (8 * hmax))
+            mcuy = -(-fh // (8 * vmax))
+            coeffs = [np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                               dtype=np.int64) for c in comps]
+        elif marker == 0xC0:
+            raise ValueError("baseline SOF inside progressive decode")
+        elif marker == 0xDD:
+            (ri,) = struct.unpack_from(">H", body, 0)
+            if ri:
+                raise NotImplementedError(
+                    "restart intervals in progressive scans")
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            sel = []
+            for si in range(ns):
+                cs, tt = body[1 + 2 * si], body[2 + 2 * si]
+                idx = next(i for i, c in enumerate(frame["comps"])
+                           if c["cid"] == cs)
+                sel.append((idx, tt >> 4, tt & 0xF))
+            ss, se, aa = body[1 + 2 * ns:4 + 2 * ns]
+            ah, al = aa >> 4, aa & 0xF
+            br = _BitR(_destuff(buf, pos))
+            if ss == 0 and se != 0:
+                raise ValueError(
+                    "progressive DC scan requires Se=0 (a baseline "
+                    "stream relabeled SOF2 lands here)")
+            if ss == 0:  # DC scan
+                scan = [(frame["comps"][i], dc_tabs.get(td), None)
+                        for i, td, _ in sel]
+                cs_arr = [coeffs[i] for i, _, _ in sel]
+                _dec_dc_scan(br, scan, frame, cs_arr, mcux, mcuy, ah, al)
+            else:  # AC scan: exactly one component
+                if ns != 1:
+                    raise ValueError("interleaved AC scan is illegal")
+                i, _, ta = sel[0]
+                nby, nbx = _true_block_dims(frame, frame["comps"][i])
+                blocks = [coeffs[i][by, bx] for by in range(nby)
+                          for bx in range(nbx)]
+                if ah == 0:
+                    _dec_ac_first(br, ac_tabs[ta], blocks, ss, se, al)
+                else:
+                    _dec_ac_refine(br, ac_tabs[ta], blocks, ss, se, al)
+            # skip the entropy bytes this scan consumed
+            arr = np.frombuffer(buf, np.uint8)[pos:]
+            ff = np.nonzero(arr[:-1] == 0xFF)[0]
+            real = ff[arr[ff + 1] != 0]
+            pos += int(real[0]) if len(real) else len(arr)
+    if frame is None:
+        raise ValueError("no SOF2 frame found")
+    return _idct_planes(frame["comps"],
+                        [c.astype(np.int32) for c in coeffs], qts,
+                        frame["h"], frame["w"], hmax, vmax)

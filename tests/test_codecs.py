@@ -135,10 +135,15 @@ class TestJpeg:
         with pytest.raises(ValueError, match="SOI"):
             decode_jpeg(b"\x00\x00junk")
         buf = bytearray(encode_jpeg(_noise(8, 8)))
-        # flip SOF0 -> SOF2 (progressive): honest gate must raise
+        # flip SOF0 -> SOF2: the baseline scan header (Ss=0, Se=63) is
+        # illegal in a progressive frame — corrupt, not silently decoded
         i = bytes(buf).find(b"\xff\xc0")
         buf[i + 1] = 0xC2
-        with pytest.raises(NotImplementedError, match="non-baseline"):
+        with pytest.raises(ValueError, match="Se=0"):
+            decode_jpeg(bytes(buf))
+        # lossless/arithmetic SOF markers stay honestly gated
+        buf[i + 1] = 0xC3
+        with pytest.raises(NotImplementedError, match="SOF"):
             decode_jpeg(bytes(buf))
 
     def test_unknown_fmt_still_gated(self):
@@ -589,3 +594,76 @@ class TestRestartIntervals:
 
         with pytest.raises(ValueError, match="restart_interval"):
             encode_jpeg(self._img(), restart_interval=0)
+
+
+class TestProgressiveJpeg:
+    """SOF2 progressive (spectral selection + successive approximation,
+    T.81 G): after every scan lands, reconstruction is EXACTLY the
+    baseline decode of the same quantized coefficients — any EOB-run /
+    refinement / point-transform bug breaks bit-exact equality."""
+
+    def _img(self, shape, seed=3):
+        return np.random.default_rng(seed).integers(
+            0, 256, shape, dtype=np.uint8)
+
+    @pytest.mark.parametrize("shape,sub", [
+        ((8, 8, 3), False),      # single MCU
+        ((24, 16, 3), False),    # multi-MCU
+        ((17, 23, 3), False),    # non-multiple-of-8 dims
+        ((32, 48, 3), True),     # 4:2:0 (interleaved DC over 2x2 MCUs)
+        ((16, 16), False),       # greyscale
+    ])
+    def test_pixel_identical_to_baseline(self, shape, sub):
+        from geomesa_ray.codecs.jpeg import (decode_jpeg, encode_jpeg,
+                                             encode_jpeg_progressive)
+
+        img = self._img(shape)
+        kw = {"subsample": sub} if len(shape) == 3 else {}
+        base = decode_jpeg(encode_jpeg(img, **kw))
+        buf = encode_jpeg_progressive(img, **kw)
+        assert b"\xff\xc2" in buf  # SOF2, not a baseline fallback
+        assert buf.count(b"\xff\xda") > 5  # genuinely multi-scan
+        assert np.array_equal(decode_jpeg(buf), base)
+
+    def test_partial_scans_give_coarse_preview(self):
+        """The point of progressive: truncating after early scans still
+        decodes — to a genuinely coarser approximation."""
+        import re
+
+        from geomesa_ray.codecs.jpeg import (decode_jpeg,
+                                             encode_jpeg_progressive)
+
+        img = self._img((24, 16, 3))
+        buf = encode_jpeg_progressive(img)
+        sos = [m.start() for m in re.finditer(b"\xff\xda", buf)]
+        approx = decode_jpeg(buf[:sos[2]] + b"\xff\xd9")
+        full = decode_jpeg(buf)
+        assert approx.shape == full.shape
+        assert not np.array_equal(approx, full)
+        # DC scan landed: the coarse image is in the right neighborhood
+        d = np.abs(approx.astype(int) - full.astype(int)).mean()
+        assert d < 80
+
+    def test_quality_and_worst_case_content(self):
+        from geomesa_ray.codecs.jpeg import (decode_jpeg, encode_jpeg,
+                                             encode_jpeg_progressive, psnr)
+
+        img = self._img((40, 40, 3), seed=9)  # noise: worst case
+        for q in (85, 98):
+            base = decode_jpeg(encode_jpeg(img, quality=q))
+            prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+            assert np.array_equal(prog, base), q
+        assert psnr(decode_jpeg(encode_jpeg_progressive(img)), img) >= 40.0
+
+    def test_progressive_restart_gate(self):
+        """DRI inside a progressive stream is an honest gate."""
+        from geomesa_ray.codecs.jpeg import encode_jpeg_progressive
+
+        buf = encode_jpeg_progressive(self._img((8, 8, 3)))
+        # splice a DRI segment before the first SOS
+        sos = buf.find(b"\xff\xda")
+        spliced = buf[:sos] + b"\xff\xdd\x00\x04\x00\x02" + buf[sos:]
+        from geomesa_ray.codecs.jpeg import decode_jpeg
+
+        with pytest.raises(NotImplementedError, match="progressive"):
+            decode_jpeg(spliced)
