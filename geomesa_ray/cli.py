@@ -338,6 +338,59 @@ def cmd_remove_schema(args) -> int:
     return 0
 
 
+def cmd_blob_put(args) -> int:
+    """Blobstore put (reference: AccumuloBlobStore.put via the
+    blobstore command surface): land a local file with WKT-param
+    geometry; prints the assigned blob id."""
+    from geomesa_ray.state.blobstore import put_blobs, rows_from_params
+
+    with open(args.file, "rb") as f:
+        data = f.read()
+    t = rows_from_params(
+        [(os.path.basename(args.file), data)],
+        [{"wkt": args.wkt, "dtg_s": args.dtg_s}])
+    put_blobs(args.store, t)
+    print(json.dumps({"blob_id": t.column("blob_id")[0].as_py(),
+                      "rows": 1}))
+    return 0
+
+
+def cmd_blob_get(args) -> int:
+    """Blobstore get: fetch one payload by id to a local file."""
+    from geomesa_ray.state.blobstore import get_blob
+
+    data, name = get_blob(args.store, args.id)
+    if not name:
+        print(f"blob-get: {args.id} not found", file=sys.stderr)
+        return 2
+    out = args.out or name
+    with open(out, "wb") as f:
+        f.write(data)
+    print(json.dumps({"blob_id": args.id, "filename": name,
+                      "bytes": len(data), "out": out}))
+    return 0
+
+
+def cmd_blob_ids(args) -> int:
+    """Blobstore getIds(filter): spatially-pruned id listing."""
+    from geomesa_ray.state.blobstore import get_ids
+
+    bbox = tuple(float(x) for x in args.bbox.split(",")) \
+        if args.bbox else None
+    rows = get_ids(args.store, bbox=bbox).select_columns(
+        ["blob_id", "filename"]).take_all()
+    for r in sorted(rows, key=lambda r: r["blob_id"]):
+        print(f"{r['blob_id']}\t{r['filename']}")
+    return 0
+
+
+def cmd_blob_delete(args) -> int:
+    from geomesa_ray.state.blobstore import delete_blobs
+
+    print(json.dumps(delete_blobs(args.store, args.ids)))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="geomesa-ray",
@@ -426,6 +479,33 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("store")
     sp.add_argument("--force", action="store_true")
     sp.set_defaults(fn=cmd_remove_schema, needs_ray=False)
+
+    sp = sub.add_parser("blob-put", help="land a file in a blob store")
+    sp.add_argument("store")
+    sp.add_argument("file")
+    sp.add_argument("--wkt", required=True,
+                    help="geometry param, e.g. 'POINT (10.5 -3.2)'")
+    sp.add_argument("--dtg-s", type=int, required=True,
+                    help="epoch seconds")
+    sp.set_defaults(fn=cmd_blob_put, needs_ray=True)
+
+    sp = sub.add_parser("blob-get", help="fetch a blob payload by id")
+    sp.add_argument("store")
+    sp.add_argument("id")
+    sp.add_argument("--out", default=None)
+    sp.set_defaults(fn=cmd_blob_get, needs_ray=False)
+
+    sp = sub.add_parser("blob-ids",
+                        help="list blob ids (optional bbox filter)")
+    sp.add_argument("store")
+    sp.add_argument("--bbox", default=None,
+                    help="lon_min,lon_max,lat_min,lat_max")
+    sp.set_defaults(fn=cmd_blob_ids, needs_ray=True)
+
+    sp = sub.add_parser("blob-delete", help="delete blobs by id")
+    sp.add_argument("store")
+    sp.add_argument("ids", nargs="+")
+    sp.set_defaults(fn=cmd_blob_delete, needs_ray=True)
 
     return p
 

@@ -205,3 +205,34 @@ class TestStatsKinds:
             .to_numpy(zero_copy_only=False).astype(np.float64)
         assert abs(d["mean"] - x.mean()) < 1e-9
         assert abs(d["variance"] - x.var()) < x.var() * 1e-9
+
+
+class TestBlobCli:
+    """blob-put / blob-get / blob-ids / blob-delete — the blobstore
+    command-tool surface over state/blobstore.py."""
+
+    def test_blob_lifecycle(self, ray_session, tmp_path, capsys):
+        store = str(tmp_path / "bs")
+        f = tmp_path / "photo.bin"
+        f.write_bytes(b"\x01\x02\x03payload")
+        assert main(["blob-put", store, str(f),
+                     "--wkt", "POINT (10.5 -3.25)",
+                     "--dtg-s", "1700000000"]) == 0
+        bid = _json_out(capsys)["blob_id"]
+        assert bid.startswith("photo_")
+
+        out = tmp_path / "fetched.bin"
+        assert main(["blob-get", store, bid, "--out", str(out)]) == 0
+        assert out.read_bytes() == b"\x01\x02\x03payload"
+        capsys.readouterr()
+
+        assert main(["blob-ids", store,
+                     "--bbox", "10,11,-4,-3"]) == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert lines == [f"{bid}\tphoto.bin"]
+        assert main(["blob-ids", store, "--bbox", "50,51,0,1"]) == 0
+        assert capsys.readouterr().out.strip() == ""
+
+        assert main(["blob-delete", store, bid]) == 0
+        assert _json_out(capsys)["deleted"] == 1
+        assert main(["blob-get", store, bid]) == 2
