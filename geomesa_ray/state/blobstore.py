@@ -334,6 +334,32 @@ def delete_blobs(root: str, ids: list[str]) -> dict:
     return {"deleted": int(sum(r["hit"] for r in rows if r["blob"]))}
 
 
+def rows_from_exif(files: list[tuple[str, bytes]],
+                   default_dtg_s: int = 0) -> pa.Table:
+    """EXIF handler analog (``MetadataFileHandler.scala:24-45``): derive
+    each blob's geometry (and DateTimeOriginal, closing the reference's
+    date-extraction TODO) from the JPEG's own GPS directory. Files
+    without a GPS directory are SKIPPED — the handler's
+    ``canProcess=False`` contract (the WKT-params handler covers them)."""
+    from geomesa_ray.codecs.exif import read_exif_gps
+
+    kept, lons, lats, dtgs = [], [], [], []
+    for name, data in files:
+        gps = read_exif_gps(data)
+        if gps is None:
+            continue
+        kept.append((name, data))
+        lons.append(gps["lon"])
+        lats.append(gps["lat"])
+        dtgs.append(int(gps.get("dtg_s", default_dtg_s)))
+    t = rows_from_params(kept, [{"wkt": "POINT (0 0)", "dtg_s": d}
+                                for d in dtgs])
+    t = t.set_column(t.schema.get_field_index("lon"), "lon",
+                     pa.array(lons, pa.float64()))
+    return t.set_column(t.schema.get_field_index("lat"), "lat",
+                        pa.array(lats, pa.float64()))
+
+
 def rows_from_params(files: list[tuple[str, bytes]],
                      params: list[dict]) -> pa.Table:
     """WKTFileHandler analog: build put_blobs rows from (filename, bytes)

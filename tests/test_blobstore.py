@@ -157,3 +157,70 @@ class TestHandler:
             rows_from_params([("c.jpg", b"")],
                              [{"wkt": "LINESTRING (0 0, 1 1)",
                                "dtg_s": 0}])
+
+
+class TestExifHandler:
+    """EXIF GPS handler (MetadataFileHandler.scala:24-45 analog):
+    geometry + DateTimeOriginal parsed straight from the JPEG's APP1
+    TIFF structure, both byte orders; files without GPS are skipped
+    (canProcess=False)."""
+
+    def _jpeg_with_gps(self, lat, lon, dtg_s=None, big_endian=False):
+        from geomesa_ray.codecs.exif import insert_exif
+        from geomesa_ray.codecs.jpeg import encode_jpeg
+
+        img = np.full((8, 8, 3), 127, dtype=np.uint8)
+        return insert_exif(encode_jpeg(img), lat, lon, dtg_s,
+                           big_endian=big_endian)
+
+    @pytest.mark.parametrize("lat,lon", [
+        (57.64911, 10.40744), (-33.8568, 151.2153),
+        (0.0, 0.0), (89.999999, -179.999999), (-0.5, 0.5)])
+    @pytest.mark.parametrize("big_endian", [False, True])
+    def test_gps_roundtrip_both_byte_orders(self, lat, lon, big_endian):
+        from geomesa_ray.codecs.exif import read_exif_gps
+
+        buf = self._jpeg_with_gps(lat, lon, 1700000000,
+                                  big_endian=big_endian)
+        gps = read_exif_gps(buf)
+        assert gps is not None
+        # DMS rationals at 1e-6 arcsecond resolution: ~3e-10 degrees
+        assert abs(gps["lat"] - lat) < 1e-9
+        assert abs(gps["lon"] - lon) < 1e-9
+        assert gps["dtg_s"] == 1700000000
+
+    def test_exif_jpeg_still_decodes(self):
+        from geomesa_ray.codecs.jpeg import decode_jpeg, encode_jpeg
+
+        img = np.full((8, 8, 3), 127, dtype=np.uint8)
+        plain = decode_jpeg(encode_jpeg(img))
+        got = decode_jpeg(self._jpeg_with_gps(42.0, -5.6))
+        assert np.array_equal(got, plain)  # APP1 is metadata-transparent
+
+    def test_no_gps_returns_none(self):
+        from geomesa_ray.codecs.exif import read_exif_gps
+        from geomesa_ray.codecs.jpeg import encode_jpeg
+
+        img = np.full((8, 8, 3), 9, dtype=np.uint8)
+        assert read_exif_gps(encode_jpeg(img)) is None
+        assert read_exif_gps(b"\x00not a jpeg") is None
+
+    def test_handler_feeds_blobstore(self, ray_session, tmp_path):
+        from geomesa_ray.state.blobstore import rows_from_exif
+
+        with_gps = self._jpeg_with_gps(42.605, -5.603, 1700000000)
+        from geomesa_ray.codecs.jpeg import encode_jpeg
+
+        no_gps = encode_jpeg(np.full((8, 8, 3), 3, dtype=np.uint8))
+        t = rows_from_exif([("a.jpg", with_gps), ("plain.jpg", no_gps)])
+        assert t.num_rows == 1  # the GPS-less file is skipped
+        assert abs(t.column("lon")[0].as_py() - -5.603) < 1e-9
+        assert abs(t.column("lat")[0].as_py() - 42.605) < 1e-9
+        assert t.column("dtg_s")[0].as_py() == 1700000000
+
+        root = str(tmp_path / "bs")
+        put_blobs(root, t)
+        got = get_ids(root, bbox=(-6.0, -5.0, 42.0, 43.0)).take_all()
+        assert [r["filename"] for r in got] == ["a.jpg"]
+        data, name = get_blob(root, t.column("blob_id")[0].as_py())
+        assert data == with_gps and name == "a.jpg"
