@@ -106,11 +106,22 @@ def attr_index_current(store_dir: str, col: str) -> bool:
 
 
 def _sample_boundaries(paths: list[str], col: str, n_parts: int,
-                       sample_per_block: int = 512) -> list:
+                       sample_per_block: int = 512,
+                       max_sample_files: int = 16) -> list:
     """Range-partition cut points from a deterministic per-block sample
     (every ceil(n/sample)-th row of each block) — the driver holds only
     O(blocks x sample) values. Works for string and numeric columns
-    alike (numpy object sort)."""
+    alike (numpy object sort).
+
+    The sample reads at most ``max_sample_files`` evenly-spaced
+    partition files, not the whole store — at 10^5 partitions the
+    boundary estimate needs a bounded read, and store partitions are
+    spatially bucketed (attribute values are spread across them), so a
+    spaced subset is representative. Boundaries are persisted in the
+    index meta, so resume determinism never depends on this choice."""
+    if len(paths) > max_sample_files:
+        step = len(paths) / max_sample_files
+        paths = [paths[int(i * step)] for i in range(max_sample_files)]
 
     def sample(batch: pa.Table) -> pa.Table:
         v = batch.column(col)
@@ -192,7 +203,20 @@ def build_attr_index(store_dir: str, col: str, n_parts: int = 16,
             json.dump(meta, f)
         os.replace(tmp, meta_path)
 
+    # numeric boundary values searchsort natively (no per-row Python
+    # conversion). EXACT dtypes only: int64 cuts for an int column,
+    # float64 for a float column — a lossy cast (e.g. a 64-bit hash
+    # through float64) could route a boundary row to a different
+    # partition than parts_for_predicate's Python-int comparison prunes,
+    # silently dropping it from range scans. Strings and anything mixed
+    # keep the object-dtype path.
     cuts_arr = np.array(cuts, dtype=object)
+    if cuts and all(isinstance(c, int) and not isinstance(c, bool)
+                    for c in cuts) \
+            and all(-2**63 <= c < 2**63 for c in cuts):
+        cuts_arr = np.array(cuts, dtype=np.int64)
+    elif cuts and all(isinstance(c, float) for c in cuts):
+        cuts_arr = np.array(cuts, dtype=np.float64)
     need = None if coverage == "full" else \
         list(dict.fromkeys([col, *JOIN_COLUMNS]))
 
@@ -200,7 +224,16 @@ def build_attr_index(store_dir: str, col: str, n_parts: int = 16,
         if need is not None:
             batch = batch.select(need)
         batch = batch.filter(pc.is_valid(batch.column(col)))
-        v = np.asarray(batch.column(col).to_pylist(), dtype=object)
+        c_arr = batch.column(col)
+        if cuts_arr.dtype == np.int64 \
+                and pa.types.is_integer(c_arr.type) \
+                and not pa.types.is_unsigned_integer(c_arr.type):
+            v = c_arr.to_numpy(zero_copy_only=False)
+        elif cuts_arr.dtype == np.float64 \
+                and pa.types.is_floating(c_arr.type):
+            v = c_arr.to_numpy(zero_copy_only=False)
+        else:
+            v = np.asarray(c_arr.to_pylist(), dtype=object)
         apart = np.searchsorted(cuts_arr, v, side="right") \
             if len(cuts_arr) else np.zeros(len(v), dtype=np.int64)
         return batch.append_column("apart",
