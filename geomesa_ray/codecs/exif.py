@@ -151,7 +151,16 @@ def _ascii(tiff: bytes, bo: str, count: int, field: bytes) -> str:
 def read_exif_gps(jpeg: bytes) -> dict | None:
     """GPS (+ DateTimeOriginal) from a JPEG's APP1 Exif segment:
     ``{"lat": .., "lon": .., "dtg_s": ..?}`` or None when the file has
-    no GPS directory (the handler's canProcess=False contract)."""
+    no GPS directory — OR a truncated/malformed one (a damaged camera
+    file must map to the handler's canProcess=False skip contract, not
+    crash a whole ingest batch)."""
+    try:
+        return _read_exif_gps(jpeg)
+    except (struct.error, IndexError, ZeroDivisionError):
+        return None
+
+
+def _read_exif_gps(jpeg: bytes) -> dict | None:
     if jpeg[:2] != b"\xff\xd8":
         return None
     pos = 2

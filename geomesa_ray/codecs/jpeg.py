@@ -613,10 +613,19 @@ def _parse_stream(buf: bytes):
             for si in range(ns):
                 cs, tt = body[1 + 2 * si], body[2 + 2 * si]
                 comp = next(c for c in frame["comps"] if c["cid"] == cs)
-                # .get: a progressive refinement scan may reference an
-                # undefined table it never uses
-                scan.append((comp, dc_tabs.get(tt >> 4),
-                             ac_tabs.get(tt & 0xF)))
+                dct = dc_tabs.get(tt >> 4)
+                act = ac_tabs.get(tt & 0xF)
+                # a BASELINE scan always uses both tables: an undefined
+                # reference is a clean parse error here, not an
+                # AttributeError deep in the entropy loop. Progressive
+                # refinement scans may legally reference tables they
+                # never read, so None passes through for SOF2.
+                if not frame.get("progressive") and (dct is None
+                                                     or act is None):
+                    raise ValueError(
+                        f"SOS references undefined Huffman table "
+                        f"(Td={tt >> 4}, Ta={tt & 0xF})")
+                scan.append((comp, dct, act))
             frame["ri"] = ri_val
             return frame, scan, qts, seg_end
         # APPn / COM skipped
@@ -1195,9 +1204,12 @@ def _enc_ac_refine(bw: _BitW, zz_blocks, ss, se, al, ac_tab):
             if a == 0:
                 r += 1
                 continue
-            if a > 1:
-                corr.append(a & 1)
-                continue
+            # flush ZRLs at EVERY nonzero coefficient — history ones
+            # too. The decoder's ZRL walk consumes exactly the
+            # correction bits of history coefficients inside the
+            # 16-zero span; deferring the flush past a history
+            # coefficient would emit its bit under the wrong symbol and
+            # desync the stream (T.81 G.1.2.3 interleave order).
             while r > 15:
                 c, ln = ac_tab[0xF0]
                 bw.put(c, ln)
@@ -1205,6 +1217,9 @@ def _enc_ac_refine(bw: _BitW, zz_blocks, ss, se, al, ac_tab):
                     bw.put(b, 1)
                 corr.clear()
                 r -= 16
+            if a > 1:
+                corr.append(a & 1)
+                continue
             c, ln = ac_tab[(r << 4) | 1]
             bw.put(c, ln)
             bw.put(1 if v > 0 else 0, 1)

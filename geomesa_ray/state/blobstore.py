@@ -22,9 +22,14 @@ parquet layouts under one directory:
   store uses, then row groups on the sorted cell.
 
 Both writes are single ``groupby`` shuffles with the store's atomic
-partition-commit protocol, so a killed ``put_blobs`` resumes by skipping
-committed partitions; the bytes never travel through the index shuffle
-(only the skinny rows do — the blob shuffle ships each payload once).
+partition-commit protocol; each partition writer MERGES into the
+existing file by blob_id upsert, so later puts add to committed
+partitions and replaying a killed put is byte-idempotent. A blob's
+geometry is immutable per id (the append_store phash invariant's
+analog): a re-put that moved an id's lon/lat would strand its old index
+row in the previous Z2 partition — location changes require
+delete+put. The bytes never travel through the index shuffle (only the
+skinny rows do — the blob shuffle ships each payload once).
 At scale, payloads stream through the object store block by block and
 the driver never materializes a byte.
 """
@@ -36,7 +41,6 @@ import os
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -113,10 +117,30 @@ def put_blobs(root: str, table: pa.Table,
         os.replace(tmp, meta_path)
 
     bdir, idir = _blob_dir(root), _index_dir(root)
-    done_b = {int(p) for p in completed_partitions(bdir)}
-    done_i = {int(p) for p in completed_partitions(idir)}
     grid = Z2Grid(cell_level)
     shift = np.int64(2 * (cell_level - bucket_level))
+
+    # Each partition writer MERGES into any existing partition file,
+    # upserting by blob_id (new row wins). A later put into an existing
+    # store therefore ADDS its blobs (never silently drops rows whose
+    # partition was committed by an earlier put), and replaying the
+    # same put — crash recovery or task retry — is a byte-idempotent
+    # rewrite, the same contract as the main store's append_store.
+    def _merge_commit(base: str, part: int, g: pa.Table,
+                      sort_keys) -> int:
+        from geomesa_ray.util import id_membership_mask
+
+        path = os.path.join(base, f"part={part}", "data.parquet")
+        if os.path.exists(path):
+            new_ids = np.sort(np.asarray(
+                g.column("blob_id").to_pylist(), dtype=object))
+            old = pq.read_table(path)
+            old = old.filter(pa.array(
+                ~id_membership_mask(old.column("blob_id"), new_ids)))
+            g = pa.concat_tables([old, g.select(old.schema.names)])
+        g = g.sort_by(sort_keys)
+        commit_partition(base, part, g, {"part": part, "rows": g.num_rows})
+        return g.num_rows
 
     # ---- payload layout: one shuffle of (blob rows + hpart)
     def add_hpart(batch: pa.Table) -> pa.Table:
@@ -127,10 +151,10 @@ def put_blobs(root: str, table: pa.Table,
 
     def write_blob_part(group: pa.Table) -> pa.Table:
         part = int(group.column("hpart")[0].as_py())
-        g = group.drop_columns(["hpart"]).sort_by([("blob_id", "ascending")])
-        commit_partition(bdir, part, g, {"part": part, "rows": g.num_rows})
+        rows = _merge_commit(bdir, part, group.drop_columns(["hpart"]),
+                             [("blob_id", "ascending")])
         return pa.table({"part": pa.array([part], pa.int64()),
-                         "rows": pa.array([g.num_rows], pa.int64())})
+                         "rows": pa.array([rows], pa.int64())})
 
     # ---- skinny spatial index: one shuffle of (id, filename, geo, bpart)
     def add_bpart(batch: pa.Table) -> pa.Table:
@@ -143,37 +167,21 @@ def put_blobs(root: str, table: pa.Table,
 
     def write_index_part(group: pa.Table) -> pa.Table:
         part = int(group.column("bpart")[0].as_py())
-        g = group.drop_columns(["bpart"]).sort_by(
-            [("cell", "ascending"), ("blob_id", "ascending")])
-        commit_partition(idir, part, g, {"part": part, "rows": g.num_rows})
+        rows = _merge_commit(idir, part, group.drop_columns(["bpart"]),
+                             [("cell", "ascending"),
+                              ("blob_id", "ascending")])
         return pa.table({"part": pa.array([part], pa.int64()),
-                         "rows": pa.array([g.num_rows], pa.int64())})
-
-    def drop_done(done: set[int], col: str):
-        arr = pa.array(sorted(done), pa.int64())
-
-        def fn(batch: pa.Table) -> pa.Table:
-            return batch.filter(
-                pc.invert(pc.is_in(batch.column(col), value_set=arr)))
-
-        return fn
+                         "rows": pa.array([rows], pa.int64())})
 
     n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
     ds = ray.data.from_arrow(table).repartition(n_blocks)
 
-    blobs = ds.map_batches(add_hpart, batch_format="pyarrow")
-    if done_b:
-        blobs = blobs.map_batches(drop_done(done_b, "hpart"),
-                                  batch_format="pyarrow")
-    blobs.groupby("hpart").map_groups(write_blob_part,
-                                      batch_format="pyarrow").count()
-
-    idx = ds.map_batches(add_bpart, batch_format="pyarrow")
-    if done_i:
-        idx = idx.map_batches(drop_done(done_i, "bpart"),
-                              batch_format="pyarrow")
-    idx.groupby("bpart").map_groups(write_index_part,
-                                    batch_format="pyarrow").count()
+    ds.map_batches(add_hpart, batch_format="pyarrow") \
+        .groupby("hpart").map_groups(write_blob_part,
+                                     batch_format="pyarrow").count()
+    ds.map_batches(add_bpart, batch_format="pyarrow") \
+        .groupby("bpart").map_groups(write_index_part,
+                                     batch_format="pyarrow").count()
 
     return {"blobs": skew_stats(completed_partitions(bdir)),
             "index": skew_stats(completed_partitions(idir))}
@@ -368,6 +376,8 @@ def rows_from_params(files: list[tuple[str, bytes]],
     handler's deterministic-id role)."""
     import re
 
+    import hashlib
+
     lons, lats, ids, names, blobs, dtgs = [], [], [], [], [], []
     pat = re.compile(r"POINT\s*\(\s*(-?[\d.]+)\s+(-?[\d.]+)\s*\)")
     for (name, data), p in zip(files, params):
@@ -377,10 +387,10 @@ def rows_from_params(files: list[tuple[str, bytes]],
                              f"{p['wkt']!r}")
         lons.append(float(m.group(1)))
         lats.append(float(m.group(2)))
-        h = int(splitmix64(np.uint64(len(data))
-                           ^ np.frombuffer(
-                               (data[:8] + b"\0" * 8)[:8], np.uint64)[0]))
-        ids.append(f"{os.path.splitext(name)[0]}_{h & 0xFFFFFFFF:08x}")
+        # full-content digest: same-name same-length files with
+        # different bytes must get distinct ids
+        h = hashlib.sha1(data).hexdigest()[:12]
+        ids.append(f"{os.path.splitext(name)[0]}_{h}")
         names.append(name)
         blobs.append(data)
         dtgs.append(int(p["dtg_s"]))

@@ -114,7 +114,8 @@ def _store_input_schema(store_dir: str):
 
 def poll_once(incoming_dir: str, store_dir: str,
               pattern: str = "*.*",
-              min_quiesce_s: float = 0.0) -> list[dict]:
+              min_quiesce_s: float = 0.0,
+              max_batch_bytes: int = 256 << 20) -> list[dict]:
     """Discover-and-apply one poll: every landed file with a KNOWN
     extension not yet in the commit log is applied (in name order — the
     deterministic offset order) and logged. Unknown extensions (editor
@@ -136,14 +137,17 @@ def poll_once(incoming_dir: str, store_dir: str,
     that did land). Returns the new log entries (applied and
     dead-lettered).
 
-    All readable files discovered by ONE poll apply as ONE batched
-    upsert (amortizing the affected-bucket rewrite — a bucket touched
-    by five landings rewrites once, not five times) and share one
-    snapshot version. An image_id landed by several files in the same
-    poll keeps the LAST file's row (name order), exactly what
-    sequential application produced. The commit log is written once,
-    AFTER the batched append commits — a crash mid-append replays the
-    whole poll, which the id-upsert makes a no-op."""
+    Readable files discovered by one poll apply as batched upserts of
+    at most ``max_batch_bytes`` per chunk (amortizing the
+    affected-bucket rewrite — a normal poll is ONE append — while a
+    large backlog never concats into one unbounded driver-side table);
+    the files of a chunk share one snapshot version. An image_id landed
+    by several files in the same poll keeps the LAST file's row (name
+    order): within a chunk by explicit keep-last dedup, across chunks
+    because chunks apply in file order and ``append_store`` upserts by
+    id. The commit log is written AFTER each chunk's append commits —
+    a crash replays only the un-logged chunks, which the id-upsert
+    makes a no-op."""
     import time as _time
 
     import pyarrow as pa
@@ -194,26 +198,48 @@ def poll_once(incoming_dir: str, store_dir: str,
     if not batch:
         return new
 
-    merged = pa.concat_tables([t for _, t in batch]) \
-        if len(batch) > 1 else batch[0][1]
-    if len(batch) > 1:
-        # cross-file upsert order: keep each id's LAST row (file name
-        # order = offset order), matching sequential application
-        import numpy as np
-
-        ids = np.asarray(merged.column("image_id").to_pylist(),
-                         dtype=object)
-        _, first_in_rev = np.unique(ids[::-1], return_index=True)
-        keep = np.sort(len(ids) - 1 - first_in_rev)
-        if len(keep) != len(ids):
-            merged = merged.take(pa.array(keep))
-    out = append_store(store_dir, merged, snapshot=True)
+    # one batched upsert per <=max_batch_bytes chunk of landed files (a
+    # backlog of N large files must not concat into one driver-side
+    # table — peak memory stays bounded at the chunk cap, while a
+    # normal poll still amortizes to a single append). Chunks apply in
+    # file order, and append_store upserts by id, so a later chunk's
+    # row still wins over an earlier chunk's — sequential semantics.
+    chunks: list[list[tuple[str, pa.Table]]] = [[]]
+    size = 0
     for name, t in batch:
-        new.append({"file": name, "rows": t.num_rows,
+        if chunks[-1] and size + t.nbytes > max_batch_bytes:
+            chunks.append([])
+            size = 0
+        chunks[-1].append((name, t))
+        size += t.nbytes
+
+    applied = []
+    for chunk in chunks:
+        merged = pa.concat_tables([t for _, t in chunk]) \
+            if len(chunk) > 1 else chunk[0][1]
+        if len(chunk) > 1:
+            # cross-file upsert order within the chunk: keep each id's
+            # LAST row (file name order = offset order), matching
+            # sequential application
+            import numpy as np
+
+            ids = np.asarray(merged.column("image_id").to_pylist(),
+                             dtype=object)
+            _, first_in_rev = np.unique(ids[::-1], return_index=True)
+            keep = np.sort(len(ids) - 1 - first_in_rev)
+            if len(keep) != len(ids):
+                merged = merged.take(pa.array(keep))
+        out = append_store(store_dir, merged, snapshot=True)
+        entries = [{"file": name, "rows": t.num_rows,
                     "snapshot_version": out.get("snapshot_version"),
-                    "touched_buckets": out.get("touched_buckets")})
-    log.extend(new[len(dead):])
-    _commit_log(store_dir, log)  # once, after the batched append commits
+                    "touched_buckets": out.get("touched_buckets")}
+                   for name, t in chunk]
+        applied.extend(entries)
+        # commit after EACH chunk's append: a crash replays only the
+        # chunks that hadn't landed (replay is an id-upsert no-op)
+        log.extend(entries)
+        _commit_log(store_dir, log)
+    new.extend(applied)
     return new
 
 

@@ -119,16 +119,48 @@ class TestDeleteResume:
         left = {r["blob_id"] for r in get_ids(root).take_all()}
         assert not set(victims) & left and len(left) == N - 2
 
-    def test_put_resume_skips_committed(self, ray_session, tmp_path):
+    def test_put_replay_is_byte_idempotent(self, ray_session, tmp_path):
+        import hashlib
+
+        def layout_sha(root):
+            h = hashlib.sha256()
+            for layout in ("blobs", "index"):
+                base = os.path.join(root, layout)
+                for p in sorted(os.listdir(base)):
+                    f = os.path.join(base, p, "data.parquet")
+                    if p.startswith("part=") and os.path.exists(f):
+                        with open(f, "rb") as fh:
+                            h.update(fh.read())
+            return h.hexdigest()
+
         root = str(tmp_path / "bs2")
         put_blobs(root, _corpus())
-        before = os.path.getmtime(
-            os.path.join(root, "blobs", "part=0", "data.parquet"))
-        put_blobs(root, _corpus())  # replay: all partitions committed
-        after = os.path.getmtime(
-            os.path.join(root, "blobs", "part=0", "data.parquet"))
-        assert before == after  # nothing rewritten
+        before = layout_sha(root)
+        put_blobs(root, _corpus())  # replay: id-upsert merge, no dups
+        assert layout_sha(root) == before
         assert get_ids(root).count() == N
+
+    def test_second_put_merges_into_committed_partitions(
+            self, ray_session, tmp_path):
+        """Review regression: a later put whose rows hash into
+        partitions committed by an EARLIER put must ADD them (the old
+        resume filter silently dropped them)."""
+        root = str(tmp_path / "bs2b")
+        put_blobs(root, _corpus())  # fills every partition
+        extra = pa.table({
+            "blob_id": pa.array(["zextra00001", "zextra00002"]),
+            "filename": pa.array(["x1.bin", "x2.bin"]),
+            "bytes": pa.array([b"\xaa" * 5, b"\xbb" * 9], pa.binary()),
+            "lon": pa.array([12.0, -140.0]),
+            "lat": pa.array([47.0, -20.0]),
+            "dtg_s": pa.array([1, 2], pa.int64()),
+        })
+        put_blobs(root, extra)
+        assert get_ids(root).count() == N + 2
+        assert get_blob(root, "zextra00001") == (b"\xaa" * 5, "x1.bin")
+        # and an id REPLAY upserts rather than duplicating
+        put_blobs(root, extra)
+        assert get_ids(root).count() == N + 2
 
     def test_scheme_guard(self, ray_session, tmp_path):
         root = str(tmp_path / "bs3")
@@ -224,3 +256,31 @@ class TestExifHandler:
         assert [r["filename"] for r in got] == ["a.jpg"]
         data, name = get_blob(root, t.column("blob_id")[0].as_py())
         assert data == with_gps and name == "a.jpg"
+
+    def test_corrupt_exif_is_skipped_not_fatal(self):
+        """A truncated APP1 maps to canProcess=False (skip), never a
+        struct.error out of the whole ingest batch."""
+        from geomesa_ray.codecs.exif import insert_exif, read_exif_gps
+        from geomesa_ray.codecs.jpeg import encode_jpeg
+        from geomesa_ray.state.blobstore import rows_from_exif
+
+        img = np.full((8, 8, 3), 50, dtype=np.uint8)
+        good = insert_exif(encode_jpeg(img), 10.0, 20.0, 1700000000)
+        # truncate mid-GPS-IFD: keep the APP1 marker + half its body
+        app1_at = good.find(b"\xff\xe1")
+        bad = good[:app1_at + 24] + good[app1_at + 200:]
+        assert read_exif_gps(bad) is None
+        t = rows_from_exif([("bad.jpg", bad), ("good.jpg", good)])
+        assert t.num_rows == 1 and t.column("filename")[0].as_py() \
+            == "good.jpg"
+
+    def test_same_name_same_length_ids_distinct(self):
+        """Review regression: the blob id hashes FULL content — two
+        same-name same-length files with different bytes collide no
+        more."""
+        a = rows_from_params([("photo.jpg", b"\x01" * 100)],
+                             [{"wkt": "POINT (0 0)", "dtg_s": 0}])
+        b = rows_from_params([("photo.jpg", b"\x02" * 100)],
+                             [{"wkt": "POINT (0 0)", "dtg_s": 0}])
+        assert a.column("blob_id")[0].as_py() \
+            != b.column("blob_id")[0].as_py()

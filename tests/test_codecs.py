@@ -667,3 +667,82 @@ class TestProgressiveJpeg:
 
         with pytest.raises(NotImplementedError, match="progressive"):
             decode_jpeg(spliced)
+
+
+class TestProgressiveRefinementWhiteBox:
+    """Coefficient-level round trips of the AC successive-approximation
+    coder — sparse bands with >16-zero runs interleaved with history
+    coefficients are exactly the layouts dense-noise images never
+    produce (review finding: a history coefficient inside a deferred
+    ZRL flush desynced the stream)."""
+
+    @staticmethod
+    def _roundtrip(blocks, ss=1, se=63, levels=(2, 1, 0)):
+        """Run the full first-pass + refinement chain over int64 zigzag
+        blocks; return the decoder's reconstruction."""
+        import numpy as np
+
+        from geomesa_ray.codecs.jpeg import (_BitR, _BitW, _HuffDecoder,
+                                             _dec_ac_first,
+                                             _dec_ac_refine,
+                                             _dht_payload,
+                                             _enc_ac_first,
+                                             _enc_ac_refine,
+                                             _prog_ac_table)
+
+        ac_tab = _prog_ac_table()
+        payload = _dht_payload(ac_tab, 1, 0)
+        bits = list(payload[1:17])
+        vals = payload[17:]
+        dec_tab = _HuffDecoder(bits, vals)
+
+        out = [np.zeros(64, dtype=np.int64) for _ in blocks]
+        first = True
+        for i, al in enumerate(levels):
+            bw = _BitW()
+            if first:
+                _enc_ac_first(bw, blocks, ss, se, al, ac_tab)
+            else:
+                _enc_ac_refine(bw, blocks, ss, se, al, ac_tab)
+            br = _BitR(bw.flush())
+            if first:
+                _dec_ac_first(br, dec_tab, out, ss, se, al)
+                first = False
+            else:
+                _dec_ac_refine(br, dec_tab, out, ss, se, al)
+        return out
+
+    def test_review_repro_history_inside_long_run(self):
+        import numpy as np
+
+        blk = np.zeros(64, dtype=np.int64)
+        blk[18] = 3   # history coefficient after 17 zeros
+        blk[21] = 1   # newly significant at al=0
+        (got,) = self._roundtrip([blk], levels=(1, 0))
+        assert np.array_equal(got, blk)
+
+    def test_random_sparse_blocks_exact(self):
+        import numpy as np
+
+        rng = np.random.default_rng(77)
+        blocks = []
+        for _ in range(200):
+            blk = np.zeros(64, dtype=np.int64)
+            # a few coefficients at random positions, biased sparse so
+            # >16-zero runs and EOB runs occur constantly
+            for _ in range(int(rng.integers(0, 4))):
+                k = int(rng.integers(1, 64))
+                blk[k] = int(rng.integers(-9, 10)) or 1
+            blocks.append(blk)
+        got = self._roundtrip(blocks, levels=(2, 1, 0))
+        for g, b in zip(got, blocks):
+            assert np.array_equal(g, b)
+
+    def test_eob_run_cap_and_all_zero(self):
+        import numpy as np
+
+        blocks = [np.zeros(64, dtype=np.int64) for _ in range(500)]
+        blocks[499][63] = -5  # force the long EOB run to flush mid-scan
+        got = self._roundtrip(blocks)
+        assert np.array_equal(got[499], blocks[499])
+        assert all((g == 0).all() for g in got[:499])

@@ -308,3 +308,48 @@ class TestBatchedPoll:
         rows = [r for r in read_store(store).take_all()
                 if r["image_id"] == dup_id]
         assert len(rows) == 1 and rows[0]["caption"] == "LATE"
+
+
+class TestChunkedPoll:
+    """A poll's merge is bounded by max_batch_bytes: a backlog applies
+    in file-order chunks (bounded driver memory), each chunk one append
+    with its own snapshot; sequential semantics preserved."""
+
+    def test_backlog_applies_in_chunks(self, ray_session, tmp_path,
+                                       monkeypatch):
+        from geomesa_ray.sources.fixtures import gen_images_table
+        from geomesa_ray.state import store as store_mod
+        from geomesa_ray.state.store import read_store, write_store
+
+        t = gen_images_table(2400)
+        fdir = str(tmp_path / "seed")
+        os.makedirs(fdir)
+        _slice_to_file(t, 0, 1200, os.path.join(fdir, "images.parquet"))
+        store = str(tmp_path / "store")
+        write_store(fdir, store, columns=["image_id", "phash", "caption"])
+        incoming = str(tmp_path / "incoming")
+        os.makedirs(incoming)
+        for i in range(4):
+            _slice_to_file(t, 1200 + 300 * i, 1500 + 300 * i,
+                           os.path.join(incoming, f"b{i:03d}.parquet"))
+        calls = []
+        real = store_mod.append_store
+
+        def counting(store_dir, tbl, **kw):
+            calls.append(tbl.num_rows)
+            return real(store_dir, tbl, **kw)
+
+        monkeypatch.setattr(store_mod, "append_store", counting)
+        # nbytes of the table as the consumer actually batches it:
+        # landed files are projected/cast to the store's input schema
+        one_file_bytes = pq.read_table(
+            os.path.join(incoming, "b000.parquet")).select(
+            ["image_id", "phash", "caption"]).nbytes
+        new = poll_once(incoming, store,
+                        max_batch_bytes=2 * one_file_bytes)
+        assert len(new) == 4
+        assert len(calls) == 2 and calls == [600, 600]  # 2 files/chunk
+        # chunks got distinct snapshots; all files logged
+        assert len({e["snapshot_version"] for e in new}) == 2
+        got = {r["image_id"] for r in read_store(store).take_all()}
+        assert got == set(t.column("image_id").to_pylist())
