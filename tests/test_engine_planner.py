@@ -412,3 +412,27 @@ class TestCoveredProjection:
                     tb.column("caption")[i].as_py()
         assert rows and all(
             r["caption"] == want[r["image_id"]] for r in rows)
+
+
+class TestProjectionOtherStrategies:
+    """query(columns=...) applies the projection on EVERY strategy, not
+    just the attribute-index path."""
+
+    def test_spatial_strategy_projects(self, ray_session, tiny_fixtures):
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        spec = QuerySpec(bbox=(-10.0, 25.0, -5.0, 30.0))
+        full = eng.query(spec)
+        proj = eng.query(spec, columns=["image_id", "lon", "lat"])
+        assert set(proj.schema().names) == {"image_id", "lon", "lat"}
+        want = {r["image_id"] for r in full.select_columns(
+            ["image_id"]).take_all()}
+        assert {r["image_id"] for r in proj.take_all()} == want and want
+
+    def test_record_strategy_projects(self, ray_session, tiny_fixtures):
+        eng = GeoMesaRayEngine(tiny_fixtures)
+        spec = QuerySpec(ids=["img00000010", "img00000200"])
+        proj = eng.query(spec, columns=["image_id", "caption"])
+        rows = proj.take_all()
+        assert {r["image_id"] for r in rows} == \
+            {"img00000010", "img00000200"}
+        assert set(rows[0]) == {"image_id", "caption"}
