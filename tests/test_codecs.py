@@ -746,3 +746,64 @@ class TestProgressiveRefinementWhiteBox:
         got = self._roundtrip(blocks)
         assert np.array_equal(got[499], blocks[499])
         assert all((g == 0).all() for g in got[:499])
+
+
+class TestCodecProperties:
+    """Hypothesis property tests over the round-4 codec surface (the
+    SURVEY §5 property-testing strategy): random inputs explore corner
+    layouts the fixed fixtures can't."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40), st.integers(1, 8),
+           st.integers(0, 2**32 - 1))
+    def test_progressive_always_matches_baseline(self, h, w, ri, seed):
+        from geomesa_ray.codecs.jpeg import (decode_jpeg, encode_jpeg,
+                                             encode_jpeg_progressive)
+
+        img = np.random.default_rng(seed).integers(
+            0, 256, (h, w, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img))
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_progressive(img)), base)
+        # and restart intervals of any size agree too
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(img, restart_interval=ri)), base)
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.floats(-180.0, 180.0, allow_nan=False),
+           st.floats(-90.0, 90.0, allow_nan=False),
+           st.integers(1, 12))
+    def test_geohash_bounds_always_contain(self, lon, lat, p):
+        from geomesa_ray.curve.geohash import (geohash_bounds,
+                                               geohash_encode)
+
+        h = geohash_encode(np.array([lon]), np.array([lat]), p)
+        b = geohash_bounds(h)
+        # the encoded cell contains the point, up to one ulp of the
+        # offset sum (a point within ~1e-14 deg of a cell boundary can
+        # round into the neighbor — inherent to the floor-scale formula
+        # the DuckDB oracle mirrors bit-for-bit; the right-edge clamp
+        # means lon=180/lat=90 land in the last cell)
+        tol = 1e-12
+        assert b["lon_min"][0] - tol <= lon \
+            <= max(b["lon_max"][0], 180.0) + tol
+        assert b["lat_min"][0] - tol <= lat \
+            <= max(b["lat_max"][0], 90.0) + tol
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.floats(-90.0, 90.0, allow_nan=False),
+           st.floats(-180.0, 180.0, allow_nan=False),
+           st.booleans())
+    def test_exif_gps_roundtrip_anywhere(self, lat, lon, big_endian):
+        from geomesa_ray.codecs.exif import insert_exif, read_exif_gps
+        from geomesa_ray.codecs.jpeg import encode_jpeg
+
+        img = np.full((8, 8, 3), 127, dtype=np.uint8)
+        buf = insert_exif(encode_jpeg(img), lat, lon,
+                          big_endian=big_endian)
+        gps = read_exif_gps(buf)
+        assert abs(gps["lat"] - lat) < 1e-9
+        assert abs(gps["lon"] - lon) < 1e-9
