@@ -340,18 +340,27 @@ def cmd_remove_schema(args) -> int:
 
 def cmd_blob_put(args) -> int:
     """Blobstore put (reference: AccumuloBlobStore.put via the
-    blobstore command surface): land a local file with WKT-param
-    geometry; prints the assigned blob id."""
-    from geomesa_ray.state.blobstore import put_blobs, rows_from_params
+    blobstore command surface): land a local file, deriving geometry
+    through the named handler registry (wkt params, exif GPS, ...);
+    prints the assigned blob id."""
+    from geomesa_ray.state.blobstore import put_blobs, resolve_blob_handler
 
+    handler = resolve_blob_handler(args.handler)
+    if args.handler == "wkt" and not args.wkt:
+        print("blob-put: --wkt is required with the wkt handler",
+              file=sys.stderr)
+        return 2
     with open(args.file, "rb") as f:
         data = f.read()
-    t = rows_from_params(
-        [(os.path.basename(args.file), data)],
-        [{"wkt": args.wkt, "dtg_s": args.dtg_s}])
+    t = handler([(os.path.basename(args.file), data)],
+                [{"wkt": args.wkt, "dtg_s": args.dtg_s}])
+    if t.num_rows == 0:
+        print(f"blob-put: handler {args.handler!r} cannot process "
+              f"{args.file}", file=sys.stderr)
+        return 2
     put_blobs(args.store, t)
     print(json.dumps({"blob_id": t.column("blob_id")[0].as_py(),
-                      "rows": 1}))
+                      "rows": t.num_rows}))
     return 0
 
 
@@ -483,10 +492,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("blob-put", help="land a file in a blob store")
     sp.add_argument("store")
     sp.add_argument("file")
-    sp.add_argument("--wkt", required=True,
-                    help="geometry param, e.g. 'POINT (10.5 -3.2)'")
+    sp.add_argument("--handler", default="wkt",
+                    help="put-param handler (wkt, exif, or registered)")
+    sp.add_argument("--wkt", default=None,
+                    help="geometry param, e.g. 'POINT (10.5 -3.2)' "
+                         "(wkt handler)")
     sp.add_argument("--dtg-s", type=int, required=True,
-                    help="epoch seconds")
+                    help="epoch seconds (exif: fallback when the file "
+                         "has no DateTimeOriginal)")
     sp.set_defaults(fn=cmd_blob_put, needs_ray=True)
 
     sp = sub.add_parser("blob-get", help="fetch a blob payload by id")

@@ -892,9 +892,12 @@ def decode_jpeg_batch(bufs: list[bytes]) -> list[np.ndarray]:
     head = bufs[0][:sos_end]
     if any(b[:sos_end] != head for b in bufs[1:]):
         return [decode_jpeg(b) for b in bufs]
-    if frame.get("ri"):
-        # restart streams reset bit state mid-scan, which the lockstep
-        # advance doesn't model — per-image decode handles them
+    if frame.get("ri") or frame.get("progressive"):
+        # restart streams reset bit state mid-scan and progressive
+        # (SOF2) streams are multi-scan — neither fits the lockstep
+        # single-scan advance; per-image decode handles both (a uniform
+        # batch of SOF2 streams previously hit 'invalid Huffman code'
+        # here instead of falling back)
         return [decode_jpeg(b) for b in bufs]
 
     n = len(bufs)

@@ -21,17 +21,27 @@ parquet layouts under one directory:
   with the same ``store_buckets_for_query`` Z2 range cover the main
   store uses, then row groups on the sorted cell.
 
-Both writes are single ``groupby`` shuffles with the store's atomic
-partition-commit protocol; each partition writer MERGES into the
-existing file by blob_id upsert, so later puts add to committed
-partitions and replaying a killed put is byte-idempotent. A blob's
-geometry is immutable per id (the append_store phash invariant's
-analog): a re-put that moved an id's lon/lat would strand its old index
-row in the previous Z2 partition — location changes require
-delete+put. The bytes never travel through the index shuffle (only the
-skinny rows do — the blob shuffle ships each payload once).
-At scale, payloads stream through the object store block by block and
-the driver never materializes a byte.
+The put is ONE chained pipeline over a ``ray.data.Dataset`` (a driver
+``pa.Table`` is accepted and wrapped): payload rows shuffle by id-hash
+to the payload writers, and each payload writer EMITS its group's
+skinny index rows (no bytes) into a second, small shuffle that lands
+the spatial index — the input is consumed exactly once and each
+payload byte ships through exactly one exchange. Both layouts use the
+store's atomic partition-commit protocol; each partition writer MERGES
+into the existing file by blob_id upsert, so later puts add to
+committed partitions and replaying a killed put is byte-idempotent
+(layout bytes are identical across input block shapes — Dataset vs
+driver table). A blob's geometry is immutable per id (the append_store
+phash invariant's analog): a re-put that moved an id's lon/lat would
+strand its old index row in the previous Z2 partition — location
+changes require delete+put. At scale, payloads stream through the
+object store block by block and the driver never materializes a byte.
+
+Put-parameter handlers (geometry/date derivation per file) resolve
+through a named registry — :data:`BLOB_HANDLERS` — the
+``BlobStoreFileHandler`` SPI analog
+(``geomesa-blobstore/.../BlobStoreFileHandler.scala``): ``wkt`` reads
+put-params, ``exif`` reads the JPEG's own GPS directory.
 """
 
 from __future__ import annotations
@@ -54,6 +64,11 @@ from geomesa_ray.state.manifest import (commit_partition,
 DEFAULT_BLOB_PARTS = 64
 DEFAULT_BUCKET_LEVEL = 3  # 4^3 = 64 spatial index partitions
 INDEX_COLS = ["blob_id", "filename", "lon", "lat", "dtg_s", "cell"]
+# payload partitions carry the skinny geometry alongside the bytes
+# (16+8 B/row vs KB payloads) so a delete can resolve each id's Z2
+# bucket from the payload side and rewrite ONLY the touched index
+# partitions (layout version 2)
+PAYLOAD_COLS = ["blob_id", "filename", "bytes", "lon", "lat", "dtg_s"]
 
 
 def _blob_dir(root: str) -> str:
@@ -89,21 +104,26 @@ def blob_meta(root: str) -> dict:
         return json.load(f)
 
 
-def put_blobs(root: str, table: pa.Table,
+def put_blobs(root: str, table: pa.Table | ray.data.Dataset,
               n_blob_parts: int = DEFAULT_BLOB_PARTS,
               bucket_level: int = DEFAULT_BUCKET_LEVEL,
               cell_level: int = 12) -> dict:
-    """Distributed, resumable put. ``table`` columns: blob_id (unique),
-    filename, bytes (binary), lon, lat, dtg_s (int64 epoch seconds).
-    Returns per-layout skew stats. The WKT-param handler convenience
-    (``WKTFileHandler`` role) is :func:`rows_from_params`."""
-    for c in ("blob_id", "filename", "bytes", "lon", "lat", "dtg_s"):
-        if c not in table.column_names:
+    """Distributed, resumable put. ``table`` is a driver ``pa.Table``
+    (CLI-scale) or a ``ray.data.Dataset`` (bulk loads — payload bytes
+    stream block-by-block, the driver never holds them); columns either
+    way: blob_id (unique), filename, bytes (binary), lon, lat, dtg_s
+    (int64 epoch seconds). Returns per-layout skew stats; partition
+    bytes are identical for both input shapes. The put-param handlers
+    (``WKTFileHandler`` role) live in :data:`BLOB_HANDLERS`."""
+    ds = table if isinstance(table, ray.data.Dataset) else None
+    names = ds.schema().names if ds is not None else table.column_names
+    for c in PAYLOAD_COLS:
+        if c not in names:
             raise ValueError(f"put_blobs: missing column {c!r}")
     os.makedirs(root, exist_ok=True)
     meta_path = os.path.join(root, "meta.json")
     scheme = {"n_blob_parts": n_blob_parts, "bucket_level": bucket_level,
-              "cell_level": cell_level, "version": 1}
+              "cell_level": cell_level, "version": 2}
     if os.path.exists(meta_path):
         prev = blob_meta(root)
         if {k: prev.get(k) for k in scheme} != scheme:
@@ -142,26 +162,24 @@ def put_blobs(root: str, table: pa.Table,
         commit_partition(base, part, g, {"part": part, "rows": g.num_rows})
         return g.num_rows
 
-    # ---- payload layout: one shuffle of (blob rows + hpart)
+    # ---- chained pipeline: payload shuffle (bytes ship exactly once)
+    # whose writers EMIT their group's skinny index rows into a second,
+    # small shuffle — the input Dataset is consumed exactly once
     def add_hpart(batch: pa.Table) -> pa.Table:
         h = _id_hashes(batch.column("blob_id"))
         part = (h.view(np.uint64) % np.uint64(n_blob_parts)).astype(np.int64)
-        return batch.select(["blob_id", "filename", "bytes"]) \
+        return batch.select(PAYLOAD_COLS) \
                     .append_column("hpart", pa.array(part))
 
     def write_blob_part(group: pa.Table) -> pa.Table:
         part = int(group.column("hpart")[0].as_py())
-        rows = _merge_commit(bdir, part, group.drop_columns(["hpart"]),
-                             [("blob_id", "ascending")])
-        return pa.table({"part": pa.array([part], pa.int64()),
-                         "rows": pa.array([rows], pa.int64())})
-
-    # ---- skinny spatial index: one shuffle of (id, filename, geo, bpart)
-    def add_bpart(batch: pa.Table) -> pa.Table:
-        lon = batch.column("lon").to_numpy(zero_copy_only=False)
-        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        g = group.drop_columns(["hpart"])
+        _merge_commit(bdir, part, g, [("blob_id", "ascending")])
+        # emit THIS put's skinny index rows (no bytes) for the group
+        lon = g.column("lon").to_numpy(zero_copy_only=False)
+        lat = g.column("lat").to_numpy(zero_copy_only=False)
         cell = grid.encode(lon, lat)
-        out = batch.select(["blob_id", "filename", "lon", "lat", "dtg_s"])
+        out = g.select(["blob_id", "filename", "lon", "lat", "dtg_s"])
         out = out.append_column("cell", pa.array(cell))
         return out.append_column("bpart", pa.array(cell >> shift))
 
@@ -173,13 +191,13 @@ def put_blobs(root: str, table: pa.Table,
         return pa.table({"part": pa.array([part], pa.int64()),
                          "rows": pa.array([rows], pa.int64())})
 
-    n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    ds = ray.data.from_arrow(table).repartition(n_blocks)
+    if ds is None:
+        n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        ds = ray.data.from_arrow(table).repartition(n_blocks)
 
     ds.map_batches(add_hpart, batch_format="pyarrow") \
         .groupby("hpart").map_groups(write_blob_part,
-                                     batch_format="pyarrow").count()
-    ds.map_batches(add_bpart, batch_format="pyarrow") \
+                                     batch_format="pyarrow") \
         .groupby("bpart").map_groups(write_index_part,
                                      batch_format="pyarrow").count()
 
@@ -279,7 +297,7 @@ def fetch_blobs(root: str, ids: ray.data.Dataset | list) -> ray.data.Dataset:
             return pa.table({"blob_id": pa.array([], pa.string()),
                              "filename": pa.array([], pa.string()),
                              "bytes": pa.array([], pa.binary())})
-        t = pq.read_table(path)
+        t = pq.read_table(path, columns=["blob_id", "filename", "bytes"])
         return t.filter(pa.array(id_membership_mask(t.column("blob_id"),
                                                     want)))
 
@@ -288,25 +306,13 @@ def fetch_blobs(root: str, ids: ray.data.Dataset | list) -> ray.data.Dataset:
     return keyed.groupby("hpart").map_groups(fetch, batch_format="pyarrow")
 
 
-def delete_blobs(root: str, ids: list[str]) -> dict:
-    """Delete payload + index rows for the given ids. One Ray task per
-    candidate partition (id-hash narrows the blob side to exactly the
-    buckets the ids map to; the index side scans all partitions — the
-    ids' locations aren't known a priori), each rewriting its partition
-    atomically and re-committing the manifest. The id set broadcasts
-    once via ray.put."""
-    meta = blob_meta(root)
-    want_ref = ray.put(np.sort(np.array(ids, dtype=object)))
-    h = _id_hashes(pa.array(ids, pa.string()))
-    bparts = sorted(set(
-        (h.view(np.uint64) % np.uint64(meta["n_blob_parts"]))
-        .astype(np.int64).tolist()))
-    iparts = sorted(int(p) for p in
-                    completed_partitions(_index_dir(root)))
-    items = [{"layout": "blobs", "part": p} for p in bparts] \
-        + [{"layout": "index", "part": p} for p in iparts]
-    if not items:
-        return {"deleted": 0}
+def _drop_from_partitions(root: str, layout: str, parts: list[int],
+                          want_ref) -> int:
+    """Distributed partition rewrite: one Ray task stream over the given
+    partitions, each dropping the broadcast ids and re-committing
+    atomically. Returns the number of dropped rows."""
+    if not parts:
+        return 0
 
     def drop(batch: pa.Table) -> pa.Table:
         from geomesa_ray.state.manifest import write_manifest
@@ -314,9 +320,7 @@ def delete_blobs(root: str, ids: list[str]) -> dict:
 
         want = resolve_broadcast(want_ref)
         out_n = []
-        is_blob = []
-        for layout, part in zip(batch.column("layout").to_pylist(),
-                                batch.column("part").to_pylist()):
+        for part in batch.column("part").to_pylist():
             base = os.path.join(root, layout)
             pdir = os.path.join(base, f"part={part}")
             path = os.path.join(pdir, "data.parquet")
@@ -333,13 +337,78 @@ def delete_blobs(root: str, ids: list[str]) -> dict:
                     write_manifest(base, part, {"part": part,
                                                 "rows": kept.num_rows})
             out_n.append(n_hit)
-            is_blob.append(layout == "blobs")
-        return pa.table({"hit": pa.array(out_n, pa.int64()),
-                         "blob": pa.array(is_blob, pa.bool_())})
+        return pa.table({"hit": pa.array(out_n, pa.int64())})
 
-    rows = ray.data.from_items(items, override_num_blocks=len(items)) \
+    rows = ray.data.from_items([{"part": p} for p in parts],
+                               override_num_blocks=len(parts)) \
         .map_batches(drop, batch_format="pyarrow").take_all()
-    return {"deleted": int(sum(r["hit"] for r in rows if r["blob"]))}
+    return int(sum(r["hit"] for r in rows))
+
+
+def delete_blobs(root: str, ids: list[str]) -> dict:
+    """Delete payload + index rows for the given ids, rewriting ONLY the
+    partitions the ids actually touch. Three distributed waves:
+
+    1. **resolve** — the id-hash narrows the payload side to its
+       buckets; each reads just (blob_id, lon, lat) (parquet column
+       pruning never touches the bytes) and returns the Z2 index
+       buckets of the matched rows;
+    2. **index rewrite** — only the resolved buckets (v2 layouts;
+       a v1 store without payload geometry falls back to all);
+    3. **payload rewrite** — only the id-hash buckets.
+
+    Untouched partitions are never opened for write. The order makes a
+    killed delete replayable: payload rows outlive their index rows, so
+    a re-run re-resolves the same buckets. The id set broadcasts once
+    via ray.put."""
+    meta = blob_meta(root)
+    want = np.sort(np.array(ids, dtype=object))
+    want_ref = ray.put(want)
+    h = _id_hashes(pa.array(ids, pa.string()))
+    bparts = sorted(set(
+        (h.view(np.uint64) % np.uint64(meta["n_blob_parts"]))
+        .astype(np.int64).tolist()))
+    iparts_all = sorted(int(p) for p in
+                        completed_partitions(_index_dir(root)))
+    if not bparts:
+        return {"deleted": 0}
+
+    if meta.get("version", 1) >= 2:
+        grid = Z2Grid(meta["cell_level"])
+        shift = 2 * (meta["cell_level"] - meta["bucket_level"])
+
+        def resolve(batch: pa.Table) -> pa.Table:
+            from geomesa_ray.util import (id_membership_mask,
+                                          resolve_broadcast)
+
+            w = resolve_broadcast(want_ref)
+            buckets: set[int] = set()
+            for part in batch.column("part").to_pylist():
+                path = os.path.join(_blob_dir(root), f"part={part}",
+                                    "data.parquet")
+                if not os.path.exists(path):
+                    continue
+                t = pq.read_table(path, columns=["blob_id", "lon", "lat"])
+                t = t.filter(pa.array(
+                    id_membership_mask(t.column("blob_id"), w)))
+                if t.num_rows:
+                    cell = grid.encode(
+                        t.column("lon").to_numpy(zero_copy_only=False),
+                        t.column("lat").to_numpy(zero_copy_only=False))
+                    buckets.update((cell >> np.int64(shift)).tolist())
+            return pa.table({"bucket": pa.array(sorted(buckets),
+                                                pa.int64())})
+
+        touched = {int(r["bucket"]) for r in ray.data.from_items(
+            [{"part": p} for p in bparts], override_num_blocks=len(bparts))
+            .map_batches(resolve, batch_format="pyarrow").take_all()}
+        iparts = [p for p in iparts_all if p in touched]
+    else:  # v1 payload layout has no geometry: scan every index part
+        iparts = iparts_all
+
+    _drop_from_partitions(root, "index", iparts, want_ref)
+    deleted = _drop_from_partitions(root, "blobs", bparts, want_ref)
+    return {"deleted": deleted}
 
 
 def rows_from_exif(files: list[tuple[str, bytes]],
@@ -402,3 +471,38 @@ def rows_from_params(files: list[tuple[str, bytes]],
         "lat": pa.array(lats, pa.float64()),
         "dtg_s": pa.array(dtgs, pa.int64()),
     })
+
+
+def _exif_handler(files: list[tuple[str, bytes]],
+                  params: list[dict]) -> pa.Table:
+    """Registry adapter for :func:`rows_from_exif`: geometry comes from
+    each JPEG's GPS directory; a per-file ``dtg_s`` param is the
+    fallback date for files whose EXIF has no DateTimeOriginal."""
+    default = int(params[0].get("dtg_s", 0)) if params else 0
+    return rows_from_exif(files, default_dtg_s=default)
+
+
+# Named put-param handlers — the BlobStoreFileHandler SPI analog
+# (``geomesa-blobstore/.../BlobStoreFileHandler.scala`` factories are
+# discovered by ServiceLoader; here a plain registry, extendable the
+# same way as functions/registry.py). Every handler maps
+# (files: [(filename, bytes)], params: [dict]) -> a put_blobs row table.
+BLOB_HANDLERS: dict = {
+    "wkt": rows_from_params,
+    "exif": _exif_handler,
+}
+
+
+def register_blob_handler(name: str, fn) -> None:
+    """Extension point: plug a new put-param handler (the SPI role)."""
+    if name in BLOB_HANDLERS:
+        raise ValueError(f"blob handler {name!r} already registered")
+    BLOB_HANDLERS[name] = fn
+
+
+def resolve_blob_handler(name: str):
+    try:
+        return BLOB_HANDLERS[name]
+    except KeyError:
+        raise KeyError(f"unknown blob handler {name!r}; "
+                       f"registered: {sorted(BLOB_HANDLERS)}") from None

@@ -284,3 +284,150 @@ class TestExifHandler:
                              [{"wkt": "POINT (0 0)", "dtg_s": 0}])
         assert a.column("blob_id")[0].as_py() \
             != b.column("blob_id")[0].as_py()
+
+
+class TestDatasetPut:
+    """Round-5: bulk puts accept a ray.data.Dataset (payload bytes
+    stream; the driver never holds them) and must produce partition
+    bytes IDENTICAL to the driver-table path — the merge-commit
+    invariant across input shapes."""
+
+    @staticmethod
+    def _layout_hashes(root):
+        import hashlib
+
+        out = {}
+        for layout in ("blobs", "index"):
+            base = os.path.join(root, layout)
+            for p in sorted(os.listdir(base)):
+                f = os.path.join(base, p, "data.parquet")
+                if p.startswith("part=") and os.path.exists(f):
+                    with open(f, "rb") as fh:
+                        out[f"{layout}/{p}"] = \
+                            hashlib.sha256(fh.read()).hexdigest()
+        return out
+
+    def test_dataset_put_layout_byte_identical(self, ray_session,
+                                               tmp_path):
+        import ray.data
+
+        t = _corpus()
+        r_table = str(tmp_path / "bs_table")
+        r_ds = str(tmp_path / "bs_ds")
+        put_blobs(r_table, t)
+        # a deliberately different block shape: byte-identity must not
+        # depend on input partitioning
+        put_blobs(r_ds, ray.data.from_arrow(t).repartition(13))
+        ht, hd = self._layout_hashes(r_table), self._layout_hashes(r_ds)
+        assert ht and ht == hd
+
+    def test_dataset_put_missing_column_raises(self, ray_session,
+                                               tmp_path):
+        import ray.data
+
+        bad = _corpus().drop_columns(["dtg_s"])
+        with pytest.raises(ValueError, match="dtg_s"):
+            put_blobs(str(tmp_path / "bs"), ray.data.from_arrow(bad))
+
+
+class TestDeletePruning:
+    """Round-5: delete resolves each id's Z2 bucket from the payload
+    side (skinny column read) and rewrites ONLY the touched index
+    partitions — untouched partitions keep their mtime and bytes."""
+
+    def test_delete_only_touches_hit_partitions(self, ray_session,
+                                                tmp_path):
+        import hashlib
+
+        from geomesa_ray.curve.sfc import Z2Grid
+        from geomesa_ray.state.blobstore import _id_hashes
+
+        root = str(tmp_path / "bs")
+        t = _corpus()
+        put_blobs(root, t)
+        meta = blob_meta(root)
+        victims = [t.column("blob_id")[i].as_py() for i in (3, 77, 310)]
+        vmask = np.isin(np.asarray(t.column("blob_id").to_pylist()),
+                        victims)
+        grid = Z2Grid(meta["cell_level"])
+        cells = grid.encode(t.column("lon").to_numpy()[vmask],
+                            t.column("lat").to_numpy()[vmask])
+        shift = 2 * (meta["cell_level"] - meta["bucket_level"])
+        exp_iparts = {int(c) for c in cells >> np.int64(shift)}
+        h = _id_hashes(pa.array(victims, pa.string()))
+        exp_bparts = set((h.view(np.uint64)
+                          % np.uint64(meta["n_blob_parts"]))
+                         .astype(np.int64).tolist())
+
+        def snap():
+            out = {}
+            for layout in ("blobs", "index"):
+                base = os.path.join(root, layout)
+                for p in sorted(os.listdir(base)):
+                    f = os.path.join(base, p, "data.parquet")
+                    if p.startswith("part=") and os.path.exists(f):
+                        with open(f, "rb") as fh:
+                            digest = hashlib.sha256(fh.read()).hexdigest()
+                        out[(layout, int(p[5:]))] = \
+                            (os.stat(f).st_mtime_ns, digest)
+            return out
+
+        before = snap()
+        assert delete_blobs(root, victims)["deleted"] == len(victims)
+        after = snap()
+        changed = {k for k in before if before[k] != after[k]}
+        # every rewritten partition is one the victims actually touch...
+        for layout, part in changed:
+            assert part in (exp_bparts if layout == "blobs"
+                            else exp_iparts), (layout, part)
+        # ...and every untouched partition kept mtime AND bytes
+        for k in set(before) - changed:
+            assert before[k] == after[k]
+        # the ids are really gone, everything else intact
+        assert get_blob(root, victims[0]) == (b"", "")
+        left = {r["blob_id"] for r in get_ids(root).take_all()}
+        assert left == set(t.column("blob_id").to_pylist()) - set(victims)
+
+
+class TestHandlerRegistry:
+    """Round-5: named put-param handler registry — the
+    BlobStoreFileHandler SPI analog."""
+
+    def test_builtin_handlers_resolve(self):
+        from geomesa_ray.state.blobstore import resolve_blob_handler
+
+        assert resolve_blob_handler("wkt") is rows_from_params
+        t = resolve_blob_handler("wkt")(
+            [("a.bin", b"xy")], [{"wkt": "POINT (1 2)", "dtg_s": 7}])
+        assert t.column("lon")[0].as_py() == 1.0
+        with pytest.raises(KeyError, match="unknown blob handler"):
+            resolve_blob_handler("nope")
+
+    def test_register_and_collision(self):
+        from geomesa_ray.state.blobstore import (BLOB_HANDLERS,
+                                                 register_blob_handler,
+                                                 resolve_blob_handler)
+
+        def custom(files, params):
+            return rows_from_params(files, params)
+
+        register_blob_handler("custom_test", custom)
+        try:
+            assert resolve_blob_handler("custom_test") is custom
+            with pytest.raises(ValueError, match="already registered"):
+                register_blob_handler("wkt", custom)
+        finally:
+            del BLOB_HANDLERS["custom_test"]
+
+    def test_exif_via_registry(self):
+        from geomesa_ray.codecs.exif import insert_exif
+        from geomesa_ray.codecs.jpeg import encode_jpeg
+        from geomesa_ray.state.blobstore import resolve_blob_handler
+
+        img = np.full((8, 8, 3), 60, dtype=np.uint8)
+        buf = insert_exif(encode_jpeg(img), 12.5, -7.25, 1700000000)
+        t = resolve_blob_handler("exif")([("p.jpg", buf)],
+                                         [{"dtg_s": 5}])
+        assert t.num_rows == 1
+        assert abs(t.column("lat")[0].as_py() - 12.5) < 1e-9
+        assert t.column("dtg_s")[0].as_py() == 1700000000

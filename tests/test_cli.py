@@ -236,3 +236,49 @@ class TestBlobCli:
         assert main(["blob-delete", store, bid]) == 0
         assert _json_out(capsys)["deleted"] == 1
         assert main(["blob-get", store, bid]) == 2
+
+
+class TestBlobHandlerCli:
+    """Round-5: blob-put resolves geometry through the named handler
+    registry (--handler exif reads the JPEG's own GPS directory)."""
+
+    def test_blob_put_exif_handler(self, ray_session, tmp_path, capsys):
+        import numpy as np
+
+        from geomesa_ray.codecs.exif import insert_exif
+        from geomesa_ray.codecs.jpeg import encode_jpeg
+
+        img = np.full((8, 8, 3), 77, dtype=np.uint8)
+        buf = insert_exif(encode_jpeg(img), -33.8568, 151.2153,
+                          1700000000)
+        f = tmp_path / "sydney.jpg"
+        f.write_bytes(buf)
+        store = str(tmp_path / "bs")
+        assert main(["blob-put", store, str(f), "--handler", "exif",
+                     "--dtg-s", "0"]) == 0
+        bid = _json_out(capsys)["blob_id"]
+
+        assert main(["blob-ids", store,
+                     "--bbox", "151,152,-34,-33"]) == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert lines == [f"{bid}\tsydney.jpg"]
+
+    def test_blob_put_exif_no_gps_is_error(self, ray_session, tmp_path,
+                                           capsys):
+        import numpy as np
+
+        from geomesa_ray.codecs.jpeg import encode_jpeg
+
+        f = tmp_path / "plain.jpg"
+        f.write_bytes(encode_jpeg(np.full((8, 8, 3), 5, dtype=np.uint8)))
+        assert main(["blob-put", str(tmp_path / "bs2"), str(f),
+                     "--handler", "exif", "--dtg-s", "0"]) == 2
+        assert "cannot process" in capsys.readouterr().err
+
+    def test_blob_put_wkt_requires_wkt(self, ray_session, tmp_path,
+                                       capsys):
+        f = tmp_path / "x.bin"
+        f.write_bytes(b"abc")
+        assert main(["blob-put", str(tmp_path / "bs3"), str(f),
+                     "--dtg-s", "0"]) == 2
+        assert "--wkt is required" in capsys.readouterr().err
