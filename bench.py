@@ -64,6 +64,21 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
 
     ray.data.range(num_cpus * 2).map_batches(lambda b: b).count()  # warm workers
 
+    # fixed-cost machine-noise probe: a pure-NumPy memory-streaming
+    # pass (1.28 GB of DRAM traffic, the same resource the pipeline
+    # kernels contend on). Cross-round comparisons divide a query's
+    # time by this entry's ratio to its BASELINE.md reference value to
+    # normalize out the shared box's measured 2-3x ambient swing.
+    def _calibration():
+        import numpy as np
+
+        x = np.arange(8_000_000, dtype=np.float64)
+        for _ in range(10):
+            x = x * 1.000001 + 0.5
+        return int(x[0])
+
+    timed("calibration_numpy", _calibration)
+
     join_rows, headline_s = timed("headline_join_tile",
                                   lambda: _consume(flagship(fdir)))
 
@@ -106,6 +121,14 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         image_ops.transcode(fdir, "png", use_actors=False)))
     timed("transcode_jpeg", lambda: _consume(
         image_ops.transcode(fdir, "jpeg", use_actors=False)))
+    # compressed-source mix (baseline | DRI/RSTm | progressive SOF2):
+    # exercises all three decode routes the codec supports on the
+    # corpus path; corpus is 1/20th scale, built once and cached
+    from geomesa_ray.sources.fixtures import ensure_mixed_jpeg_corpus
+
+    mixdir = ensure_mixed_jpeg_corpus(sf_dir)
+    timed("transcode_jpeg_mixed", lambda: _consume(
+        image_ops.transcode(mixdir, "jpeg", use_actors=False)))
     timed("mosaic", lambda: _consume(tiles.mosaic(fdir)))
 
     store_dir = f"/tmp/graft_store_bench_{num_cpus}"
@@ -115,6 +138,34 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     t0 = time.perf_counter()
     stats = write_store(fdir, store_dir)
     queries["store_write"] = round(time.perf_counter() - t0, 3)
+
+    # blobstore bulk put, Dataset-scale path: the whole image corpus
+    # lands as blobs (bytes stream block-by-block, never on the driver);
+    # single-shot like store_write (a replay is an idempotent re-merge)
+    import pyarrow as _pa2
+
+    from geomesa_ray.sources.io import read_images
+    from geomesa_ray.stages.derive import derive_geometry
+    from geomesa_ray.state.blobstore import put_blobs
+
+    blob_root = f"/tmp/graft_blob_bench_{num_cpus}"
+    shutil.rmtree(blob_root, ignore_errors=True)
+
+    def _blob_rows(batch: _pa2.Table) -> _pa2.Table:
+        b = derive_geometry(batch)
+        b = b.append_column(
+            "filename", _pa2.compute.binary_join_element_wise(
+                b.column("image_id").cast(_pa2.string()), ".raw", ""))
+        return b.rename_columns(
+            ["blob_id" if c == "image_id" else c
+             for c in b.schema.names]).select(
+            ["blob_id", "filename", "bytes", "lon", "lat", "dtg_s"])
+
+    t0 = time.perf_counter()
+    put_blobs(blob_root, read_images(
+        fdir, columns=["image_id", "bytes", "phash"]).map_batches(
+        _blob_rows, batch_format="pyarrow"))
+    queries["blob_put"] = round(time.perf_counter() - t0, 3)
     timed("store_read_pruned", lambda: _consume(read_store(store_dir, q)))
 
     # indexed kNN in its intended regime: a CLUSTERED probe set, so the
@@ -122,16 +173,24 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     # scan (globally-spread probes cover every bucket by ring 1)
     import pyarrow as _pa
 
-    i = __import__("numpy").arange(200)
-    knn_probes = _pa.table({
-        "probe_id": _pa.array([f"b{j:03d}" for j in range(200)]),
-        "lon": _pa.array(5.0 + (i % 20).astype(float)),
-        "lat": _pa.array(40.0 + (i % 15).astype(float)),
-        "k": _pa.array(__import__("numpy").full(200, 5, dtype="int32")),
-        "max_dist_m": _pa.array(__import__("numpy").full(200, 1e7)),
-    })
+    import numpy as _np
+
+    def _clustered_probes(m: int) -> "_pa.Table":
+        i = _np.arange(m)
+        return _pa.table({
+            "probe_id": _pa.array([f"b{j:04d}" for j in range(m)]),
+            "lon": _pa.array(5.0 + (i % 20).astype(float)),
+            "lat": _pa.array(40.0 + (i % 15).astype(float)),
+            "k": _pa.array(_np.full(m, 5, dtype="int32")),
+            "max_dist_m": _pa.array(_np.full(m, 1e7)),
+        })
+
     timed("knn_indexed_clustered", lambda: _consume(
-        knn.knn_indexed(store_dir, probes=knn_probes)))
+        knn.knn_indexed(store_dir, probes=_clustered_probes(200))))
+    # 10x the probes: the vectorized ring planner + distributed merge
+    # keep driver time sub-linear in probe count (round-5 criterion)
+    timed("knn_indexed_2k", lambda: _consume(
+        knn.knn_indexed(store_dir, probes=_clustered_probes(2000))))
 
     # secondary attribute index: build over the committed store, then a
     # value-pruned range query through the JOIN-coverage record fetch

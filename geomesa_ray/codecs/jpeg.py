@@ -891,7 +891,20 @@ def decode_jpeg_batch(bufs: list[bytes]) -> list[np.ndarray]:
     frame, scan, qts, sos_end = _parse_stream(bufs[0])
     head = bufs[0][:sos_end]
     if any(b[:sos_end] != head for b in bufs[1:]):
-        return [decode_jpeg(b) for b in bufs]
+        # mixed corpus batch: group SAME-HEADER runs and decode each
+        # group together — baseline groups still vectorize in lockstep;
+        # DRI/SOF2 groups take their per-image routes below. Header
+        # parse is marker-scan only (~us), tiny next to a scalar decode.
+        groups: dict[bytes, list[int]] = {}
+        for i, b in enumerate(bufs):
+            end = _parse_stream(b)[3]
+            groups.setdefault(b[:end], []).append(i)
+        out: list = [None] * len(bufs)
+        for idxs in groups.values():
+            for i, im in zip(idxs, decode_jpeg_batch([bufs[i]
+                                                      for i in idxs])):
+                out[i] = im
+        return out
     if frame.get("ri") or frame.get("progressive"):
         # restart streams reset bit state mid-scan and progressive
         # (SOF2) streams are multi-scan — neither fits the lockstep

@@ -224,22 +224,37 @@ def knn_indexed(store_dir: str, probes: pa.Table | None = None,
     ring = 0
     max_ring = nx  # covers the whole grid (with lon wrap)
 
-    def ring_cells(p: int, r: int) -> set[int]:
-        cx, cy = int(px[p]), int(py[p])
-        out = set()
-        for dx in range(-r, r + 1):
-            for dy in (-r, r):
-                yy = cy + dy
-                if 0 <= yy < nx:
-                    out.add(((cx + dx) % nx, yy))
-        for dy in range(-r + 1, r):
-            for dx in (-r, r):
-                yy = cy + dy
-                if 0 <= yy < nx:
-                    out.add(((cx + dx) % nx, yy))
-        if r == 0:
-            out = {(cx, cy)}
-        return {int(z2_encode(np.uint64(x), np.uint64(y))) for x, y in out}
+    def ring_offsets(r_lo: int, r_hi: int) -> tuple[np.ndarray, np.ndarray]:
+        """(dx, dy) offsets of every cell on rings r_lo..r_hi (chebyshev
+        shells), as two int64 arrays — built once per iteration."""
+        dxs, dys = [], []
+        for r in range(r_lo, r_hi + 1):
+            if r == 0:
+                dxs.append(np.zeros(1, np.int64))
+                dys.append(np.zeros(1, np.int64))
+                continue
+            side = np.arange(-r, r + 1, dtype=np.int64)
+            mid = np.arange(-r + 1, r, dtype=np.int64)
+            dxs += [side, side,
+                    np.full(len(mid), -r, np.int64),
+                    np.full(len(mid), r, np.int64)]
+            dys += [np.full(len(side), -r, np.int64),
+                    np.full(len(side), r, np.int64), mid, mid]
+        return np.concatenate(dxs), np.concatenate(dys)
+
+    def ring_cells_all(act: np.ndarray, r_lo: int, r_hi: int) -> set[int]:
+        """Needed cells for ALL active probes over rings r_lo..r_hi in
+        one vectorized pass (lon wraps, lat clips) — the driver's
+        planning loop stays O(probes x ring_cells) numpy, never
+        per-probe Python (round 5: at 2000 probes the per-probe set
+        loop with scalar z2_encode dominated the driver)."""
+        dx, dy = ring_offsets(r_lo, r_hi)
+        xx = (px[act][:, None] + dx[None, :]) % nx
+        yy = py[act][:, None] + dy[None, :]
+        ok = (yy >= 0) & (yy < nx)
+        cells = z2_encode(xx[ok].astype(np.uint64),
+                          yy[ok].astype(np.uint64))
+        return set(np.unique(cells.view(np.int64)).tolist())
 
     while active and ring <= max_ring:
         # read ``ring_step`` rings per iteration: each iteration pays a
@@ -247,10 +262,8 @@ def knn_indexed(store_dir: str, probes: pa.Table | None = None,
         # terminate within a couple of rings — stepping 2 halves the
         # driver-serialized iteration count for a marginal extra read
         ring_hi = min(ring + ring_step - 1, max_ring)
-        needed = set()
-        for p in active:
-            for r in range(ring, ring_hi + 1):
-                needed |= ring_cells(p, r)
+        needed = ring_cells_all(np.array(sorted(active), dtype=np.int64),
+                                ring, ring_hi)
         # salted layout: expand each cell bucket to its salt partitions
         needed = {c * n_salt + s for c in needed for s in range(n_salt)}
         new = (needed & existing) - read_buckets

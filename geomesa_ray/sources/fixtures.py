@@ -353,3 +353,61 @@ def ensure_fixtures(sf_dir: str, n_rows: int | None = None) -> str:
         # lost a creation race — the winner's copy is identical (deterministic)
         shutil.rmtree(tmp, ignore_errors=True)
     return out_dir
+
+
+def ensure_mixed_jpeg_corpus(sf_dir: str, n: int | None = None,
+                             denom: int = 20) -> str:
+    """A compressed-corpus fixture exercising ALL three JPEG stream
+    kinds the codec supports on the corpus path: three contiguous
+    sections (the realistic shape — real corpora cluster by source) of
+
+    * baseline SOF0                (lockstep batch decode),
+    * baseline + DRI/RSTm          (per-image restart-aware decode),
+    * progressive SOF2             (multi-scan per-image decode),
+
+    each re-encoding the SAME deterministic raw pixels as the main
+    fixture rows [0, n). Cached once under
+    ``/tmp/graft_fixtures/<base>_mixedjpeg``; ``n`` defaults to the
+    scale's row count / ``denom``. Returns the corpus directory
+    (read_images-compatible: images.parquet)."""
+    import shutil
+
+    from geomesa_ray.codecs.jpeg import (encode_jpeg_batch,
+                                         encode_jpeg_progressive)
+
+    if n is None:
+        n = max(300, rows_for_sf(sf_dir) // denom)
+    n -= n % 3
+    base = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(FIXTURE_ROOT, f"{base}_mixedjpeg")
+    done = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(done):
+        with open(done) as f:
+            if f.read() == f"n={n}":
+                return out_dir
+        shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(FIXTURE_ROOT, exist_ok=True)
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir, ignore_errors=True)
+    t = gen_images_table_range(0, n)
+    pixels = np.frombuffer(b"".join(t.column("bytes").to_pylist()),
+                           dtype=np.uint8).reshape(n, IMG_H, IMG_W, 3)
+    third = n // 3
+    bufs = list(encode_jpeg_batch(pixels[:third]))
+    bufs += list(encode_jpeg_batch(pixels[third:2 * third],
+                                   restart_interval=2))
+    bufs += [encode_jpeg_progressive(im) for im in pixels[2 * third:]]
+    out = t.set_column(t.schema.get_field_index("bytes"), "bytes",
+                       pa.array(bufs, pa.binary()))
+    out = out.set_column(t.schema.get_field_index("fmt"), "fmt",
+                         pa.array(["jpeg"] * n, pa.string()))
+    tmp = tempfile.mkdtemp(prefix=".mixedjpeg_", dir=FIXTURE_ROOT)
+    pq.write_table(out, os.path.join(tmp, "images.parquet"),
+                   row_group_size=65536)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write(f"n={n}")
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out_dir

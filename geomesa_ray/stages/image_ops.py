@@ -375,9 +375,26 @@ class Transcode:
                 bufs = encode_jpeg_batch(m, quality=self.quality)
         else:
             imgs = decode_batch(batch)
-            kw = {"quality": self.quality} \
-                if self.out_fmt in ("jpeg", "jpg") else {}
-            bufs = [codecs.encode(im, self.out_fmt, **kw) for im in imgs]
+            if (self.out_fmt in ("jpeg", "jpg", "png")
+                    and len(imgs) > 1
+                    and len({im.shape for im in imgs}) == 1
+                    and imgs[0].ndim == 3):
+                # compressed-source batches still re-encode as ONE
+                # vectorized pass once decoded to a uniform stack
+                m = np.stack(imgs)
+                if self.out_fmt == "png":
+                    from geomesa_ray.codecs.png import encode_png_batch
+
+                    bufs = encode_png_batch(m)
+                else:
+                    from geomesa_ray.codecs.jpeg import encode_jpeg_batch
+
+                    bufs = encode_jpeg_batch(m, quality=self.quality)
+            else:
+                kw = {"quality": self.quality} \
+                    if self.out_fmt in ("jpeg", "jpg") else {}
+                bufs = [codecs.encode(im, self.out_fmt, **kw)
+                        for im in imgs]
         cols = {
             "image_id": batch.column("image_id"),
             "bytes": pa.array(bufs, pa.binary()),

@@ -807,3 +807,49 @@ class TestCodecProperties:
         gps = read_exif_gps(buf)
         assert abs(gps["lat"] - lat) < 1e-9
         assert abs(gps["lon"] - lon) < 1e-9
+
+
+class TestMixedStreamTranscode:
+    """Round-5: DRI/RSTm and progressive SOF2 streams exercised on the
+    CORPUS transcode path (decode_batch routing), not only in codec
+    unit tests."""
+
+    def test_transcode_mixed_jpeg_corpus(self, ray_session):
+        from geomesa_ray.codecs.jpeg import _parse_stream, decode_jpeg, psnr
+        from geomesa_ray.sources.fixtures import (IMG_H, IMG_W,
+                                                  ensure_mixed_jpeg_corpus,
+                                                  gen_images_table_range)
+        from geomesa_ray.stages.image_ops import decode_batch, transcode
+
+        d = ensure_mixed_jpeg_corpus("/root/testdata/sf0.001", n=90)
+        import pyarrow.parquet as pq
+
+        src = pq.read_table(d + "/images.parquet")
+        kinds = set()
+        for i in range(90):
+            frame = _parse_stream(src.column("bytes")[i].as_py())[0]
+            kinds.add("prog" if frame.get("progressive")
+                      else "dri" if frame.get("ri") else "base")
+        assert kinds == {"base", "dri", "prog"}  # all three stream types
+
+        ds = transcode(d, "jpeg", use_actors=False, batch_size=32)
+        t = pa.concat_tables(
+            [pa.table(b) for b in
+             ds.iter_batches(batch_format="pyarrow", batch_size=4096)]
+        ).sort_by("image_id")
+        assert t.num_rows == 90
+        want = gen_images_table_range(0, 90)
+        assert t.column("image_id").equals(want.column("image_id"))
+        assert t.column("caption").equals(want.column("caption"))
+
+        got_px = np.stack(decode_batch(t))
+        in_px = np.stack([decode_jpeg(src.column("bytes")[i].as_py())
+                          for i in range(90)])
+        raw = np.frombuffer(b"".join(want.column("bytes").to_pylist()),
+                            np.uint8).reshape(90, IMG_H, IMG_W, 3)
+        for i in range(90):
+            # re-encode of already-quantized pixels is near-lossless
+            assert psnr(got_px[i], in_px[i]) >= 40.0
+            # and the end-to-end chain stays within the payload bound
+            # of the source pixels
+            assert psnr(got_px[i], raw[i]) >= 35.0
