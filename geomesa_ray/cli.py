@@ -364,6 +364,39 @@ def cmd_blob_put(args) -> int:
     return 0
 
 
+def cmd_blob_put_bulk(args) -> int:
+    """Bulk blobstore ingest (the file-manifest path): every file under
+    a directory streams through ``ray.data.read_binary_files`` -> the
+    named handler per batch -> the Dataset-scale put. Payload bytes are
+    never gathered on the driver; files the handler cannot process
+    (e.g. no EXIF GPS) are skipped, mirroring single-file put."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from geomesa_ray.state.blobstore import put_blobs, resolve_blob_handler
+
+    resolve_blob_handler(args.handler)  # fail fast on unknown names
+    if args.handler == "wkt" and not args.wkt:
+        print("blob-put-bulk: --wkt is required with the wkt handler",
+              file=sys.stderr)
+        return 2
+    handler_name, wkt, dtg_s = args.handler, args.wkt, args.dtg_s
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        h = resolve_blob_handler(handler_name)
+        files = [(os.path.basename(p), b)
+                 for p, b in zip(batch.column("path").to_pylist(),
+                                 batch.column("bytes").to_pylist())]
+        return h(files, [{"wkt": wkt, "dtg_s": dtg_s} for _ in files])
+
+    ds = ray.data.read_binary_files(args.dir, include_paths=True) \
+        .map_batches(to_rows, batch_format="pyarrow")
+    stats = put_blobs(args.store, ds)
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_blob_get(args) -> int:
     """Blobstore get: fetch one payload by id to a local file."""
     from geomesa_ray.state.blobstore import get_blob
@@ -501,6 +534,19 @@ def build_parser() -> argparse.ArgumentParser:
                     help="epoch seconds (exif: fallback when the file "
                          "has no DateTimeOriginal)")
     sp.set_defaults(fn=cmd_blob_put, needs_ray=True)
+
+    sp = sub.add_parser("blob-put-bulk",
+                        help="bulk-ingest a directory of files "
+                             "(streaming Dataset put)")
+    sp.add_argument("store")
+    sp.add_argument("dir")
+    sp.add_argument("--handler", default="wkt",
+                    help="put-param handler (wkt, exif, or registered)")
+    sp.add_argument("--wkt", default=None,
+                    help="geometry applied to every file (wkt handler)")
+    sp.add_argument("--dtg-s", type=int, default=0,
+                    help="epoch seconds (exif: fallback date)")
+    sp.set_defaults(fn=cmd_blob_put_bulk, needs_ray=True)
 
     sp = sub.add_parser("blob-get", help="fetch a blob payload by id")
     sp.add_argument("store")

@@ -282,3 +282,52 @@ class TestBlobHandlerCli:
         assert main(["blob-put", str(tmp_path / "bs3"), str(f),
                      "--dtg-s", "0"]) == 2
         assert "--wkt is required" in capsys.readouterr().err
+
+
+class TestBlobBulkCli:
+    """Round-5: blob-put-bulk streams a directory through
+    read_binary_files -> handler -> the Dataset-scale put."""
+
+    def test_bulk_exif_dir(self, ray_session, tmp_path, capsys):
+        import numpy as np
+
+        from geomesa_ray.codecs.exif import insert_exif
+        from geomesa_ray.codecs.jpeg import encode_jpeg
+
+        src = tmp_path / "photos"
+        src.mkdir()
+        pts = [(10.0, 20.0), (11.0, 21.0), (12.0, 22.0)]
+        for i, (lat, lon) in enumerate(pts):
+            img = np.full((8, 8, 3), 30 + i, dtype=np.uint8)
+            (src / f"p{i}.jpg").write_bytes(
+                insert_exif(encode_jpeg(img), lat, lon, 1700000000 + i))
+        (src / "plain.jpg").write_bytes(
+            encode_jpeg(np.full((8, 8, 3), 9, dtype=np.uint8)))
+
+        store = str(tmp_path / "bs")
+        assert main(["blob-put-bulk", store, str(src),
+                     "--handler", "exif"]) == 0
+        stats = _json_out(capsys)
+        assert stats["blobs"]["rows"] == 3  # GPS-less file skipped
+
+        assert main(["blob-ids", store]) == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert sorted(ln.split("\t")[1] for ln in lines) \
+            == ["p0.jpg", "p1.jpg", "p2.jpg"]
+
+    def test_bulk_wkt_fixed_point(self, ray_session, tmp_path, capsys):
+        src = tmp_path / "files"
+        src.mkdir()
+        for i in range(4):
+            (src / f"f{i}.bin").write_bytes(bytes([i]) * 20)
+        store = str(tmp_path / "bs2")
+        assert main(["blob-put-bulk", store, str(src),
+                     "--wkt", "POINT (5 6)", "--dtg-s", "7"]) == 0
+        assert _json_out(capsys)["blobs"]["rows"] == 4
+
+    def test_bulk_wkt_requires_wkt(self, ray_session, tmp_path, capsys):
+        src = tmp_path / "d"
+        src.mkdir()
+        assert main(["blob-put-bulk", str(tmp_path / "bs3"),
+                     str(src)]) == 2
+        assert "--wkt is required" in capsys.readouterr().err

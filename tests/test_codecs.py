@@ -853,3 +853,48 @@ class TestMixedStreamTranscode:
             # and the end-to-end chain stays within the payload bound
             # of the source pixels
             assert psnr(got_px[i], raw[i]) >= 35.0
+
+
+class TestDriLockstepDecode:
+    """Round-5: DRI batches decode in the SAME lockstep advance with
+    each restart interval as its own stream (DC predictors and bit
+    state reset per interval for free) — pixel-identical to the scalar
+    decoder, and segmentation shortens the longest symbol chain."""
+
+    @pytest.mark.parametrize("ri", [1, 2, 7, 100])
+    def test_batch_matches_scalar_small(self, ri):
+        from geomesa_ray.codecs.jpeg import (decode_jpeg,
+                                             decode_jpeg_batch,
+                                             encode_jpeg_batch)
+
+        imgs = RNG.integers(0, 255, (24, 8, 8, 3), dtype=np.uint8)
+        bufs = encode_jpeg_batch(imgs, restart_interval=ri)
+        got = decode_jpeg_batch(bufs)
+        want = [decode_jpeg(b) for b in bufs]
+        assert all(np.array_equal(a, b) for a, b in zip(got, want))
+
+    @pytest.mark.parametrize("ri", [1, 3, 8, 24])
+    def test_batch_matches_scalar_multi_mcu(self, ri):
+        """Non-divisible MCU counts: the last interval is shorter."""
+        from geomesa_ray.codecs.jpeg import (decode_jpeg,
+                                             decode_jpeg_batch,
+                                             encode_jpeg_batch)
+
+        imgs = RNG.integers(0, 255, (6, 56, 40, 3), dtype=np.uint8)
+        bufs = encode_jpeg_batch(imgs, restart_interval=ri)
+        got = decode_jpeg_batch(bufs)
+        want = [decode_jpeg(b) for b in bufs]
+        assert all(np.array_equal(a, b) for a, b in zip(got, want))
+
+    def test_grey_and_single_image(self):
+        from geomesa_ray.codecs.jpeg import (decode_jpeg,
+                                             decode_jpeg_batch,
+                                             encode_jpeg_batch)
+
+        g = RNG.integers(0, 255, (5, 16, 16), dtype=np.uint8)
+        bufs = encode_jpeg_batch(g, restart_interval=2)
+        got = decode_jpeg_batch(bufs)
+        assert all(np.array_equal(a, decode_jpeg(b))
+                   for a, b in zip(got, bufs))
+        one = decode_jpeg_batch([bufs[0]])
+        assert np.array_equal(one[0], decode_jpeg(bufs[0]))
