@@ -909,10 +909,16 @@ def decode_jpeg_batch(bufs: list[bytes]) -> list[np.ndarray]:
                 out[i] = im
         return out
     if frame.get("progressive"):
-        # progressive (SOF2) streams are multi-scan — doesn't fit the
-        # lockstep single-scan advance; per-image decode handles it (a
-        # uniform batch of SOF2 streams previously hit 'invalid Huffman
-        # code' here instead of falling back)
+        # progressive (SOF2): same-SCRIPT batches (identical non-entropy
+        # bytes, e.g. anything encode_jpeg_progressive emits) advance
+        # every scan in lockstep; script mismatches decode per image.
+        # The lockstep step cost is fixed numpy overhead amortized over
+        # the batch — measured break-even ~64 images regardless of
+        # frame size — so small batches take the scalar path
+        out = _decode_progressive_batch(bufs) if len(bufs) >= 64 \
+            else None
+        if out is not None:
+            return out
         return [decode_jpeg(b) for b in bufs]
 
     n = len(bufs)
@@ -1647,3 +1653,417 @@ def _decode_progressive(buf: bytes) -> np.ndarray:
     return _idct_planes(frame["comps"],
                         [c.astype(np.int32) for c in coeffs], qts,
                         frame["h"], frame["w"], hmax, vmax)
+
+
+# ---------------------------------------------------------------------------
+# Lockstep progressive batch decode (round 5)
+#
+# A uniform SOF2 corpus (everything encode_jpeg_progressive emits) shares
+# every non-entropy byte — frame header, quant/Huffman tables, and the
+# whole scan SCRIPT. Only the entropy payloads differ per image, so each
+# scan can advance every image together, one symbol (or one band
+# position) per vectorized step, exactly like the baseline lockstep
+# decoder. Structure mismatches return None and the caller decodes per
+# image. Bit-exact against _decode_progressive (tested).
+# ---------------------------------------------------------------------------
+
+
+def _prog_entropy_spans(buf: bytes):
+    """(skeleton bytes with entropy elided, [(start, end)] per SOS)."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    spans = []
+    pieces = [buf[:2]]
+    pos = 2
+    n = len(buf)
+    while pos + 2 <= n:
+        if buf[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = buf[pos + 1]
+        pieces.append(buf[pos:pos + 2])
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        (length,) = struct.unpack_from(">H", buf, pos)
+        pieces.append(buf[pos:pos + length])
+        pos += length
+        if marker == 0xDA:
+            arr = np.frombuffer(buf, np.uint8)[pos:]
+            ff = np.nonzero(arr[:-1] == 0xFF)[0]
+            real = ff[arr[ff + 1] != 0]
+            end = pos + (int(real[0]) if len(real) else len(arr))
+            spans.append((pos, end))
+            pos = end
+    return b"".join(pieces), spans
+
+
+class _LockBits:
+    """Per-scan lockstep bit source: one padded byte matrix over every
+    image's destuffed entropy segment, a bit cursor per stream, and the
+    32-bit window gather the baseline lockstep decoder uses."""
+
+    def __init__(self, streams: list[bytes]):
+        self.n = len(streams)
+        slens = np.array([len(s) for s in streams], dtype=np.int64)
+        maxlen = int(slens.max()) if self.n else 0
+        S = np.zeros((self.n, maxlen + 8), dtype=np.uint8)
+        for i, s in enumerate(streams):
+            S[i, :len(s)] = np.frombuffer(s, dtype=np.uint8)
+        self.flat = S.reshape(-1).astype(np.int64)
+        self.rowlen = maxlen + 8
+        self.pos = np.zeros(self.n, dtype=np.int64)
+        self.maxbits = slens * 8
+
+    def w32(self, idx: np.ndarray) -> np.ndarray:
+        """Next 32 bits (MSB-aligned) for each stream in ``idx``."""
+        p = self.pos[idx]
+        if (p > self.maxbits[idx] + 64).any():
+            raise ValueError("JPEG entropy stream truncated")
+        b0 = idx * self.rowlen + (p >> 3)
+        sh = p & 7
+        full5 = ((self.flat[b0] << 32) | (self.flat[b0 + 1] << 24)
+                 | (self.flat[b0 + 2] << 16) | (self.flat[b0 + 3] << 8)
+                 | self.flat[b0 + 4])
+        return (full5 >> (8 - sh)) & 0xFFFFFFFF
+
+
+def _batch_huff(w32: np.ndarray, lut_sym: np.ndarray,
+                lut_len: np.ndarray):
+    """(symbol, code length) per stream from a 16-bit peek."""
+    peek = w32 >> 16
+    sym = lut_sym[peek].astype(np.int64)
+    ln = lut_len[peek].astype(np.int64)
+    if (ln == 0).any():
+        raise ValueError("invalid Huffman code")
+    return sym, ln
+
+
+def _batch_dc_scan(bits: _LockBits, scan_luts, units, ncomp,
+                   coeff_units, ah, al):
+    """Interleaved DC scan over every stream, unit-locked: every stream
+    decodes the SAME unit at each step, so only bit cursors differ.
+    ``coeff_units[u]`` is the (n,) int64 view of unit u's DC slot."""
+    n = bits.n
+    allidx = np.arange(n, dtype=np.int64)
+    if ah == 0:
+        preds = np.zeros((n, ncomp), dtype=np.int64)
+        for u, ci in enumerate(units):
+            w32 = bits.w32(allidx)
+            sym, ln = _batch_huff(w32, *scan_luts[ci])
+            s = sym
+            mag = (w32 >> (32 - ln - s)) & ((np.int64(1) << s) - 1)
+            diff = np.where(mag >= (np.int64(1) << np.maximum(s - 1, 0)),
+                            mag, mag - (np.int64(1) << s) + 1)
+            diff = np.where(s == 0, 0, diff)
+            bits.pos += ln + s
+            preds[:, ci] += diff
+            coeff_units[u][:] = preds[:, ci] << al
+    else:
+        # refinement: exactly ONE raw bit per unit, consecutively —
+        # a single (n, U) gather, no loop
+        U = len(units)
+        p = bits.pos[:, None] + np.arange(U, dtype=np.int64)[None, :]
+        byte = bits.flat[(np.arange(n, dtype=np.int64)[:, None]
+                          * bits.rowlen) + (p >> 3)]
+        bit = (byte >> (7 - (p & 7))) & 1
+        for u in range(U):
+            coeff_units[u][:] |= bit[:, u] << al
+        bits.pos += U
+
+
+def _batch_ac_first(bits: _LockBits, lut_sym, lut_len, plane, bmap,
+                    ss, se, al):
+    """First-pass AC scan: every active stream consumes exactly one
+    Huffman symbol (+ payload bits) per step; EOB runs skip whole
+    blocks without touching the bit stream. ``plane`` is the padded
+    (n, nby*nbx, 64) flat view; ``bmap`` maps the scan's raster
+    true-block order into it (non-interleaved scans walk the
+    component's own grid, T.81 A.2.2)."""
+    n, nb = plane.shape[0], len(bmap)
+    blk = np.zeros(n, dtype=np.int64)
+    k = np.full(n, ss, dtype=np.int64)
+    eob = np.zeros(n, dtype=np.int64)
+    one = np.int64(1)
+    while True:
+        # consume pending EOB runs (bit-free block skips)
+        skip = np.minimum(eob, nb - blk)
+        blk += skip
+        eob -= skip
+        act = np.nonzero(blk < nb)[0]
+        if not len(act):
+            break
+        w32 = bits.w32(act)
+        sym, ln = _batch_huff(w32, lut_sym, lut_len)
+        r, s = sym >> 4, sym & 0xF
+        is_eob = (s == 0) & (r < 15)
+        is_zrl = (s == 0) & (r == 15)
+        place = s > 0
+        extra = np.where(place, s, np.where(is_eob, r, 0))
+        mag = (w32 >> (32 - ln - extra)) & ((one << extra) - 1)
+        bits.pos[act] += ln + extra
+        ka = k[act]
+        k_new = ka + np.where(place, r, np.where(is_zrl, 16, 0))
+        if (place & (k_new > se)).any():
+            raise ValueError("AC run past end of band")
+        pi = np.nonzero(place)[0]
+        if len(pi):
+            val = np.where(mag[pi] >= (one << np.maximum(s[pi] - 1, 0)),
+                           mag[pi], mag[pi] - (one << s[pi]) + 1)
+            plane[act[pi], bmap[blk[act[pi]]], k_new[pi]] = val << al
+        ka = np.where(place, k_new + 1, np.where(is_zrl, k_new, ka))
+        eob[act] += np.where(is_eob, (one << r) - 1 + mag, 0)
+        ended = is_eob | (ka > se)
+        blk[act] += ended
+        k[act] = np.where(ended, ss, ka)
+
+
+def _batch_ac_refine(bits: _LockBits, lut_sym, lut_len, plane, bmap,
+                     ss, se, al):
+    """Refinement AC scan, lockstep with PER-SYMBOL crawl resolution.
+
+    Within a refinement scan the cursor moves strictly forward and each
+    block is visited once, so the zero/nonzero pattern the cursor will
+    encounter is FROZEN at scan start (corrections keep coefficients
+    nonzero; values placed this scan land behind the cursor). Per-block
+    prefix sums over that frozen mask turn the scalar position-by-
+    position crawl (_dec_ac_refine) into O(1) per symbol: the landing
+    zero comes from a zero-rank lookup, the correction-bit count from a
+    nonzero-count difference, and the ragged correction bits of every
+    stream gather in one flattened pass per step. Streams consuming an
+    EOB run resolve one whole block per step the same way.
+    ``plane`` / ``bmap`` as in :func:`_batch_ac_first`.
+    """
+    n, nb = plane.shape[0], len(bmap)
+    W = se - ss + 1
+    p1 = np.int64(1 << al)
+    one = np.int64(1)
+    # frozen history mask + padded prefix sums: zcp[.., j] = zeros in
+    # band offsets [0, j), nzp likewise for nonzeros
+    band = plane[:, bmap][:, :, ss:se + 1]
+    nz = band != 0
+    pad = np.zeros((n, nb, 1), dtype=np.int64)
+    zcp = np.concatenate([pad, np.cumsum(~nz, axis=2)], axis=2)
+    nzp = np.concatenate([pad, np.cumsum(nz, axis=2)], axis=2)
+    joff = np.arange(W, dtype=np.int64)
+
+    blk = np.zeros(n, dtype=np.int64)
+    j = np.zeros(n, dtype=np.int64)  # offset within the band
+    eob = np.zeros(n, dtype=np.int64)
+
+    def apply_corrections(streams, blocks, j0, j_land):
+        """One correction bit per frozen-nonzero position in
+        [j0, j_land) of each stream's current block, in position order
+        (== bit order); returns per-stream consumed-bit counts."""
+        if not len(streams):
+            return
+        nzrow = nz[streams, blocks]  # (Q, W)
+        mask = nzrow & (joff[None, :] >= j0[:, None])             & (joff[None, :] < j_land[:, None])
+        m = mask.sum(axis=1)
+        tot = int(m.sum())
+        bits.pos[streams] += m  # reserve BEFORE gathering ranks
+        if tot == 0:
+            return
+        q_idx, jpos = np.nonzero(mask)  # row-major: bit order per q
+        starts = np.concatenate([[0], np.cumsum(m)[:-1]])
+        rank = np.arange(tot, dtype=np.int64) - starts[q_idx]
+        st = streams[q_idx]
+        bp = (bits.pos[st] - m[q_idx]) + rank
+        byte = bits.flat[st * bits.rowlen + (bp >> 3)]
+        bit = (byte >> (7 - (bp & 7))) & 1
+        pos_flat = bmap[blocks[q_idx]]
+        v = plane[st, pos_flat, ss + jpos]
+        upd = (bit == 1) & ((np.abs(v) & p1) == 0)
+        ui = np.nonzero(upd)[0]
+        if len(ui):
+            plane[st[ui], pos_flat[ui], ss + jpos[ui]] = \
+                v[ui] + np.where(v[ui] > 0, p1, -p1)
+
+    while True:
+        act = np.nonzero(blk < nb)[0]
+        if not len(act):
+            break
+        in_eob = eob[act] > 0
+
+        # ---- EOB-run streams: finish one whole block per step
+        ei = act[np.nonzero(in_eob)[0]]
+        if len(ei):
+            apply_corrections(ei, blk[ei], j[ei],
+                              np.full(len(ei), W, dtype=np.int64))
+            eob[ei] -= 1
+            blk[ei] += 1
+            j[ei] = 0
+
+        # ---- symbol streams: one symbol + its full crawl per step
+        si = act[np.nonzero(~in_eob)[0]]
+        if len(si):
+            w32 = bits.w32(si)
+            sym, ln = _batch_huff(w32, lut_sym, lut_len)
+            r, s = sym >> 4, sym & 0xF
+            if (s > 1).any():
+                raise ValueError("refinement size must be 1")
+            is_eob = (s == 0) & (r < 15)
+            extra = np.where(is_eob, r, np.where(s == 1, 1, 0))
+            mag = (w32 >> (32 - ln - extra)) & ((one << extra) - 1)
+            bits.pos[si] += ln + extra
+            newval = np.where(is_eob, 0,
+                              np.where(s == 1,
+                                       np.where(mag == 1, p1, -p1), 0))
+            r_skip = np.where(is_eob, 0, r)
+
+            j0 = j[si]
+            zrow = zcp[si, blk[si]]  # (Q, W+1) zeros before offset
+            # landing zero = the (zeros_before(j0) + r_skip + 1)-th zero;
+            # EOB symbols crawl the whole remaining band instead
+            target = zrow[np.arange(len(si)), j0] + r_skip + 1
+            j_land = np.where(is_eob, W,
+                              (zrow[:, 1:] < target[:, None]).sum(axis=1))
+            if ((newval != 0) & (j_land >= W)).any():
+                raise ValueError("refinement run past band end")
+            apply_corrections(si, blk[si], j0, j_land)
+            pi = np.nonzero((newval != 0) & (j_land < W))[0]
+            if len(pi):
+                plane[si[pi], bmap[blk[si[pi]]], ss + j_land[pi]] = \
+                    newval[pi]
+            eob[si] += np.where(is_eob,
+                                (one << r) + np.where(r > 0, mag, 0) - 1,
+                                0)
+            jn = np.where(is_eob, np.int64(W), j_land + 1)
+            ended = jn >= W
+            blk[si] += ended
+            j[si] = np.where(ended, 0, jn)
+
+
+def _decode_progressive_batch(bufs: list[bytes]):
+    """Lockstep batch decode of same-script SOF2 streams; None when the
+    batch's non-entropy structure isn't uniform (caller falls back to
+    per-image decode). Pixel-identical to :func:`_decode_progressive`."""
+    skel0, spans0 = _prog_entropy_spans(bufs[0])
+    all_spans = [spans0]
+    for b in bufs[1:]:
+        sk, sp = _prog_entropy_spans(b)
+        if sk != skel0 or len(sp) != len(spans0):
+            return None
+        all_spans.append(sp)
+
+    n = len(bufs)
+    buf = bufs[0]
+    pos = 2
+    nbytes = len(buf)
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, _HuffDecoder] = {}
+    ac_tabs: dict[int, _HuffDecoder] = {}
+    frame = None
+    coeffs: list[np.ndarray] = []  # (n, nby_pad, nbx_pad, 64) int64 each
+    hmax = vmax = mcux = mcuy = 0
+    scan_i = 0
+    while pos + 2 <= nbytes:
+        marker = buf[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        (length,) = struct.unpack_from(">H", buf, pos)
+        body = buf[pos + 2:pos + length]
+        pos += length
+        if marker == 0xDB:
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0xF
+                p += 1
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qts[tq] = np.frombuffer(body, np.uint8, 64, p) \
+                    .astype(np.int64)[UNZIGZAG].reshape(8, 8)
+                p += 64
+        elif marker == 0xC4:
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0xF
+                bits_ = list(body[p + 1:p + 17])
+                nv = sum(bits_)
+                dec = _HuffDecoder(bits_, body[p + 17:p + 17 + nv])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = dec
+                p += 17 + nv
+        elif marker == 0xC2:
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
+                comps.append(dict(cid=cid, h=hv >> 4, v=hv & 0xF, tq=tq))
+            frame = dict(h=fh, w=fw, comps=comps)
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if hmax > 2 or vmax > 2:
+                raise NotImplementedError("sampling factors > 2")
+            mcux = -(-fw // (8 * hmax))
+            mcuy = -(-fh // (8 * vmax))
+            coeffs = [np.zeros((n, mcuy * c["v"], mcux * c["h"], 64),
+                               dtype=np.int64) for c in comps]
+        elif marker == 0xC0:
+            raise ValueError("baseline SOF inside progressive decode")
+        elif marker == 0xDD:
+            (ri,) = struct.unpack_from(">H", body, 0)
+            if ri:
+                raise NotImplementedError(
+                    "restart intervals in progressive scans")
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            sel = []
+            for si in range(ns):
+                cs, tt = body[1 + 2 * si], body[2 + 2 * si]
+                idx = next(i for i, c in enumerate(frame["comps"])
+                           if c["cid"] == cs)
+                sel.append((idx, tt >> 4, tt & 0xF))
+            ss, se, aa = body[1 + 2 * ns:4 + 2 * ns]
+            ah, al = aa >> 4, aa & 0xF
+            if ss == 0 and se != 0:
+                raise ValueError(
+                    "progressive DC scan requires Se=0 (a baseline "
+                    "stream relabeled SOF2 lands here)")
+            streams = []
+            for ii, b in enumerate(bufs):
+                s0, e0 = all_spans[ii][scan_i]
+                streams.append(_destuff_arr(
+                    np.frombuffer(b, np.uint8)[s0:e0]))
+            bits = _LockBits(streams)
+            if ss == 0:  # DC scan (interleaved)
+                sel_comps = [frame["comps"][i] for i, _, _ in sel]
+                scan_luts = [(dc_tabs[td].np_sym, dc_tabs[td].np_len)
+                             for _, td, _ in sel]
+                seq = _mcu_block_seq(sel_comps, mcux, mcuy)
+                units = [ci for ci, _, _ in seq]
+                cu = [coeffs[sel[ci][0]][:, by, bx, 0]
+                      for ci, by, bx in seq]
+                _batch_dc_scan(bits, scan_luts, units, len(sel), cu,
+                               ah, al)
+            else:  # AC scan: one component, true block raster order
+                if ns != 1:
+                    raise ValueError("interleaved AC scan is illegal")
+                i, _, ta = sel[0]
+                nby, nbx = _true_block_dims(frame, frame["comps"][i])
+                pad = coeffs[i].shape[2]  # nbx_pad
+                by, bx = np.divmod(np.arange(nby * nbx, dtype=np.int64),
+                                   nbx)
+                bmap = by * pad + bx
+                plane = coeffs[i].reshape(n, -1, 64)
+                tab = ac_tabs[ta]
+                if ah == 0:
+                    _batch_ac_first(bits, tab.np_sym, tab.np_len,
+                                    plane, bmap, ss, se, al)
+                else:
+                    _batch_ac_refine(bits, tab.np_sym, tab.np_len,
+                                     plane, bmap, ss, se, al)
+            scan_i += 1
+            s0, e0 = spans0[scan_i - 1]
+            pos = e0
+    if frame is None:
+        raise ValueError("no SOF2 frame found")
+    return [_idct_planes(frame["comps"],
+                         [c[ii].astype(np.int32) for c in coeffs], qts,
+                         frame["h"], frame["w"], hmax, vmax)
+            for ii in range(n)]

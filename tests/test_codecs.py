@@ -898,3 +898,71 @@ class TestDriLockstepDecode:
                    for a, b in zip(got, bufs))
         one = decode_jpeg_batch([bufs[0]])
         assert np.array_equal(one[0], decode_jpeg(bufs[0]))
+
+
+class TestProgressiveLockstepDecode:
+    """Round-5: same-script SOF2 batches decode in lockstep — per-scan
+    kernels (unit-locked DC, one-shot DC refine, per-symbol AC first,
+    prefix-sum-crawl AC refine) — pixel-identical to the scalar
+    multi-scan decoder."""
+
+    def _roundtrip(self, imgs, q=98):
+        from geomesa_ray.codecs.jpeg import (_decode_progressive_batch,
+                                             decode_jpeg,
+                                             encode_jpeg_progressive)
+
+        bufs = [encode_jpeg_progressive(im, quality=q) for im in imgs]
+        got = _decode_progressive_batch(bufs)
+        assert got is not None
+        want = [decode_jpeg(b) for b in bufs]
+        assert all(np.array_equal(a, b) for a, b in zip(got, want))
+
+    def test_noise_rgb_and_grey(self):
+        self._roundtrip(RNG.integers(0, 255, (12, 8, 8, 3), np.uint8))
+        self._roundtrip(RNG.integers(0, 255, (6, 16, 16), np.uint8))
+
+    def test_multi_mcu_and_odd_dims(self):
+        self._roundtrip(RNG.integers(0, 255, (4, 40, 56, 3), np.uint8))
+        self._roundtrip(RNG.integers(0, 255, (4, 17, 11, 3), np.uint8))
+
+    def test_eob_heavy_smooth_and_flat(self):
+        y, x = np.mgrid[0:32, 0:24]
+        sm = np.repeat(np.stack(
+            [(np.sin(x / 5 + i) * 40 + 128 + y * 0).astype(np.uint8)
+             for i in range(5)])[:, :, :, None], 3, axis=3)
+        self._roundtrip(sm)
+        self._roundtrip(np.stack([np.full((24, 24, 3), 9 * i, np.uint8)
+                                  for i in range(4)]))
+
+    def test_low_quality_sparse(self):
+        self._roundtrip(RNG.integers(0, 255, (6, 24, 24, 3), np.uint8),
+                        q=25)
+
+    def test_randomized_sweep(self):
+        rng = np.random.default_rng(123)
+        for _ in range(12):
+            sh = (int(rng.integers(1, 5)), int(rng.integers(6, 40)),
+                  int(rng.integers(6, 40)), 3)
+            self._roundtrip(rng.integers(0, 255, sh, np.uint8),
+                            q=int(rng.integers(20, 99)))
+
+    def test_script_mismatch_returns_none(self):
+        from geomesa_ray.codecs.jpeg import (_decode_progressive_batch,
+                                             encode_jpeg_progressive)
+
+        a = encode_jpeg_progressive(
+            RNG.integers(0, 255, (8, 8, 3), np.uint8))
+        b = encode_jpeg_progressive(
+            RNG.integers(0, 255, (16, 16, 3), np.uint8))
+        assert _decode_progressive_batch([a, b]) is None
+
+    def test_batch_router_uses_lockstep_above_threshold(self):
+        from geomesa_ray.codecs.jpeg import (decode_jpeg,
+                                             decode_jpeg_batch,
+                                             encode_jpeg_progressive)
+
+        imgs = RNG.integers(0, 255, (70, 8, 8, 3), np.uint8)
+        bufs = [encode_jpeg_progressive(im) for im in imgs]
+        got = decode_jpeg_batch(bufs)
+        assert all(np.array_equal(a, decode_jpeg(b))
+                   for a, b in zip(got, bufs))
