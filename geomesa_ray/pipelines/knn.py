@@ -110,7 +110,8 @@ def knn(fixture_dir: str, probes: pa.Table | None = None,
 def knn_indexed(store_dir: str, probes: pa.Table | None = None,
                 fixture_dir: str | None = None,
                 metric: str = "planar", ring_step: int = 2,
-                probe_wave_size: int = 8192) -> pa.Table:
+                probe_wave_size: int = 8192,
+                merge_gather_threshold: int = 512) -> pa.Table:
     """Index-pruned kNN over a SpatialStore: per-probe ring expansion on
     the bucket grid with the reference's termination rule — stop when the
     unread rings' minimum possible distance exceeds the kth-best distance
@@ -147,7 +148,8 @@ def knn_indexed(store_dir: str, probes: pa.Table | None = None,
             knn_indexed(store_dir,
                         probes=probes.slice(s, probe_wave_size),
                         metric=metric, ring_step=ring_step,
-                        probe_wave_size=probe_wave_size)
+                        probe_wave_size=probe_wave_size,
+                        merge_gather_threshold=merge_gather_threshold)
             for s in range(0, probes.num_rows, probe_wave_size)
         ]
         return pa.concat_tables(parts)
@@ -315,12 +317,24 @@ def knn_indexed(store_dir: str, probes: pa.Table | None = None,
                 paths, columns=["image_id", "lon", "lat"]
             ).map_batches(ring_partial, batch_format="pyarrow",
                           batch_size=65536)
-            # distributed merge: bounded partials + previous state,
-            # bucketed by probe — the driver never gathers candidates
+            # merge: bounded partials + previous state — the driver
+            # never gathers candidates either way. Small probe sets
+            # take a SINGLE combine task: the candidate volume is
+            # probes x (k+ties) x read-blocks and one task skips the
+            # sort-shuffle's fixed cost (interleaved best-of-3 at
+            # sf0.1/32cpus: 0.83 s vs 1.44 s at 200 probes); past the
+            # threshold the serial merge loses to the probe-bucketed
+            # distributed groupby (5.8 s vs 4.2 s at 2000) — measured
+            # break-even ~512
             merged = parts if state is None else parts.union(state)
-            state = merged.groupby("part") \
-                .map_groups(merge_topk, batch_format="pyarrow") \
-                .repartition(min(n_parts, 8)).materialize()
+            if npr <= merge_gather_threshold:
+                state = merged.repartition(1).map_batches(
+                    merge_topk, batch_format="pyarrow",
+                    batch_size=None).materialize()
+            else:
+                state = merged.groupby("part") \
+                    .map_groups(merge_topk, batch_format="pyarrow") \
+                    .repartition(min(n_parts, 8)).materialize()
 
             def rank_k_rows(batch: pa.Table) -> pa.Table:
                 aidx = batch.column("aidx").to_numpy(zero_copy_only=False)

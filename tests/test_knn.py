@@ -152,3 +152,31 @@ class TestProbeWaves:
         waved = knn_rows(knn_indexed(store, probes=probes,
                                      probe_wave_size=7))
         assert waved == one
+
+
+class TestMergeRoute:
+    def test_single_task_and_groupby_merges_agree(self, ray_session,
+                                                  tiny_fixtures,
+                                                  tmp_path):
+        """The bounded single-task merge (small waves) and the
+        probe-bucketed groupby merge must produce the identical result
+        set — only the exchange shape differs."""
+        import pyarrow as pa
+
+        from geomesa_ray.state.store import write_store
+
+        store = str(tmp_path / "mroute")
+        write_store(tiny_fixtures, store)
+        rng = np.random.default_rng(3)
+        n = 300
+        probes = pa.table({
+            "probe_id": pa.array([f"m{i:03d}" for i in range(n)]),
+            "lon": pa.array(rng.uniform(-170.0, 170.0, n)),
+            "lat": pa.array(rng.uniform(-80.0, 80.0, n)),
+            "k": pa.array(rng.integers(1, 6, n), pa.int32()),
+            "max_dist_m": pa.array(np.full(n, 1e7)),
+        })
+        single = knn_rows(knn_indexed(store, probes=probes))
+        grouped = knn_rows(knn_indexed(store, probes=probes,
+                                       merge_gather_threshold=0))
+        assert single == grouped
