@@ -914,9 +914,15 @@ def decode_jpeg_batch(bufs: list[bytes]) -> list[np.ndarray]:
         # every scan in lockstep; script mismatches decode per image.
         # The lockstep step cost is fixed numpy overhead amortized over
         # the batch — measured break-even ~64 images regardless of
-        # frame size — so small batches take the scalar path
-        out = _decode_progressive_batch(bufs) if len(bufs) >= 64 \
-            else None
+        # frame size — so small batches take the scalar path. The batch
+        # holds every image's int64 coefficient grid at once
+        # (n x blocks x 64 x 8 B per component), so oversized
+        # batch x frame combinations also fall back rather than blow a
+        # worker heap (the scalar path peaks at ONE image's grid).
+        blocks = 3 * (-(-frame["w"] // 8)) * (-(-frame["h"] // 8))
+        out = None
+        if len(bufs) >= 64 and len(bufs) * blocks * 64 * 8 < 512 << 20:
+            out = _decode_progressive_batch(bufs)
         if out is not None:
             return out
         return [decode_jpeg(b) for b in bufs]
