@@ -281,26 +281,37 @@ def knn_indexed(store_dir: str, probes: pa.Table | None = None,
                 alon, alat, apk, act_ = resolve_broadcast(ref)
                 lon = batch.column("lon").to_numpy(zero_copy_only=False)
                 lat = batch.column("lat").to_numpy(zero_copy_only=False)
-                if metric == "haversine":
-                    d = haversine_m(lon[None, :], lat[None, :],
-                                    alon[:, None], alat[:, None])
-                else:
-                    dx = lon[None, :] - alon[:, None]
-                    dy = lat[None, :] - alat[:, None]
-                    d = (dx * dx) + (dy * dy)  # (A, B)
                 n = len(lon)
+                # probe-chunked distance pass: a full (active x rows)
+                # matrix at thousands of active probes is hundreds of
+                # MB PER TASK x 32 concurrent tasks — measured 5-15x
+                # wall-time swings from the resulting memory thrash.
+                # Chunking probes bounds each temporary to ~32 MB while
+                # keeping the per-batch output identical.
+                chunk = max(64, 4_000_000 // max(n, 1))
                 out_a, out_i, out_d = [], [], []
-                for ai in range(len(alon)):
-                    da = d[ai]
-                    k = int(apk[ai])
-                    if n > k:
-                        thresh = np.partition(da, k - 1)[k - 1]
-                        sel = np.nonzero(da <= thresh)[0]
+                for c0 in range(0, len(alon), chunk):
+                    c1 = min(c0 + chunk, len(alon))
+                    if metric == "haversine":
+                        d = haversine_m(lon[None, :], lat[None, :],
+                                        alon[c0:c1, None],
+                                        alat[c0:c1, None])
                     else:
-                        sel = np.arange(n)
-                    out_a.append(np.full(len(sel), act_[ai], dtype=np.int64))
-                    out_i.append(sel)
-                    out_d.append(da[sel])
+                        dx = lon[None, :] - alon[c0:c1, None]
+                        dy = lat[None, :] - alat[c0:c1, None]
+                        d = (dx * dx) + (dy * dy)  # (chunk, B)
+                    for ai in range(c0, c1):
+                        da = d[ai - c0]
+                        k = int(apk[ai])
+                        if n > k:
+                            thresh = np.partition(da, k - 1)[k - 1]
+                            sel = np.nonzero(da <= thresh)[0]
+                        else:
+                            sel = np.arange(n)
+                        out_a.append(np.full(len(sel), act_[ai],
+                                             dtype=np.int64))
+                        out_i.append(sel)
+                        out_d.append(da[sel])
                 ids_col = batch.column("image_id")
                 if isinstance(ids_col, pa.ChunkedArray):
                     ids_col = ids_col.combine_chunks()

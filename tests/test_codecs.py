@@ -966,3 +966,59 @@ class TestProgressiveLockstepDecode:
         got = decode_jpeg_batch(bufs)
         assert all(np.array_equal(a, decode_jpeg(b))
                    for a, b in zip(got, bufs))
+
+
+class TestLockstepRobustness:
+    """Truncated/corrupt streams must raise cleanly from the lockstep
+    paths (never hang or mis-decode silently)."""
+
+    def test_truncated_dri_batch_raises(self):
+        from geomesa_ray.codecs.jpeg import (decode_jpeg_batch,
+                                             encode_jpeg_batch)
+
+        imgs = RNG.integers(0, 255, (8, 24, 24, 3), dtype=np.uint8)
+        bufs = encode_jpeg_batch(imgs, restart_interval=2)
+        # chop entropy bytes out of one stream (keep EOI so the marker
+        # walk still terminates)
+        bad = list(bufs)
+        bad[3] = bad[3][:-40] + b"\xff\xd9"
+        with pytest.raises(ValueError):
+            decode_jpeg_batch(bad)
+
+    def test_corrupt_progressive_matches_scalar_outcome(self):
+        """Corrupt entropy bits may still form a decodable stream —
+        the contract is scalar EQUIVALENCE: the batch path must either
+        reject the batch (structure mismatch -> None, error -> raise)
+        or produce exactly what per-image decode produces."""
+        from geomesa_ray.codecs.jpeg import (_decode_progressive_batch,
+                                             decode_jpeg,
+                                             encode_jpeg_progressive)
+
+        imgs = RNG.integers(0, 255, (70, 16, 16, 3), dtype=np.uint8)
+        bufs = [encode_jpeg_progressive(im) for im in imgs]
+        bad = list(bufs)
+        b = bytearray(bad[5])
+        sos = b.find(b"\xff\xda", b.find(b"\xff\xda") + 2)  # 2nd SOS
+        b[sos + 20:sos + 24] = b"\xff\xff\xff\xff"
+        bad[5] = bytes(b)
+        try:
+            got = _decode_progressive_batch(bad)
+        except ValueError:
+            return  # rejected outright: fine
+        if got is None:
+            return  # structure mismatch -> caller falls back: fine
+        want = [decode_jpeg(x) for x in bad]
+        assert all(np.array_equal(a, b_) for a, b_ in zip(got, want))
+
+    def test_mixed_corpus_cache_invalidates_on_n(self, tmp_path,
+                                                 monkeypatch):
+        import geomesa_ray.sources.fixtures as F
+
+        monkeypatch.setattr(F, "FIXTURE_ROOT", str(tmp_path))
+        d1 = F.ensure_mixed_jpeg_corpus("/root/testdata/sf0.001", n=30)
+        import pyarrow.parquet as pq
+
+        assert pq.read_table(d1 + "/images.parquet").num_rows == 30
+        d2 = F.ensure_mixed_jpeg_corpus("/root/testdata/sf0.001", n=60)
+        assert d1 == d2
+        assert pq.read_table(d2 + "/images.parquet").num_rows == 60
