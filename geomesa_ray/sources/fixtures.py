@@ -383,7 +383,7 @@ def ensure_mixed_jpeg_corpus(sf_dir: str, n: int | None = None,
     done = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(done):
         with open(done) as f:
-            if f.read() == f"n={n}":
+            if f.read() == f"n={n},v2":
                 return out_dir
         shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(FIXTURE_ROOT, exist_ok=True)
@@ -402,10 +402,21 @@ def ensure_mixed_jpeg_corpus(sf_dir: str, n: int | None = None,
     out = out.set_column(t.schema.get_field_index("fmt"), "fmt",
                          pa.array(["jpeg"] * n, pa.string()))
     tmp = tempfile.mkdtemp(prefix=".mixedjpeg_", dir=FIXTURE_ROOT)
-    pq.write_table(out, os.path.join(tmp, "images.parquet"),
-                   row_group_size=65536)
+    # many-file layout: a single parquet file reads as ONE Ray task
+    # (SplitBlocks only re-chunks), serializing the scan ahead of the
+    # transcode — the same trap the main fixture hit in round 3
+    shard_rows = 4096
+    nsh = -(-n // shard_rows)
+    if nsh <= 1:
+        pq.write_table(out, os.path.join(tmp, "images.parquet"),
+                       row_group_size=65536)
+    else:
+        for f_i in range(nsh):
+            pq.write_table(out.slice(f_i * shard_rows, shard_rows),
+                           os.path.join(tmp, f"images_{f_i:04d}.parquet"),
+                           row_group_size=65536)
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
-        f.write(f"n={n}")
+        f.write(f"n={n},v2")
     try:
         os.rename(tmp, out_dir)
     except OSError:
