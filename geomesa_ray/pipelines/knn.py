@@ -183,15 +183,17 @@ def knn_indexed(store_dir: str, probes: pa.Table | None = None,
 
     def merge_topk(group: pa.Table) -> pa.Table:
         """Per-probe exact merge: sort by (dist, id), keep k + kth-dist
-        ties, emit rank 1..n — vectorized over the group's probes."""
-        aidx = group.column("aidx").to_numpy(zero_copy_only=False)
-        dist = group.column("dist").to_numpy(zero_copy_only=False)
-        ids_col = group.column("image_id")
+        ties, emit rank 1..n — vectorized over the group's probes. The
+        sort runs in Arrow's C++ kernel (the ids are ASCII, where
+        Arrow's bytewise string order equals Python's code-point order
+        — the tie-break contract shared with the full-scan knn())."""
+        g = group.sort_by([("aidx", "ascending"), ("dist", "ascending"),
+                           ("image_id", "ascending")])
+        aidx = g.column("aidx").to_numpy(zero_copy_only=False)
+        dist = g.column("dist").to_numpy(zero_copy_only=False)
+        ids_col = g.column("image_id")
         if isinstance(ids_col, pa.ChunkedArray):
             ids_col = ids_col.combine_chunks()
-        ids = np.asarray(ids_col.to_pylist(), dtype=object)
-        order = np.lexsort((ids, dist, aidx))
-        aidx, dist, ids = aidx[order], dist[order], ids[order]
         starts = np.nonzero(np.diff(aidx, prepend=aidx[0] - 1))[0] \
             if len(aidx) else np.empty(0, np.int64)
         keep_idx, ranks = [], []
@@ -215,7 +217,7 @@ def knn_indexed(store_dir: str, probes: pa.Table | None = None,
         sel = np.concatenate(keep_idx)
         return pa.table({
             "aidx": pa.array(aidx[sel]),
-            "image_id": pa.array(ids[sel].tolist(), pa.string()),
+            "image_id": ids_col.take(pa.array(sel)),
             "dist": pa.array(dist[sel]),
             "rank": pa.array(np.concatenate(ranks)),
             "part": pa.array(aidx[sel] % np.int64(n_parts)),
@@ -324,8 +326,14 @@ def knn_indexed(store_dir: str, probes: pa.Table | None = None,
                     "part": pa.array(aidx % np.int64(n_parts)),
                 })
 
+            # coalesce small partition files into ~one read task per
+            # core: each read task emits <= active x (k+ties) partial
+            # rows, so fewer tasks shrink the merge input linearly
+            n_cpus = max(8, int(ray.cluster_resources().get("CPU", 8)))
+            kw = {"override_num_blocks": n_cpus} \
+                if len(paths) > n_cpus else {}
             parts = ray.data.read_parquet(
-                paths, columns=["image_id", "lon", "lat"]
+                paths, columns=["image_id", "lon", "lat"], **kw
             ).map_batches(ring_partial, batch_format="pyarrow",
                           batch_size=65536)
             # merge: bounded partials + previous state — the driver
