@@ -2073,3 +2073,492 @@ def _decode_progressive_batch(bufs: list[bytes]):
                          [c[ii].astype(np.int32) for c in coeffs], qts,
                          frame["h"], frame["w"], hmax, vmax)
             for ii in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# Batch progressive encode (round 5)
+#
+# Every scan's bit stream is a STATIC function of the quantized
+# coefficients, so the whole SOF2 scan script vectorizes with the same
+# record machinery as the baseline batch encoder: each Huffman/payload
+# emission becomes a (stream, seq, code, len, payload, plen) record
+# built with array ops across every image at once, one lexsort puts the
+# records in T.81 emission order, and the bit scatter packs per-image
+# segments. Byte-identical to encode_jpeg_progressive (tested).
+# ---------------------------------------------------------------------------
+
+_SUBB = 1 << 26      # per-block seq window
+_INBLK = 1 << 25     # in-block records sort after the block's EOB flush
+
+
+class _Recs:
+    """Flat record accumulator for one scan."""
+
+    def __init__(self):
+        self.k, self.q, self.cv, self.cl, self.mv, self.ml = \
+            [], [], [], [], [], []
+
+    def emit(self, key, seq, cv, cl, mv, ml):
+        self.k.append(np.asarray(key, dtype=np.int64))
+        self.q.append(np.asarray(seq, dtype=np.int64))
+        self.cv.append(np.asarray(cv, dtype=np.int64))
+        self.cl.append(np.asarray(cl, dtype=np.int64))
+        self.mv.append(np.asarray(mv, dtype=np.int64))
+        self.ml.append(np.asarray(ml, dtype=np.int64))
+
+    def pack(self, n_img: int) -> list[bytes]:
+        """Sort by (image, seq), fuse code+payload, pad each image's
+        stream to a byte with 1s, bit-scatter, 0xFF-stuff — the
+        baseline batch encoder's packing tail, restart-free."""
+        if not self.k:
+            return [b""] * n_img
+        key = np.concatenate(self.k)
+        seq = np.concatenate(self.q)
+        srt = np.lexsort((seq, key))
+        m_len = np.concatenate(self.ml)[srt]
+        value = (np.concatenate(self.cv)[srt] << m_len) \
+            | np.concatenate(self.mv)[srt]
+        nbits = np.concatenate(self.cl)[srt] + m_len
+        rec_img = key[srt]
+        tot = np.bincount(rec_img, weights=nbits,
+                          minlength=n_img).astype(np.int64)
+        padded = (tot + 7) & ~np.int64(7)
+        img_base = np.concatenate(([0], np.cumsum(padded)))
+        cs = np.cumsum(nbits) - nbits
+        unpadded_base = np.concatenate(([0], np.cumsum(tot)))[:-1]
+        start = img_base[rec_img] + (cs - unpadded_base[rec_img])
+        pad = padded - tot
+        pmask = pad > 0
+        if pmask.any():
+            start = np.concatenate([start,
+                                    img_base[:-1][pmask] + tot[pmask]])
+            value = np.concatenate([value, _POW2[pad[pmask]] - 1])
+            nbits = np.concatenate([nbits, pad[pmask]])
+        nbytes = int(img_base[-1]) >> 3
+        out_b = np.zeros(nbytes + 4, dtype=np.uint8)
+        byte0 = start >> 3
+        v40 = value << (40 - (start & 7) - nbits)
+        for k in range(5):
+            np.bitwise_or.at(out_b, byte0 + k,
+                             ((v40 >> (32 - 8 * k)) & 0xFF)
+                             .astype(np.uint8))
+        out_b = out_b[:nbytes]
+        bb = img_base >> 3
+        out = []
+        for i in range(n_img):
+            b = out_b[bb[i]:bb[i + 1]]
+            ff = np.nonzero(b == 0xFF)[0]
+            if len(ff):
+                b = np.insert(b, ff + 1, 0)
+            out.append(b.tobytes())
+        return out
+
+
+def _prog_dc_scan_recs(coeffs, comps, mcux, mcuy, ah, al,
+                       dc_code, dc_len) -> _Recs:
+    """Interleaved DC scan records: first pass (ah=0) emits Huffman-coded
+    diffs of dc>>al along the MCU traversal; refinement emits one raw
+    bit per unit (scalar twins: _enc_dc_first / _enc_dc_refine)."""
+    recs = _Recs()
+    n_img = coeffs[0].shape[0]
+    seq_list = _mcu_block_seq(comps, mcux, mcuy)
+    imgs = np.arange(n_img, dtype=np.int64)
+    for ci in range(len(comps)):
+        # this component's units in traversal order + their global seq
+        us = np.array([u for u, (c, _, _) in enumerate(seq_list)
+                       if c == ci], dtype=np.int64)
+        by = np.array([b for c, b, _ in seq_list if c == ci],
+                      dtype=np.int64)
+        bx = np.array([b for c, _, b in seq_list if c == ci],
+                      dtype=np.int64)
+        dc = coeffs[ci][:, by, bx, 0] >> al  # (n, units_ci)
+        if ah == 0:
+            diff = dc.copy()
+            diff[:, 1:] -= dc[:, :-1]
+            diff = diff.reshape(-1)
+            s = _bit_length(np.abs(diff))
+            mag = np.where(diff >= 0, diff, diff + _POW2[s] - 1)
+            recs.emit(np.repeat(imgs, len(us)),
+                      np.tile(us, n_img),
+                      dc_code[s], dc_len[s], mag, s)
+        else:
+            bit = dc.reshape(-1) & 1
+            recs.emit(np.repeat(imgs, len(us)), np.tile(us, n_img),
+                      bit, np.ones(len(bit), np.int64),
+                      np.zeros(len(bit), np.int64),
+                      np.zeros(len(bit), np.int64))
+    return recs
+
+
+def _prog_eob_flushes(recs: _Recs, emit: np.ndarray, trail: np.ndarray,
+                      ac_code, ac_len):
+    """EOB-run bookkeeping shared by the AC scan builders: one EOBn
+    record per pending run, flushed just before the next emitting block
+    (seq = block*_SUBB, ahead of its in-block records) or at scan end
+    (seq block = nb). Returns (flush_img, flush_eb, prev_eb) so the
+    refinement builder can attach the run's correction bits. Assumes
+    nb <= 32766 so no run ever hits the 0x7FFF forced flush."""
+    n, nb = emit.shape
+    img, eb = np.nonzero(emit)
+    if len(img):
+        firsts = np.concatenate(([True], img[1:] != img[:-1]))
+        lasts = np.concatenate((img[1:] != img[:-1], [True]))
+        tr_e = trail[img, eb].astype(np.int64)
+        prev_eb = np.where(firsts, np.int64(-1),
+                           np.concatenate(([0], eb[:-1])))
+        prev_tr = np.where(firsts, 0, np.concatenate(([0], tr_e[:-1])))
+        count_mid = (eb - prev_eb - 1) + prev_tr
+        m = count_mid > 0
+        f_img = [img[m]]
+        f_eb = [eb[m]]
+        f_prev = [prev_eb[m]]
+        f_count = [count_mid[m]]
+        # end-of-scan flush for images WITH emitting blocks
+        li, le, lt = img[lasts], eb[lasts], tr_e[lasts]
+        count_end = (nb - 1 - le) + lt
+        me = count_end > 0
+        f_img.append(li[me])
+        f_eb.append(np.full(int(me.sum()), nb, dtype=np.int64))
+        f_prev.append(le[me])
+        f_count.append(count_end[me])
+        has_emit = np.zeros(n, dtype=bool)
+        has_emit[img] = True
+    else:
+        f_img, f_eb, f_prev, f_count = [], [], [], []
+        has_emit = np.zeros(n, dtype=bool)
+    # images with NO emitting block: one all-empty run of nb blocks
+    empty_imgs = np.nonzero(~has_emit)[0]
+    if len(empty_imgs) and nb > 0:
+        f_img.append(empty_imgs)
+        f_eb.append(np.full(len(empty_imgs), nb, dtype=np.int64))
+        f_prev.append(np.full(len(empty_imgs), -1, dtype=np.int64))
+        f_count.append(np.full(len(empty_imgs), nb, dtype=np.int64))
+    if not f_img:
+        return (np.empty(0, np.int64),) * 3
+    fi = np.concatenate(f_img)
+    fe = np.concatenate(f_eb)
+    fp = np.concatenate(f_prev)
+    fc = np.concatenate(f_count)
+    rb = _bit_length(fc) - 1
+    sym = rb << 4
+    recs.emit(fi, fe * _SUBB, ac_code[sym], ac_len[sym],
+              fc - _POW2[rb], rb)
+    return fi, fe, fp
+
+
+def _prog_ac_first_recs(recs: _Recs, band: np.ndarray,
+                        ac_code, ac_len) -> None:
+    """First-pass AC band records (scalar twin: _enc_ac_first): run/size
+    over the band's nonzeros with ZRL expansion, trailing zeros and
+    empty blocks folded into EOB runs. ``band`` is the tozero-shifted
+    (n, nb, W) window."""
+    n, nb, W = band.shape
+    flat = band.reshape(n * nb, W)
+    nzr, nzp = np.nonzero(flat)
+    v = flat[nzr, nzp]
+    img_of = nzr // nb
+    blk_of = nzr % nb
+    last_nz = np.full(n * nb, -1, dtype=np.int64)
+    if len(nzr):
+        np.maximum.at(last_nz, nzr, nzp)
+    firsts = np.concatenate(([True], nzr[1:] != nzr[:-1])) \
+        if len(nzr) else np.zeros(0, bool)
+    prev = np.where(firsts, np.int64(-1),
+                    np.concatenate(([0], nzp[:-1])) if len(nzp) else nzp)
+    run = nzp - prev - 1
+    nzrl = run >> 4
+    rem = run & 15
+    s = _bit_length(np.abs(v))
+    sym = (rem << 4) | s
+    mag = np.where(v >= 0, v, v + _POW2[s] - 1)
+    base = blk_of * _SUBB + _INBLK + nzp * 1024
+    recs.emit(img_of, base + 512, ac_code[sym], ac_len[sym], mag, s)
+    zm = nzrl > 0
+    if zm.any():
+        reps = nzrl[zm]
+        tot = int(reps.sum())
+        j = np.arange(tot, dtype=np.int64) \
+            - np.repeat(np.cumsum(reps) - reps, reps)
+        zsym = np.full(tot, 0xF0, dtype=np.int64)
+        recs.emit(np.repeat(img_of[zm], reps),
+                  np.repeat(base[zm], reps) + j,
+                  ac_code[zsym], ac_len[zsym],
+                  np.zeros(tot, np.int64), np.zeros(tot, np.int64))
+    emit2 = (last_nz >= 0).reshape(n, nb)
+    trail = ((last_nz < W - 1) & (last_nz >= 0)).reshape(n, nb)
+    _prog_eob_flushes(recs, emit2, trail, ac_code, ac_len)
+
+
+def _group_ranks(keys: np.ndarray) -> np.ndarray:
+    """Rank of each element within its run of equal (sorted) keys."""
+    if not len(keys):
+        return keys.astype(np.int64)
+    firsts = np.concatenate(([True], keys[1:] != keys[:-1]))
+    starts = np.nonzero(firsts)[0]
+    lens = np.diff(np.concatenate((starts, [len(keys)])))
+    return np.arange(len(keys), dtype=np.int64) - np.repeat(starts, lens)
+
+
+def _prog_ac_refine_recs(recs: _Recs, band: np.ndarray,
+                         ac_code, ac_len) -> None:
+    """Refinement AC band records (scalar twin: _enc_ac_refine, T.81
+    G.1.2.3): newly-significant coefficients as run/1 + sign, history
+    correction bits woven after the ZRL or symbol that flushes them,
+    tails and empty blocks folded into EOB runs whose correction bits
+    ride the EOBn flush. Everything is a static function of the band,
+    so the interleave is computed with prefix sums and two
+    searchsorted passes — no per-position loop."""
+    n, nb, W = band.shape
+    R = n * nb
+    flat = band.reshape(R, W)
+    a = np.abs(flat)
+    hist = a > 1
+    new = a == 1
+    blk_of_row = np.arange(R, dtype=np.int64) % nb
+    img_of_row = np.arange(R, dtype=np.int64) // nb
+
+    last_new = np.full(R, -1, dtype=np.int64)
+    wr, wp = np.nonzero(new)
+    if len(wr):
+        np.maximum.at(last_new, wr, wp)
+    emit_rows = last_new >= 0
+
+    # ---------- in-block records: nonzero positions <= last_new
+    Z = np.cumsum(flat == 0, axis=1)  # zeros at positions <= p
+    Nc = np.cumsum(new, axis=1)
+    nz_mask = (a > 0) & (np.arange(W)[None, :] <= last_new[:, None])
+    rr, pp = np.nonzero(nz_mask)  # row-major == emission order
+    isnew = new[rr, pp]
+    # segment = # news strictly before p; zero-counts reset per segment
+    seg = Nc[rr, pp] - isnew.astype(np.int64)
+    row_new_start = np.concatenate(
+        ([0], np.cumsum(new.sum(axis=1))))[:-1]
+    z_reset = np.where(seg > 0,
+                       Z[wr, wp][row_new_start[rr] + seg - 1]
+                       if len(wr) else 0, 0)
+    z_p = Z[rr, pp] - z_reset  # zeros since segment start (p nonzero)
+    m = np.where(z_p > 15, (z_p - 16) // 16 + 1, 0)  # ZRLs needed so far
+    same_seg = np.zeros(len(rr), dtype=bool)
+    if len(rr) > 1:
+        same_seg[1:] = (rr[1:] == rr[:-1]) & (seg[1:] == seg[:-1])
+    m_prev = np.where(same_seg, np.concatenate(([0], m[:-1])), 0)
+    zrl_cnt = m - m_prev
+
+    key = img_of_row[rr]
+    base = blk_of_row[rr] * _SUBB + _INBLK + pp * 1024
+    # new-significant symbols: (r<<4|1) code fused with the sign bit
+    ni = np.nonzero(isnew)[0]
+    if len(ni):
+        r_fin = z_p[ni] - 16 * m[ni]
+        sym = (r_fin << 4) | 1
+        sign = (flat[rr[ni], pp[ni]] > 0).astype(np.int64)
+        recs.emit(key[ni], base[ni] + 512,
+                  (ac_code[sym] << 1) | sign, ac_len[sym] + 1,
+                  np.zeros(len(ni), np.int64), np.zeros(len(ni), np.int64))
+    # ZRL groups: first at sub 0, extras at 64+j (corr bits sit at 1..63)
+    zm = zrl_cnt > 0
+    if zm.any():
+        reps = zrl_cnt[zm]
+        tot = int(reps.sum())
+        j = np.arange(tot, dtype=np.int64) \
+            - np.repeat(np.cumsum(reps) - reps, reps)
+        sub = np.where(j == 0, 0, 63 + j)
+        zsym = np.full(tot, 0xF0, dtype=np.int64)
+        recs.emit(np.repeat(key[zm], reps), np.repeat(base[zm], reps) + sub,
+                  ac_code[zsym], ac_len[zsym],
+                  np.zeros(tot, np.int64), np.zeros(tot, np.int64))
+    # history correction bits -> first flush unit STRICTLY after them
+    ev_mask = zm | isnew
+    hi = np.nonzero(~isnew)[0]  # in-block hist records
+    if len(hi):
+        Wp = W + 1
+        ev_keys = rr[ev_mask] * Wp + pp[ev_mask]
+        h_keys = rr[hi] * Wp + pp[hi]
+        idx = np.searchsorted(ev_keys, h_keys, side="right")
+        # the terminating new of each segment guarantees a next event
+        ev_rec = np.nonzero(ev_mask)[0][idx]
+        ev_has_zrl = zm[ev_rec]
+        rank = _group_ranks(ev_rec)
+        sub = np.where(ev_has_zrl, 1, 513) + rank
+        recs.emit(key[hi],
+                  blk_of_row[rr[ev_rec]] * _SUBB + _INBLK
+                  + pp[ev_rec] * 1024 + sub,
+                  (a[rr[hi], pp[hi]] & 1).astype(np.int64),
+                  np.ones(len(hi), np.int64),
+                  np.zeros(len(hi), np.int64),
+                  np.zeros(len(hi), np.int64))
+
+    # ---------- EOB runs + their correction bits
+    emit2 = emit_rows.reshape(n, nb)
+    trail = ((last_new < W - 1) & emit_rows).reshape(n, nb)
+    _prog_eob_flushes(recs, emit2, trail, ac_code, ac_len)
+    # source bits: hist past last_new (emit rows) + all hist of
+    # non-emit rows, ordered (img, block, pos)
+    src_mask = hist & (np.arange(W)[None, :] > last_new[:, None])
+    sr, sp = np.nonzero(src_mask)
+    if len(sr):
+        s_img = img_of_row[sr]
+        s_blk = blk_of_row[sr]
+        ei, eb2 = np.nonzero(emit2)
+        nbp = nb + 2
+        ekeys = ei * nbp + eb2
+        skeys = s_img * nbp + s_blk
+        idx = np.searchsorted(ekeys, skeys, side="right")
+        in_img = (idx < len(ekeys)) & (ei[np.minimum(idx, len(ei) - 1)]
+                                       == s_img)
+        flush_eb = np.where(in_img, eb2[np.minimum(idx, len(ei) - 1)], nb)
+        rank = _group_ranks(s_img * np.int64(nb + 1) + flush_eb)
+        recs.emit(s_img, flush_eb * _SUBB + 1 + rank,
+                  (a[sr, sp] & 1).astype(np.int64),
+                  np.ones(len(sr), np.int64),
+                  np.zeros(len(sr), np.int64),
+                  np.zeros(len(sr), np.int64))
+
+
+def encode_jpeg_progressive_batch(imgs: np.ndarray, quality: int = 98,
+                                  subsample: bool = False) -> list[bytes]:
+    """(n, h, w, 3) uint8 RGB (or (n, h, w) grey) -> n progressive
+    (SOF2) JFIF byte strings — the batch twin of
+    :func:`encode_jpeg_progressive`, byte-identical per image (tested).
+    Every scan builds its records for all images at once and packs with
+    one lexsort + bit scatter; no per-coefficient Python."""
+    imgs = np.asarray(imgs)
+    grey = imgs.ndim == 3
+    n_img, h, w = imgs.shape[:3]
+    if n_img == 0:
+        return []
+    qt_l = _scaled_qt(QT_LUMA, quality)
+    qt_c = _scaled_qt(QT_CHROMA, quality)
+    dc_tab, ac_tab = _flat_dc_table(), _prog_ac_table()
+    dc_code = np.zeros(16, np.int64)
+    dc_len = np.zeros(16, np.int64)
+    for s, (c, ln) in dc_tab.items():
+        dc_code[s], dc_len[s] = c, ln
+    ac_code = np.zeros(256, np.int64)
+    ac_len = np.zeros(256, np.int64)
+    for s, (c, ln) in ac_tab.items():
+        ac_code[s], ac_len[s] = c, ln
+
+    # identical component prep to encode_jpeg_batch
+    if grey:
+        planes = [imgs.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        ycc = rgb_to_ycbcr(imgs)
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsample:
+            ph, pw = -h % 2, -w % 2
+            if ph or pw:
+                cb = np.pad(cb, ((0, 0), (0, ph), (0, pw)), mode="edge")
+                cr = np.pad(cr, ((0, 0), (0, ph), (0, pw)), mode="edge")
+            hh, ww = cb.shape[1:]
+            cb = cb.reshape(n_img, hh // 2, 2, ww // 2, 2).mean(axis=(2, 4))
+            cr = cr.reshape(n_img, hh // 2, 2, ww // 2, 2).mean(axis=(2, 4))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coeffs = []
+    for ci, plane in enumerate(planes):
+        hi, vi = samp[ci]
+        ph, pw = -plane.shape[1] % 8, -plane.shape[2] % 8
+        if ph or pw:
+            plane = np.pad(plane, ((0, 0), (0, ph), (0, pw)), mode="edge")
+        nn, hh, ww = plane.shape
+        bl = (plane - 128.0).reshape(nn, hh // 8, 8, ww // 8, 8) \
+            .transpose(0, 1, 3, 2, 4)
+        nby, nbx = bl.shape[1:3]
+        need_y, need_x = mcuy * vi, mcux * hi
+        if nby < need_y or nbx < need_x:
+            bl = np.pad(bl, ((0, 0), (0, need_y - nby),
+                             (0, need_x - nbx), (0, 0), (0, 0)),
+                        mode="edge")
+            nby, nbx = need_y, need_x
+        qt = qt_l if ci == 0 else qt_c
+        coeffs.append(_fdct_quant(bl.reshape(-1, 8, 8), qt)
+                      .reshape(n_img, nby, nbx, 64).astype(np.int64))
+
+    ncomp = len(planes)
+    comps = [dict(cid=ci + 1, h=samp[ci][0], v=samp[ci][1],
+                  tq=0 if ci == 0 else 1) for ci in range(ncomp)]
+    frame = dict(h=h, w=w, comps=comps)
+    if max(np.prod(_true_block_dims(frame, c)) for c in comps) > 32766:
+        # EOB runs would hit the 0x7FFF forced mid-run flush the
+        # builders don't model — frames this large take the scalar path
+        return [encode_jpeg_progressive(im, quality=quality,
+                                        subsample=subsample)
+                for im in imgs]
+
+    def band_of(ci, ss, se, al):
+        nby, nbx = _true_block_dims(frame, comps[ci])
+        v = coeffs[ci][:, :nby, :nbx].reshape(n_img, nby * nbx, 64) \
+            [:, :, ss:se + 1]
+        return np.where(v < 0, -((-v) >> al), v >> al)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def sos(comp_ids, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        return seg(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    head = bytearray(b"\xff\xd8")
+    head += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    head += seg(0xFFDB, b"\x00" + bytes(qt_l.reshape(64)[ZIGZAG]
+                                        .astype(np.uint8)))
+    if not grey:
+        head += seg(0xFFDB, b"\x01" + bytes(qt_c.reshape(64)[ZIGZAG]
+                                            .astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in comps:
+        sof += bytes([c["cid"], (c["h"] << 4) | c["v"], c["tq"]])
+    head += seg(0xFFC2, sof)
+    head += seg(0xFFC4, _dht_payload(dc_tab, 0, 0))
+    head += seg(0xFFC4, _dht_payload(ac_tab, 1, 0))
+
+    all_ids = [c["cid"] for c in comps]
+    # the SAME scan script as the scalar encoder
+    script: list[tuple[bytes, list[bytes]]] = []
+
+    def run_dc(ah, al):
+        recs = _prog_dc_scan_recs(coeffs, comps, mcux, mcuy, ah, al,
+                                  dc_code, dc_len)
+        script.append((sos(all_ids, 0, 0, ah, al), recs.pack(n_img)))
+
+    def run_ac(ci, ss, se, ah, al):
+        recs = _Recs()
+        if ah == 0:
+            _prog_ac_first_recs(recs, band_of(ci, ss, se, al),
+                                ac_code, ac_len)
+        else:
+            _prog_ac_refine_recs(recs, band_of(ci, ss, se, al),
+                                 ac_code, ac_len)
+        script.append((sos([comps[ci]["cid"]], ss, se, ah, al),
+                       recs.pack(n_img)))
+
+    run_dc(0, 1)
+    run_ac(0, 1, 5, 0, 2)
+    run_ac(0, 6, 63, 0, 2)
+    for ci in range(1, ncomp):
+        run_ac(ci, 1, 63, 0, 1)
+    run_ac(0, 1, 63, 2, 1)
+    run_dc(1, 0)
+    for ci in range(ncomp):
+        run_ac(ci, 1, 63, 1, 0)
+
+    head = bytes(head)
+    out = []
+    for i in range(n_img):
+        parts = [head]
+        for sos_b, segs in script:
+            parts.append(sos_b)
+            parts.append(segs[i])
+        parts.append(b"\xff\xd9")
+        out.append(b"".join(parts))
+    return out

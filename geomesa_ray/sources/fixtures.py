@@ -373,7 +373,7 @@ def ensure_mixed_jpeg_corpus(sf_dir: str, n: int | None = None,
     import shutil
 
     from geomesa_ray.codecs.jpeg import (encode_jpeg_batch,
-                                         encode_jpeg_progressive)
+                                         encode_jpeg_progressive_batch)
 
     if n is None:
         n = max(300, rows_for_sf(sf_dir) // denom)
@@ -396,7 +396,7 @@ def ensure_mixed_jpeg_corpus(sf_dir: str, n: int | None = None,
     bufs = list(encode_jpeg_batch(pixels[:third]))
     bufs += list(encode_jpeg_batch(pixels[third:2 * third],
                                    restart_interval=2))
-    bufs += [encode_jpeg_progressive(im) for im in pixels[2 * third:]]
+    bufs += list(encode_jpeg_progressive_batch(pixels[2 * third:]))
     out = t.set_column(t.schema.get_field_index("bytes"), "bytes",
                        pa.array(bufs, pa.binary()))
     out = out.set_column(t.schema.get_field_index("fmt"), "fmt",

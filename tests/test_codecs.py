@@ -1022,3 +1022,54 @@ class TestLockstepRobustness:
         d2 = F.ensure_mixed_jpeg_corpus("/root/testdata/sf0.001", n=60)
         assert d1 == d2
         assert pq.read_table(d2 + "/images.parquet").num_rows == 60
+
+
+class TestProgressiveBatchEncoder:
+    """Round-5: batch SOF2 encode — every scan's records built with
+    array ops across all images, packed with one lexsort + bit scatter.
+    The oracle is BYTE equality with the scalar encoder."""
+
+    def _check(self, imgs, q=98, subsample=False):
+        from geomesa_ray.codecs.jpeg import (
+            encode_jpeg_progressive, encode_jpeg_progressive_batch)
+
+        got = encode_jpeg_progressive_batch(imgs, quality=q,
+                                            subsample=subsample)
+        want = [encode_jpeg_progressive(im, quality=q,
+                                        subsample=subsample)
+                for im in imgs]
+        assert got == want
+
+    def test_noise_rgb_grey_odd(self):
+        self._check(RNG.integers(0, 255, (10, 8, 8, 3), np.uint8))
+        self._check(RNG.integers(0, 255, (5, 16, 16), np.uint8))
+        self._check(RNG.integers(0, 255, (4, 17, 11, 3), np.uint8), q=85)
+
+    def test_eob_heavy_and_sparse(self):
+        self._check(np.stack([np.full((24, 24, 3), 9 * i, np.uint8)
+                              for i in range(4)]))
+        self._check(RNG.integers(0, 255, (5, 24, 16, 3), np.uint8), q=25)
+
+    def test_subsampled(self):
+        self._check(RNG.integers(0, 255, (4, 32, 32, 3), np.uint8),
+                    subsample=True)
+        self._check(RNG.integers(0, 255, (3, 17, 11, 3), np.uint8),
+                    q=50, subsample=True)
+
+    def test_randomized_sweep(self):
+        rng = np.random.default_rng(321)
+        for _ in range(10):
+            sh = (int(rng.integers(1, 5)), int(rng.integers(6, 40)),
+                  int(rng.integers(6, 40)), 3)
+            self._check(rng.integers(0, 255, sh, np.uint8),
+                        q=int(rng.integers(20, 99)),
+                        subsample=bool(rng.integers(0, 2)))
+
+    def test_decodes_to_baseline_pixels(self):
+        from geomesa_ray.codecs.jpeg import (decode_jpeg, encode_jpeg,
+                                             encode_jpeg_progressive_batch)
+
+        imgs = RNG.integers(0, 255, (4, 16, 16, 3), np.uint8)
+        for im, buf in zip(imgs, encode_jpeg_progressive_batch(imgs)):
+            assert np.array_equal(decode_jpeg(buf),
+                                  decode_jpeg(encode_jpeg(im)))
