@@ -331,10 +331,11 @@ class Transcode:
         from geomesa_ray import codecs
 
         out_fmt = out_fmt.lower()
-        if out_fmt != "raw" and out_fmt not in codecs.SUPPORTED:
+        if out_fmt not in ("raw", "jpeg_progressive") \
+                and out_fmt not in codecs.SUPPORTED:
             raise NotImplementedError(
                 f"transcode target {out_fmt!r} (supported: "
-                f"{codecs.SUPPORTED} + 'raw')")
+                f"{codecs.SUPPORTED} + 'raw' + 'jpeg_progressive')")
         self.out_fmt = out_fmt
         self.quality = quality
         self.keep_caption = keep_caption
@@ -347,13 +348,35 @@ class Transcode:
 
             _flat_dc_table()
             _flat_ac_table()
+        elif out_fmt == "jpeg_progressive":
+            from geomesa_ray.codecs.jpeg import (_flat_dc_table,
+                                                 _prog_ac_table)
+
+            _flat_dc_table()
+            _prog_ac_table()
+
+    def _encode_stack(self, m: np.ndarray) -> list[bytes]:
+        """Uniform-shape stack -> per-image payloads via the batch
+        encoders (bit-identical to the per-image paths they shortcut)."""
+        if self.out_fmt == "png":
+            from geomesa_ray.codecs.png import encode_png_batch
+
+            return encode_png_batch(m)
+        if self.out_fmt == "jpeg_progressive":
+            from geomesa_ray.codecs.jpeg import \
+                encode_jpeg_progressive_batch
+
+            return encode_jpeg_progressive_batch(m, quality=self.quality)
+        from geomesa_ray.codecs.jpeg import encode_jpeg_batch
+
+        return encode_jpeg_batch(m, quality=self.quality)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from geomesa_ray import codecs
 
         w = batch.column("w").to_numpy(zero_copy_only=False)
         h = batch.column("h").to_numpy(zero_copy_only=False)
-        if (self.out_fmt in ("jpeg", "jpg", "png")
+        if (self.out_fmt in ("jpeg", "jpg", "png", "jpeg_progressive")
                 and _uniform_fmt(batch) == "raw"
                 and len(np.unique(w)) == 1 and len(np.unique(h)) == 1):
             # whole-batch fast path: zero-copy pixel matrix + ONE
@@ -365,42 +388,38 @@ class Transcode:
             m = binary_column_to_matrix(batch.column("bytes"),
                                         hh * ww * 3) \
                 .reshape(batch.num_rows, hh, ww, 3)
-            if self.out_fmt == "png":
-                from geomesa_ray.codecs.png import encode_png_batch
-
-                bufs = encode_png_batch(m)
-            else:
-                from geomesa_ray.codecs.jpeg import encode_jpeg_batch
-
-                bufs = encode_jpeg_batch(m, quality=self.quality)
+            bufs = self._encode_stack(m)
         else:
             imgs = decode_batch(batch)
-            if (self.out_fmt in ("jpeg", "jpg", "png")
+            if (self.out_fmt in ("jpeg", "jpg", "png",
+                                 "jpeg_progressive")
                     and len(imgs) > 1
                     and len({im.shape for im in imgs}) == 1
                     and imgs[0].ndim == 3):
                 # compressed-source batches still re-encode as ONE
                 # vectorized pass once decoded to a uniform stack
-                m = np.stack(imgs)
-                if self.out_fmt == "png":
-                    from geomesa_ray.codecs.png import encode_png_batch
+                bufs = self._encode_stack(np.stack(imgs))
+            elif self.out_fmt == "jpeg_progressive":
+                from geomesa_ray.codecs.jpeg import \
+                    encode_jpeg_progressive
 
-                    bufs = encode_png_batch(m)
-                else:
-                    from geomesa_ray.codecs.jpeg import encode_jpeg_batch
-
-                    bufs = encode_jpeg_batch(m, quality=self.quality)
+                bufs = [encode_jpeg_progressive(im, quality=self.quality)
+                        for im in imgs]
             else:
                 kw = {"quality": self.quality} \
                     if self.out_fmt in ("jpeg", "jpg") else {}
                 bufs = [codecs.encode(im, self.out_fmt, **kw)
                         for im in imgs]
+        # a progressive stream is still a JPEG payload: downstream
+        # stages route by fmt, and the decoders dispatch on SOF marker
+        ofmt = "jpeg" if self.out_fmt == "jpeg_progressive" \
+            else self.out_fmt
         cols = {
             "image_id": batch.column("image_id"),
             "bytes": pa.array(bufs, pa.binary()),
             "w": batch.column("w"),
             "h": batch.column("h"),
-            "fmt": pa.array([self.out_fmt] * batch.num_rows, pa.string()),
+            "fmt": pa.array([ofmt] * batch.num_rows, pa.string()),
         }
         for extra in ("caption", "phash"):
             if self.keep_caption and extra in batch.schema.names:
