@@ -129,6 +129,10 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     mixdir = ensure_mixed_jpeg_corpus(sf_dir)
     timed("transcode_jpeg_mixed", lambda: _consume(
         image_ops.transcode(mixdir, "jpeg", use_actors=False)))
+    # SOF2 as the OUTPUT: the whole corpus re-encodes progressive
+    # through the loop-free batch encoder (round 5)
+    timed("transcode_progressive", lambda: _consume(
+        image_ops.transcode(fdir, "jpeg_progressive", use_actors=False)))
     timed("mosaic", lambda: _consume(tiles.mosaic(fdir)))
 
     store_dir = f"/tmp/graft_store_bench_{num_cpus}"
