@@ -604,6 +604,14 @@ def _parse_stream(buf: bytes):
                          progressive=marker == 0xC2)
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            # lossless / hierarchical / ARITHMETIC-coded modes. The
+            # arithmetic gate is deliberate, not deferred: the QM-coder
+            # needs T.81 Table D.3's 46-row Qe state machine verbatim,
+            # and this sandbox has no authoritative copy nor a libjpeg
+            # to cross-check against — a from-memory table would pass
+            # every local round-trip test (encoder and decoder would
+            # share the error) while emitting non-compliant streams.
+            # An honest error beats silently wrong interop.
             raise NotImplementedError(
                 f"unsupported JPEG mode (SOF marker 0xFF{marker:02X})")
         elif marker == 0xDD:  # DRI: restart interval in MCUs (0 = none)
